@@ -1,0 +1,66 @@
+"""CLI flag-surface tests (reference: src/main.rs:10-34, :42-77)."""
+
+import numpy as np
+import pytest
+
+from vrod_tpu.cli import main
+
+
+def test_init_database(tmp_path, capsys):
+    rc = main(["--init-database", str(tmp_path), "-n", "db1"])
+    assert rc == 0
+    assert (tmp_path / "db1" / "vr_config").exists()
+    assert (tmp_path / "db1" / "vr_wal").exists()
+
+
+def test_init_missing_name_errors(tmp_path, capsys):
+    """Reference: ArgsError::MissingInitDatabaseNameFlag (main.rs:36-40, :57)."""
+    rc = main(["--init-database", str(tmp_path)])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "init-database-name" in err
+
+
+def test_init_refuses_existing(tmp_path, capsys):
+    assert main(["--init-database", str(tmp_path), "-n", "db1"]) == 0
+    assert main(["--init-database", str(tmp_path), "-n", "db1"]) == 1
+
+
+def test_no_args_prints_help(capsys):
+    """Reference: arg_required_else_help (main.rs:11)."""
+    rc = main([])
+    assert rc == 2
+    assert "usage" in capsys.readouterr().out.lower()
+
+
+def test_execute_flow(tmp_path, capsys):
+    assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
+    db = str(tmp_path / "db")
+    assert main(["-d", db, "-e", "create", "-a", "c;dim=4;segment_rows=64"]) == 0
+    assert main(["-d", db, "-c", "c", "-e", "insert", "-a", "1,0,0,0;x"]) == 0
+    assert main(["-d", db, "-c", "c", "-e", "searchsimilar", "-a", "1,0,0,0;k=1"]) == 0
+    out = capsys.readouterr().out
+    assert "x" in out
+
+
+def test_execute_unknown_verb(tmp_path, capsys):
+    assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
+    rc = main(["-d", str(tmp_path / "db"), "-e", "NOPE"])
+    assert rc == 1
+    assert "Unrecognized command" in capsys.readouterr().err
+
+
+def test_generate_embeddings(tmp_path, capsys, monkeypatch):
+    """Reference: --generate-embeddings runs ingest then exits (main.rs:46-49)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["--generate-embeddings", "25"])
+    assert rc == 0
+    out_file = tmp_path / "alice_embeddings.txt"
+    assert out_file.exists()
+    lines = out_file.read_text().strip().splitlines()
+    assert len(lines) == 25
+    # reference line format: v0,v1,...;word (embeddings.rs:61)
+    from vrod_tpu.records import parse_record
+    rec = parse_record(lines[0])
+    assert rec.vector.shape == (384,)
+    assert rec.payload == "Alice"

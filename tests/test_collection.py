@@ -1,0 +1,172 @@
+"""Collection lifecycle: mutations, durability, crash recovery, compaction."""
+
+import numpy as np
+import pytest
+
+from vrod_tpu.collection import Collection
+from vrod_tpu.config import CollectionConfig
+from vrod_tpu.errors import DimensionMismatchError, RecordNotFoundError
+
+
+def new_col(tmp_path, name="c", **kw):
+    kw.setdefault("dim", 16)
+    kw.setdefault("segment_rows", 64)
+    cfg = CollectionConfig(name=name, **kw)
+    return Collection.create(tmp_path / name, cfg)
+
+
+def test_insert_get_delete(tmp_path, rng):
+    col = new_col(tmp_path)
+    v = rng.standard_normal(16).astype(np.float32)
+    rid = col.insert(v, "hello")
+    assert rid == 1
+    rec = col.get(rid)
+    np.testing.assert_allclose(rec.vector, v, rtol=1e-6)
+    assert rec.payload == "hello"
+    col.delete(rid)
+    with pytest.raises(RecordNotFoundError):
+        col.get(rid)
+    with pytest.raises(RecordNotFoundError):
+        col.delete(rid)
+    assert col.count == 0
+
+
+def test_update(tmp_path, rng):
+    col = new_col(tmp_path)
+    v1 = rng.standard_normal(16).astype(np.float32)
+    v2 = rng.standard_normal(16).astype(np.float32)
+    rid = col.insert(v1, "one")
+    col.update(rid, v2, "two")
+    rec = col.get(rid)
+    np.testing.assert_allclose(rec.vector, v2, rtol=1e-6)
+    assert rec.payload == "two"
+    assert col.count == 1
+    with pytest.raises(RecordNotFoundError):
+        col.update(999, v2, "nope")
+
+
+def test_dim_check(tmp_path, rng):
+    col = new_col(tmp_path)
+    with pytest.raises(DimensionMismatchError):
+        col.insert(rng.standard_normal(7).astype(np.float32))
+    with pytest.raises(DimensionMismatchError):
+        col.search_similar(rng.standard_normal(7).astype(np.float32))
+
+
+def test_bulk_insert_and_search(tmp_path, rng):
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(200)])
+    assert len(rids) == 200 and col.count == 200
+    hits = col.search_similar(vecs[13], k=1)
+    assert hits[0].record_id == rids[13]
+    assert hits[0].payload == "p13"
+
+
+def test_wal_replay_after_crash(tmp_path, rng):
+    """Kill before any snapshot: reload must replay the full WAL."""
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    col.delete(int(rids[10]))
+    col.update(int(rids[20]), vecs[0], "patched")
+    # no close/snapshot — simulate process death (WAL was fsync'd per op)
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.count == 49
+    assert col2.next_id == col.next_id
+    with pytest.raises(RecordNotFoundError):
+        col2.get(int(rids[10]))
+    rec = col2.get(int(rids[20]))
+    assert rec.payload == "patched"
+    np.testing.assert_allclose(rec.vector, vecs[0], rtol=1e-6)
+    hits = col2.search_similar(vecs[5], k=1)
+    assert hits[0].record_id == rids[5]
+
+
+def test_snapshot_restore_and_tail_replay(tmp_path, rng):
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(80)])
+    col.snapshot()
+    assert col.wal.frame_count == 0
+    # post-snapshot tail ops
+    extra = rng.standard_normal((5, 16)).astype(np.float32)
+    extra_ids = col.bulk_insert(extra)
+    col.delete(int(rids[0]))
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.count == 84
+    assert col2.get(int(extra_ids[0])) is not None
+    with pytest.raises(RecordNotFoundError):
+        col2.get(int(rids[0]))
+    hits = col2.search_similar(vecs[7], k=1)
+    assert hits[0].record_id == rids[7]
+    assert hits[0].payload == "p7"
+
+
+def test_torn_wal_tail_recovery(tmp_path, rng):
+    """Fault injection: process dies mid-BULKINSERT append (SURVEY §7.4).
+
+    The torn frame was never acked, so recovery must converge to the state
+    before the interrupted op."""
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((30, 16)).astype(np.float32)
+    col.bulk_insert(vecs)
+    wal_path = tmp_path / "c" / "vr_wal"
+    # Append half a frame: valid magic + truncated body.
+    with open(wal_path, "ab") as f:
+        f.write(b"\x57\x4c\x5f\x31" + b"\x02" * 11)
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.count == 30
+    # The WAL is usable again after recovery.
+    col2.insert(vecs[0], "post-crash")
+    col3 = Collection.load(tmp_path / "c")
+    assert col3.count == 31
+
+
+def test_reindex_compacts(tmp_path, rng):
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    for rid in rids[::2]:
+        col.delete(int(rid))
+    assert col.alloc.high_water == 100
+    moved = col.reindex()
+    assert col.alloc.high_water == 50
+    assert col.count == 50
+    assert moved > 0
+    # data still correct after the device gather/scatter moves
+    for rid in rids[1::2][:10]:
+        rec = col.get(int(rid))
+        np.testing.assert_allclose(rec.vector, vecs[int(rid) - 1], rtol=1e-6)
+    hits = col.search_similar(vecs[1], k=1)
+    assert hits[0].record_id == rids[1]
+    # reindex snapshots + truncates the WAL
+    assert col.wal.frame_count == 0
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.count == 50
+
+
+def test_free_slot_reuse_after_delete(tmp_path, rng):
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((10, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    hw = col.alloc.high_water
+    col.delete(int(rids[3]))
+    new_vec = rng.standard_normal(16).astype(np.float32)
+    col.insert(new_vec, "reused")
+    assert col.alloc.high_water == hw  # recycled the freed slot
+    hits = col.search_similar(new_vec, k=1)
+    assert hits[0].payload == "reused"
+
+
+def test_sharded_collection(tmp_path, rng):
+    col = new_col(tmp_path, shards=8)
+    vecs = rng.standard_normal((500, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    hits = col.search_similar(vecs[123], k=3)
+    assert hits[0].record_id == rids[123]
+    col.snapshot()
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.engine.shards == 8
+    hits = col2.search_similar(vecs[123], k=3)
+    assert hits[0].record_id == rids[123]

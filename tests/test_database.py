@@ -1,0 +1,108 @@
+"""Database init/load/registry contracts (reference: src/database/)."""
+
+import numpy as np
+import pytest
+
+from vrod_tpu.config import CONFIG_FILE, WAL_FILE
+from vrod_tpu.database import Database
+from vrod_tpu.errors import (
+    CollectionExistsError, CollectionNotFoundError, DatabaseExistsError,
+    DatabaseNotFoundError,
+)
+
+
+def test_init_creates_layout(tmp_path):
+    """Reference contract: db dir contains vr_config + vr_wal (setup.rs:17-23)."""
+    db = Database.new(tmp_path, "mydb")
+    root = tmp_path / "mydb"
+    assert (root / CONFIG_FILE).exists()
+    assert (root / WAL_FILE).exists()
+    db.close()
+
+
+def test_init_refuses_existing(tmp_path):
+    """Reference contract: AlreadyExists error (setup.rs:6-15)."""
+    Database.new(tmp_path, "dup").close()
+    with pytest.raises(DatabaseExistsError):
+        Database.new(tmp_path, "dup")
+
+
+def test_load_missing(tmp_path):
+    with pytest.raises(DatabaseNotFoundError):
+        Database.load(tmp_path / "nope")
+
+
+def test_load_empty_config_file(tmp_path):
+    """The reference's on-disk format has an *empty* vr_config; load must
+    accept it (setup.rs:19-20)."""
+    root = tmp_path / "legacy"
+    root.mkdir()
+    (root / CONFIG_FILE).touch()
+    (root / WAL_FILE).touch()
+    db = Database.load(root)
+    assert db.list_collections() == []
+    db.close()
+
+
+def test_create_drop_list(tmp_db):
+    tmp_db.create_collection("a", dim=8, segment_rows=64)
+    tmp_db.create_collection("b", dim=8, metric="l2", segment_rows=64)
+    assert tmp_db.list_collections() == ["a", "b"]
+    with pytest.raises(CollectionExistsError):
+        tmp_db.create_collection("a", dim=8)
+    tmp_db.drop_collection("a")
+    assert tmp_db.list_collections() == ["b"]
+    with pytest.raises(CollectionNotFoundError):
+        tmp_db.drop_collection("a")
+    with pytest.raises(CollectionNotFoundError):
+        tmp_db.collection("zzz")
+
+
+def test_reload_database(tmp_path, rng):
+    db = Database.new(tmp_path, "db1")
+    col = db.create_collection("words", dim=8, segment_rows=64)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    db.close()
+
+    db2 = Database.load(tmp_path / "db1")
+    assert db2.list_collections() == ["words"]
+    col2 = db2.collection("words")
+    assert col2.count == 20
+    hits = col2.search_similar(vecs[3], k=1)
+    assert hits[0].record_id == rids[3]
+    db2.close()
+
+
+def test_db_wal_recovery_of_create(tmp_path):
+    """Crash between DB-WAL append and config write: load reconciles."""
+    import json
+    from vrod_tpu.wal import Wal, ops as wops
+    db = Database.new(tmp_path, "db2")
+    root = db.path
+    db.close()
+    # Simulate: the CREATE got WAL-logged but neither the dir nor the config
+    # update happened.
+    w = Wal(root / WAL_FILE)
+    cfg = {"name": "ghost", "dim": 8, "metric": "cosine", "dtype": "float32",
+           "segment_rows": 64, "shards": 1, "rescore_margin": 64}
+    w.append(wops.encode(wops.CreateCollectionOp(cfg)), sync=True)
+    w.close()
+    db2 = Database.load(root)
+    assert "ghost" in db2.list_collections()
+    assert db2.collection("ghost").config.dim == 8
+    # registry config was rewritten; WAL drained
+    assert db2.wal.frame_count == 0
+    raw = json.loads((root / CONFIG_FILE).read_text())
+    assert "ghost" in raw["collections"]
+    db2.close()
+
+
+def test_truncate_wal_targets(tmp_db):
+    col = tmp_db.create_collection("t", dim=8, segment_rows=64)
+    col.insert(np.ones(8, dtype=np.float32))
+    assert col.wal.frame_count == 1
+    tmp_db.truncate_wal("t")          # collection-level
+    assert col.wal.frame_count == 0
+    tmp_db.truncate_wal(None)         # database-level (builder.rs:41 default)
+    assert tmp_db.wal.frame_count == 0

@@ -1,0 +1,65 @@
+"""Record wire-format tests (reference contract: embeddings.rs:61)."""
+
+import numpy as np
+import pytest
+
+from vrod_tpu.errors import RecordFormatError
+from vrod_tpu.records import (
+    format_record, parse_query, parse_record, parse_record_file,
+)
+
+
+def test_roundtrip():
+    vec = np.array([0.5, -1.25, 3.0], dtype=np.float32)
+    line = format_record(vec, "hello")
+    rec = parse_record(line)
+    np.testing.assert_array_equal(rec.vector, vec)
+    assert rec.payload == "hello"
+
+
+def test_payload_with_semicolons():
+    rec = parse_record("1.0,2.0;a;b;c")
+    assert rec.payload == "a;b;c"
+    np.testing.assert_array_equal(rec.vector, [1.0, 2.0])
+
+
+def test_no_payload():
+    rec = parse_record("1,2,3")
+    assert rec.payload == ""
+    assert rec.vector.dtype == np.float32
+
+
+def test_empty_and_bad():
+    with pytest.raises(RecordFormatError):
+        parse_record("")
+    with pytest.raises(RecordFormatError):
+        parse_record("a,b,c;payload")
+    with pytest.raises(RecordFormatError):
+        parse_record(";payload-only")
+
+
+def test_exact_float_roundtrip():
+    vec = np.array([1/3, 1e-8, -2.5e7], dtype=np.float32)
+    rec = parse_record(format_record(vec, ""))
+    np.testing.assert_array_equal(rec.vector, vec)
+
+
+def test_record_file():
+    text = "1,0;a\n\n0,1;b\n"
+    recs = parse_record_file(text)
+    assert len(recs) == 2
+    assert recs[1].payload == "b"
+    with pytest.raises(RecordFormatError, match="line 2"):
+        parse_record_file("1,0;a\nbad;x\n")
+
+
+def test_parse_query():
+    v, k = parse_query("1,2,3")
+    assert k == 10
+    v, k = parse_query("1,2,3;k=25")
+    assert k == 25
+    np.testing.assert_array_equal(v, [1, 2, 3])
+    with pytest.raises(RecordFormatError):
+        parse_query("1,2;top=5")
+    with pytest.raises(RecordFormatError):
+        parse_query("1,2;k=0")

@@ -1,0 +1,22 @@
+"""vrod-tpu: a TPU-native exact-kNN vector store.
+
+A ground-up JAX/XLA/Pallas re-design with the capability surface of
+sekulas/vRod (see SURVEY.md): collections as row-sharded HBM-resident
+embedding tensors, exact similarity search as a blocked distance matmul fused
+with on-chip top-k, mutations through a host-side C++ WAL + slot allocator,
+and multi-chip scaling via ``jax.shard_map`` over an ICI mesh with all-gather
+top-k merge.
+"""
+
+from .collection import Collection, SearchHit
+from .config import CollectionConfig, DatabaseConfig, VROD_VERSION
+from .database import Database
+from .records import Record, format_record, parse_record
+
+__version__ = VROD_VERSION
+
+__all__ = [
+    "Collection", "SearchHit", "CollectionConfig", "DatabaseConfig",
+    "Database", "Record", "format_record", "parse_record", "VROD_VERSION",
+    "__version__",
+]

@@ -1,0 +1,212 @@
+"""Host-side slot allocator for HBM collection tensors.
+
+C++ implementation (``_native/native.cpp``) via ctypes, with a pure-Python
+fallback. Owns the free-list, the live bitmap (slot -> record id binding),
+and compaction planning. The reference's intended `Database.collections`
+storage (``/root/reference/src/database/mod.rs:8``) maps to this +
+the device engine: slots index rows of the collection's HBM tensor.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from ._native.build import load_native
+
+NO_ID = 2**64 - 1
+
+
+class _NativeAllocator:
+    def __init__(self, capacity: int):
+        self._lib = load_native()
+        self._h = self._lib.vrod_alloc_new(capacity)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_h", None):
+                self._lib.vrod_alloc_free(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    @staticmethod
+    def _u64buf(arr: np.ndarray):
+        arr = np.ascontiguousarray(arr, dtype=np.uint64)
+        return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    @property
+    def capacity(self) -> int:
+        return self._lib.vrod_alloc_capacity(self._h)
+
+    @property
+    def live_count(self) -> int:
+        return self._lib.vrod_alloc_live_count(self._h)
+
+    @property
+    def free_count(self) -> int:
+        return self._lib.vrod_alloc_free_count(self._h)
+
+    @property
+    def high_water(self) -> int:
+        return self._lib.vrod_alloc_high_water(self._h)
+
+    def grow(self, new_capacity: int) -> None:
+        if self._lib.vrod_alloc_grow(self._h, new_capacity) != 0:
+            raise ValueError("grow must not shrink capacity")
+
+    def acquire(self, ids: np.ndarray) -> np.ndarray:
+        ids, idp = self._u64buf(ids)
+        out = np.empty(ids.size, dtype=np.uint64)
+        rc = self._lib.vrod_alloc_acquire(
+            self._h, ids.size, idp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        if rc == -1:
+            raise MemoryError("Insufficient capacity (grow first)")
+        if rc == -2:
+            raise KeyError("A record id is already bound")
+        return out
+
+    def release(self, ids: np.ndarray) -> np.ndarray:
+        ids, idp = self._u64buf(ids)
+        out = np.empty(ids.size, dtype=np.uint64)
+        self._lib.vrod_alloc_release(
+            self._h, ids.size, idp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out  # NO_ID marks unknown ids
+
+    def slot_of(self, record_id: int) -> int:
+        return self._lib.vrod_alloc_slot_of(self._h, record_id)
+
+    def id_of(self, slot: int) -> int:
+        return self._lib.vrod_alloc_id_of(self._h, slot)
+
+    def is_live(self, slot: int) -> bool:
+        return bool(self._lib.vrod_alloc_is_live(self._h, slot))
+
+    def live_slots(self) -> np.ndarray:
+        out = np.empty(self.live_count, dtype=np.uint64)
+        n = self._lib.vrod_alloc_live_slots(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out[:n]
+
+    def plan_compaction(self) -> tuple[np.ndarray, np.ndarray]:
+        cap = self.capacity
+        src = np.empty(cap, dtype=np.uint64)
+        dst = np.empty(cap, dtype=np.uint64)
+        n = self._lib.vrod_alloc_plan_compaction(
+            self._h,
+            src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            dst.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return src[:n].copy(), dst[:n].copy()
+
+    def apply_compaction(self, src: np.ndarray, dst: np.ndarray) -> None:
+        src, sp = self._u64buf(src)
+        dst, dp = self._u64buf(dst)
+        if self._lib.vrod_alloc_apply_compaction(self._h, src.size, sp, dp) != 0:
+            raise ValueError("Invalid compaction plan")
+
+
+class _PyAllocator:
+    """Pure-Python allocator (identical semantics to the C++ one)."""
+
+    def __init__(self, capacity: int):
+        self._capacity = capacity
+        self._tail = 0
+        self._free: list[int] = []
+        self._slot_to_id: dict[int, int] = {}
+        self._id_to_slot: dict[int, int] = {}
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def live_count(self) -> int:
+        return len(self._id_to_slot)
+
+    @property
+    def free_count(self) -> int:
+        return len(self._free) + (self._capacity - self._tail)
+
+    @property
+    def high_water(self) -> int:
+        return self._tail
+
+    def grow(self, new_capacity: int) -> None:
+        if new_capacity < self._capacity:
+            raise ValueError("grow must not shrink capacity")
+        self._capacity = new_capacity
+
+    def acquire(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.ascontiguousarray(ids, dtype=np.uint64)
+        if self.free_count < ids.size:
+            raise MemoryError("Insufficient capacity (grow first)")
+        for rid in ids:
+            if int(rid) in self._id_to_slot:
+                raise KeyError("A record id is already bound")
+        out = np.empty(ids.size, dtype=np.uint64)
+        for i, rid in enumerate(ids):
+            rid = int(rid)
+            slot = self._free.pop() if self._free else self._tail
+            if slot == self._tail:
+                self._tail += 1
+            self._slot_to_id[slot] = rid
+            self._id_to_slot[rid] = slot
+            out[i] = slot
+        return out
+
+    def release(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.ascontiguousarray(ids, dtype=np.uint64)
+        out = np.full(ids.size, NO_ID, dtype=np.uint64)
+        for i, rid in enumerate(ids):
+            rid = int(rid)
+            slot = self._id_to_slot.pop(rid, None)
+            if slot is None:
+                continue
+            del self._slot_to_id[slot]
+            self._free.append(slot)
+            out[i] = slot
+        return out
+
+    def slot_of(self, record_id: int) -> int:
+        return self._id_to_slot.get(record_id, NO_ID)
+
+    def id_of(self, slot: int) -> int:
+        return self._slot_to_id.get(slot, NO_ID)
+
+    def is_live(self, slot: int) -> bool:
+        return slot in self._slot_to_id
+
+    def live_slots(self) -> np.ndarray:
+        return np.array(sorted(self._slot_to_id), dtype=np.uint64)
+
+    def plan_compaction(self) -> tuple[np.ndarray, np.ndarray]:
+        live = self.live_count
+        holes = [s for s in range(live) if s not in self._slot_to_id]
+        src, dst = [], []
+        hi = 0
+        for s in range(self._tail - 1, live - 1, -1):
+            if s in self._slot_to_id:
+                src.append(s)
+                dst.append(holes[hi])
+                hi += 1
+        return np.array(src, dtype=np.uint64), np.array(dst, dtype=np.uint64)
+
+    def apply_compaction(self, src: np.ndarray, dst: np.ndarray) -> None:
+        for s, d in zip(src.tolist(), dst.tolist()):
+            rid = self._slot_to_id.get(int(s))
+            if rid is None or int(d) in self._slot_to_id:
+                raise ValueError("Invalid compaction plan")
+            del self._slot_to_id[int(s)]
+            self._slot_to_id[int(d)] = rid
+            self._id_to_slot[rid] = int(d)
+        self._tail = self.live_count
+        self._free.clear()
+
+
+def SlotAllocator(capacity: int, native: bool | None = None):
+    if native is None:
+        native = load_native() is not None
+    return _NativeAllocator(capacity) if native else _PyAllocator(capacity)

@@ -1,0 +1,120 @@
+"""CLI entry point — the reference's flag surface, fully wired.
+
+Flags mirror ``/root/reference/src/main.rs:10-34``:
+  --init-database PATH, --init-database-name/-n NAME, --database/-d DIR,
+  --collection/-c NAME, --execute/-e COMMAND, --command-arg/-a ARG,
+  --generate-embeddings/-g AMOUNT.
+No args prints help (arg_required_else_help, main.rs:11). Unlike the
+reference — where the execute path is commented out (main.rs:64-74) — this
+CLI routes --execute through the CommandBuilder against a loaded database,
+falling back to the current working directory when --database is omitted
+(the reference's stated intent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from .commands import CommandBuilder
+from .database import Database
+from .errors import MissingInitDatabaseNameError, VrodError
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vrod",
+        description="vrod-tpu: a TPU-native exact-kNN vector store",
+    )
+    p.add_argument("-i", "--init-database", metavar="PATH",
+                   help="initialize a new database under PATH")
+    p.add_argument("-n", "--init-database-name", metavar="NAME",
+                   help="name of the database to initialize")
+    p.add_argument("-d", "--database", metavar="DIR",
+                   help="database directory (default: current directory)")
+    p.add_argument("-c", "--collection", metavar="COLLECTION_NAME",
+                   help="target collection for the command")
+    p.add_argument("-e", "--execute", metavar="COMMAND",
+                   help="command verb to execute (case-insensitive): CREATE, "
+                        "DROP, LISTCOLLECTIONS, TRUNCATEWAL, INSERT, "
+                        "BULKINSERT, UPDATE, DELETE, SEARCH, SEARCHSIMILAR, "
+                        "REINDEX")
+    p.add_argument("-a", "--command-arg", metavar="COMMAND_ARG",
+                   help="argument for the command")
+    p.add_argument("-g", "--generate-embeddings", metavar="AMOUNT", type=int,
+                   help="development utility: embed the first AMOUNT words of "
+                        "a sample text and write alice_embeddings.txt "
+                        "(reference: src/utils/embeddings.rs)")
+    return p
+
+
+_VALUE_FLAGS = {
+    "-i": "--init-database", "-n": "--init-database-name", "-d": "--database",
+    "-c": "--collection", "-e": "--execute", "-a": "--command-arg",
+    "-g": "--generate-embeddings",
+}
+
+
+def _preprocess(argv):
+    """Join value flags with their argument (``-a v`` -> ``--command-arg=v``)
+    so values beginning with '-' (negative vector components) parse cleanly."""
+    out, i = [], 0
+    long_flags = set(_VALUE_FLAGS.values())
+    while i < len(argv):
+        tok = argv[i]
+        if (tok in _VALUE_FLAGS or tok in long_flags) and i + 1 < len(argv):
+            long = _VALUE_FLAGS.get(tok, tok)
+            out.append(f"{long}={argv[i + 1]}")
+            i += 2
+        else:
+            out.append(tok)
+            i += 1
+    return out
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(_preprocess(
+        list(argv) if argv is not None else sys.argv[1:]))
+
+    # No-args behavior matches arg_required_else_help (main.rs:11).
+    if argv is not None and len(argv) == 0 or (argv is None and len(sys.argv) == 1):
+        parser.print_help()
+        return 2
+
+    try:
+        # Dev-only embedding generator runs first and exits (main.rs:46-49).
+        if args.generate_embeddings is not None:
+            from .utils.embeddings import process_embeddings
+            process_embeddings(args.generate_embeddings)
+            return 0
+
+        # Init path (main.rs:51-62).
+        if args.init_database is not None:
+            if args.init_database_name is None:
+                raise MissingInitDatabaseNameError()
+            db = Database.new(args.init_database, args.init_database_name)
+            db.close()
+            print(f"Initialized database at {Path(args.init_database) / args.init_database_name}")
+            return 0
+
+        # Execute path — the reference's intended (dormant) wiring
+        # (main.rs:64-74 + builder.rs).
+        if args.execute is not None:
+            db_dir = Path(args.database) if args.database else Path.cwd()
+            with Database.load(db_dir) as db:
+                cmd = CommandBuilder(db).build(
+                    args.collection, args.execute, args.command_arg)
+                print(cmd.execute())
+            return 0
+
+        parser.print_help()
+        return 2
+    except VrodError as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

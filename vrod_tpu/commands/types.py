@@ -1,0 +1,224 @@
+"""Command layer: the reference's 12 command structs, implemented.
+
+The reference declares ``trait Command { fn execute(&self); }`` and twelve
+commands whose bodies are empty stubs
+(``/root/reference/src/command/types.rs:5-154``). Here each command's
+``execute`` does the real work against a ``Database`` and returns a
+human-readable result string (printed by the CLI).
+
+Argument formats (the reference never defined them; vrod-tpu's contract):
+  CREATE        -a "name[;dim=384][;metric=cosine][;dtype=float32][;shards=1][;segment_rows=65536]"
+  DROP          -a "name"
+  LISTCOLLECTIONS
+  TRUNCATEWAL   [-c collection]          (no -c: database-level WAL)
+  INSERT        -c col -a "v0,v1,...;payload"
+  BULKINSERT    -c col -a <path to file of one record per line>
+  UPDATE        -c col -a "id;v0,v1,...;payload"
+  DELETE        -c col -a "id"
+  SEARCH        -c col -a "id"           (exact lookup)
+  SEARCHSIMILAR -c col -a "v0,v1,...[;k=10]"
+  REINDEX       -c col
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..database import Database
+from ..errors import MissingCommandArgError, RecordFormatError
+from ..records import format_record, parse_query, parse_record, parse_record_file
+
+
+@dataclasses.dataclass
+class Command:
+    db: Database
+
+    def execute(self) -> str:
+        raise NotImplementedError
+
+    def _require(self, value, what: str):
+        if value is None:
+            raise MissingCommandArgError(f"{type(self).__name__} requires {what}")
+        return value
+
+
+@dataclasses.dataclass
+class CreateCollectionCommand(Command):
+    collection_name: str | None = None
+
+    def execute(self) -> str:
+        arg = self._require(self.collection_name, "a collection name argument (-a)")
+        name, _, tail = arg.partition(";")
+        kw = {}
+        for part in tail.split(";") if tail else []:
+            part = part.strip()
+            if not part:
+                continue
+            key, _, val = part.partition("=")
+            if key in ("dim", "shards", "segment_rows"):
+                kw[key] = int(val)
+            elif key in ("metric", "dtype"):
+                kw[key] = val
+            else:
+                raise RecordFormatError(f"Unknown CREATE option {key!r}")
+        col = self.db.create_collection(name.strip(), **kw)
+        return (f"Created collection {col.config.name!r} "
+                f"(dim={col.config.dim}, metric={col.config.metric}, "
+                f"dtype={col.config.dtype}, shards={col.config.shards})")
+
+
+@dataclasses.dataclass
+class DropCollectionCommand(Command):
+    collection_name: str | None = None
+
+    def execute(self) -> str:
+        name = self._require(self.collection_name, "a collection name argument (-a)")
+        self.db.drop_collection(name.strip())
+        return f"Dropped collection {name.strip()!r}"
+
+
+@dataclasses.dataclass
+class ListCollectionsCommand(Command):
+    def execute(self) -> str:
+        names = self.db.list_collections()
+        if not names:
+            return "(no collections)"
+        lines = []
+        for n in names:
+            st = self.db.collection(n).stats()
+            lines.append(
+                f"{n}  count={st['count']} dim={st['dim']} "
+                f"metric={st['metric']} dtype={st['dtype']} shards={st['shards']}")
+        return "\n".join(lines)
+
+
+@dataclasses.dataclass
+class TruncateWalCommand(Command):
+    # If no target is provided, truncate the database's WAL
+    # (reference: builder.rs:41).
+    target: str | None = None
+
+    def execute(self) -> str:
+        self.db.truncate_wal(self.target)
+        scope = f"collection {self.target!r}" if self.target else "database"
+        return f"Truncated {scope} WAL"
+
+
+@dataclasses.dataclass
+class InsertCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        rec = parse_record(self._require(self.arg, "a record argument (-a)"))
+        rid = col.insert(rec.vector, rec.payload)
+        return f"Inserted record {rid}"
+
+
+@dataclasses.dataclass
+class BulkInsertCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        from pathlib import Path
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        path = Path(self._require(self.arg, "a records-file path (-a)"))
+        records = parse_record_file(path.read_text())
+        if not records:
+            return "Inserted 0 records"
+        vecs = np.stack([r.vector for r in records])
+        rids = col.bulk_insert(vecs, [r.payload for r in records])
+        return f"Inserted {len(rids)} records (ids {rids[0]}..{rids[-1]})"
+
+
+@dataclasses.dataclass
+class UpdateCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        arg = self._require(self.arg, "an 'id;v0,v1,...;payload' argument (-a)")
+        id_part, _, rest = arg.partition(";")
+        try:
+            rid = int(id_part)
+        except ValueError as e:
+            raise RecordFormatError(f"Bad record id {id_part!r}") from e
+        rec = parse_record(rest)
+        col.update(rid, rec.vector, rec.payload)
+        return f"Updated record {rid}"
+
+
+@dataclasses.dataclass
+class DeleteCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        try:
+            rid = int(self._require(self.arg, "a record id (-a)"))
+        except ValueError as e:
+            raise RecordFormatError(f"Bad record id {self.arg!r}") from e
+        col.delete(rid)
+        return f"Deleted record {rid}"
+
+
+@dataclasses.dataclass
+class SearchCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        try:
+            rid = int(self._require(self.arg, "a record id (-a)"))
+        except ValueError as e:
+            raise RecordFormatError(f"Bad record id {self.arg!r}") from e
+        rec = col.get(rid)
+        return format_record(rec.vector, rec.payload)
+
+
+@dataclasses.dataclass
+class SearchSimilarCommand(Command):
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        vector, k = parse_query(
+            self._require(self.arg, "a 'v0,v1,...[;k=10]' argument (-a)"))
+        hits = col.search_similar(vector, k)
+        if not hits:
+            return "(no results)"
+        return "\n".join(
+            f"{h.record_id}\t{h.score:.6f}\t{h.payload}" for h in hits)
+
+
+@dataclasses.dataclass
+class ReindexCommand(Command):
+    collection_name: str | None = None
+
+    def execute(self) -> str:
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        moved = col.reindex()
+        return f"Reindexed: compacted {moved} rows, snapshot written"
+
+
+@dataclasses.dataclass
+class UnrecognizedCommand(Command):
+    """Fallback no-op (reference: types.rs:146-154)."""
+
+    def execute(self) -> str:
+        return "Unrecognized command (no-op)"

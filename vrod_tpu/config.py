@@ -1,0 +1,112 @@
+"""Configuration schemas for the database and collections.
+
+The reference creates an *empty* ``vr_config`` file at DB init
+(``src/database/setup.rs:19-20``) with a commented intent to "Look for config
+file" on load (``src/main.rs:65``). Here ``vr_config`` is a real JSON document:
+the DB-level file records the framework version and the collection registry;
+each collection has its own ``vr_config`` recording the tensor schema the TPU
+engine needs (dim, metric, dtype, segment geometry, shard count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+from .errors import ConfigError
+
+VROD_VERSION = "0.1.0"
+
+METRICS = ("cosine", "l2", "dot")
+DTYPES = ("float32", "bfloat16")
+
+# File names inherited from the reference on-disk layout (setup.rs:17-23).
+CONFIG_FILE = "vr_config"
+WAL_FILE = "vr_wal"
+COLLECTIONS_DIR = "collections"
+SNAPSHOT_DIR = "snapshot"
+
+
+@dataclasses.dataclass
+class CollectionConfig:
+    """Tensor schema + engine geometry for one collection."""
+
+    name: str
+    dim: int
+    metric: str = "cosine"
+    dtype: str = "float32"
+    # Rows per HBM segment; capacity always grows in whole segments so device
+    # buffers keep static, MXU-aligned shapes (multiples of 8/128 lanes).
+    segment_rows: int = 65536
+    # Number of mesh shards the collection's rows are split over (1 = single chip).
+    shards: int = 1
+    # When dtype=bfloat16: exact f32 rescore of the top-(k+margin) candidates.
+    rescore_margin: int = 64
+
+    def __post_init__(self) -> None:
+        if self.metric not in METRICS:
+            raise ConfigError(f"Unknown metric {self.metric!r}; expected one of {METRICS}")
+        if self.dtype not in DTYPES:
+            raise ConfigError(f"Unknown dtype {self.dtype!r}; expected one of {DTYPES}")
+        if self.dim <= 0:
+            raise ConfigError(f"dim must be positive, got {self.dim}")
+        if self.segment_rows % 8 != 0:
+            raise ConfigError("segment_rows must be a multiple of 8 (TPU sublane tile)")
+        if self.shards < 1:
+            raise ConfigError("shards must be >= 1")
+
+    def to_json(self) -> dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["vrod_version"] = VROD_VERSION
+        return d
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "CollectionConfig":
+        d = dict(d)
+        d.pop("vrod_version", None)
+        try:
+            return cls(**d)
+        except TypeError as e:
+            raise ConfigError(f"Bad collection config: {e}") from e
+
+
+@dataclasses.dataclass
+class DatabaseConfig:
+    """DB-level ``vr_config`` contents."""
+
+    name: str
+    collections: list[str] = dataclasses.field(default_factory=list)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "vrod_version": VROD_VERSION,
+            "name": self.name,
+            "collections": sorted(self.collections),
+        }
+
+    @classmethod
+    def from_json(cls, d: dict[str, Any]) -> "DatabaseConfig":
+        try:
+            return cls(name=d["name"], collections=list(d.get("collections", [])))
+        except KeyError as e:
+            raise ConfigError(f"Bad database config: missing {e}") from e
+
+
+def write_config(path: Path, payload: dict[str, Any]) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(payload, indent=2, sort_keys=True) + "\n")
+    tmp.replace(path)
+
+
+def read_config(path: Path) -> dict[str, Any]:
+    text = path.read_text()
+    if not text.strip():
+        # An empty vr_config is valid in the reference's on-disk format
+        # (setup.rs:19-20 creates it empty); treat as an empty document.
+        return {}
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError as e:
+        raise ConfigError(f"Corrupt config file {path}: {e}") from e

@@ -1,0 +1,176 @@
+"""Database: the on-disk root + collection registry.
+
+Preserves the reference's on-disk contract: a database is a directory
+containing ``vr_config`` and ``vr_wal``
+(``/root/reference/src/database/setup.rs:17-23``); ``Database.new`` refuses
+an existing directory (``setup.rs:6-15``); ``Database.load`` — a ``todo!()``
+in the reference (``src/database/mod.rs:19-21``) — is implemented here as
+config read + DB-WAL reconciliation + lazy collection loading. Collections
+live under ``collections/<name>/`` with their own ``vr_config``/``vr_wal``/
+``snapshot/``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from .collection import Collection
+from .config import (
+    COLLECTIONS_DIR, CONFIG_FILE, WAL_FILE, CollectionConfig, DatabaseConfig,
+    read_config, write_config,
+)
+from .errors import (
+    CollectionExistsError, CollectionNotFoundError, DatabaseExistsError,
+    DatabaseNotFoundError,
+)
+from .wal import Wal, ops
+
+
+class Database:
+    def __init__(self, path: Path, config: DatabaseConfig, *,
+                 devices=None, wal_sync: bool = True):
+        self.path = Path(path)
+        self.config = config
+        self._devices = devices
+        self._wal_sync = wal_sync
+        self.wal = Wal(self.path / WAL_FILE)
+        self._collections: dict[str, Collection] = {}
+
+    # -- lifecycle (reference: Database::new / Database::load) --------------
+
+    @classmethod
+    def new(cls, path, name: str, **kw) -> "Database":
+        """Create ``<path>/<name>/`` with vr_config + vr_wal
+        (reference: create_database_directory, setup.rs:3-26)."""
+        root = Path(path) / name
+        if root.exists():
+            raise DatabaseExistsError(f"Database directory already exists: {root}")
+        root.mkdir(parents=True)
+        config = DatabaseConfig(name=name)
+        write_config(root / CONFIG_FILE, config.to_json())
+        (root / WAL_FILE).touch()
+        (root / COLLECTIONS_DIR).mkdir()
+        return cls(root, config, **kw)
+
+    @classmethod
+    def load(cls, path, **kw) -> "Database":
+        root = Path(path)
+        if not (root / CONFIG_FILE).exists():
+            raise DatabaseNotFoundError(f"No database at {root} (missing vr_config)")
+        raw = read_config(root / CONFIG_FILE)
+        config = (DatabaseConfig.from_json(raw) if raw
+                  else DatabaseConfig(name=root.name))
+        db = cls(root, config, **kw)
+        db._recover()
+        return db
+
+    def close(self) -> None:
+        for col in self._collections.values():
+            col.close()
+        self._collections.clear()
+        self.wal.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _recover(self) -> None:
+        """Reconcile the registry with the DB WAL (crash between WAL append
+        and config write) and with the filesystem."""
+        if self.wal.has_torn_tail:
+            self.wal.repair()
+        changed = False
+        for _lsn, frame in self.wal.replay():
+            op = ops.decode(frame)
+            if isinstance(op, ops.CreateCollectionOp):
+                name = op.config_json["name"]
+                cdir = self._collection_dir(name)
+                if not cdir.exists():
+                    Collection.create(
+                        cdir, CollectionConfig.from_json(op.config_json),
+                        devices=self._devices, wal_sync=self._wal_sync).close()
+                if name not in self.config.collections:
+                    self.config.collections.append(name)
+                    changed = True
+            elif isinstance(op, ops.DropCollectionOp):
+                cdir = self._collection_dir(op.name)
+                if cdir.exists():
+                    import shutil
+                    shutil.rmtree(cdir)
+                if op.name in self.config.collections:
+                    self.config.collections.remove(op.name)
+                    changed = True
+        if changed:
+            write_config(self.path / CONFIG_FILE, self.config.to_json())
+        # Registry reconciled; the WAL frames are captured by the config.
+        if self.wal.frame_count:
+            self.wal.truncate()
+
+    # -- collection registry ------------------------------------------------
+
+    def _collection_dir(self, name: str) -> Path:
+        return self.path / COLLECTIONS_DIR / name
+
+    def create_collection(self, name: str, *, dim: int = 384,
+                          metric: str = "cosine", dtype: str = "float32",
+                          shards: int = 1, segment_rows: int = 65536,
+                          **cfg_kw) -> Collection:
+        """CREATE (reference: CreateCollectionCommand, types.rs:9-19).
+
+        Default dim 384 matches the reference's fastembed default model
+        (BGESmallENV15, embeddings.rs:7)."""
+        if name in self.config.collections or self._collection_dir(name).exists():
+            raise CollectionExistsError(f"Collection {name!r} already exists")
+        cfg = CollectionConfig(name=name, dim=dim, metric=metric, dtype=dtype,
+                               shards=shards, segment_rows=segment_rows,
+                               **cfg_kw)
+        # WAL first, then filesystem, then registry config (recovery replays
+        # the WAL if we crash in between).
+        self.wal.append(ops.encode(ops.CreateCollectionOp(cfg.to_json())),
+                        sync=self._wal_sync)
+        col = Collection.create(self._collection_dir(name), cfg,
+                                devices=self._devices, wal_sync=self._wal_sync)
+        self.config.collections.append(name)
+        write_config(self.path / CONFIG_FILE, self.config.to_json())
+        self._collections[name] = col
+        return col
+
+    def drop_collection(self, name: str) -> None:
+        """DROP (reference: DropCollectionCommand, types.rs:21-31)."""
+        if name not in self.config.collections:
+            raise CollectionNotFoundError(f"No collection named {name!r}")
+        self.wal.append(ops.encode(ops.DropCollectionOp(name)),
+                        sync=self._wal_sync)
+        col = self._collections.pop(name, None)
+        if col is not None:
+            col.close()
+        cdir = self._collection_dir(name)
+        if cdir.exists():
+            import shutil
+            shutil.rmtree(cdir)
+        self.config.collections.remove(name)
+        write_config(self.path / CONFIG_FILE, self.config.to_json())
+
+    def list_collections(self) -> list[str]:
+        """LISTCOLLECTIONS (reference: ListCollectionsCommand, types.rs:33-42)."""
+        return sorted(self.config.collections)
+
+    def collection(self, name: str) -> Collection:
+        if name in self._collections:
+            return self._collections[name]
+        if name not in self.config.collections:
+            raise CollectionNotFoundError(f"No collection named {name!r}")
+        col = Collection.load(self._collection_dir(name),
+                              devices=self._devices, wal_sync=self._wal_sync)
+        self._collections[name] = col
+        return col
+
+    def truncate_wal(self, target: str | None = None) -> None:
+        """TRUNCATEWAL: collection WAL if a target is given, else the
+        database-level WAL (reference: builder.rs:41 comment)."""
+        if target is None:
+            self.wal.truncate()
+        else:
+            self.collection(target).truncate_wal()

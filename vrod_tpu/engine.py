@@ -1,0 +1,277 @@
+"""Device engine: HBM-resident collection tensors + compiled search/update.
+
+A collection's device state is three arrays, row-sharded over the mesh
+(single-chip = 1-device mesh, so there is exactly one code path):
+
+  x     (capacity, dim)  collection dtype — the embedding rows
+  aux   (capacity,) f32  — 1/|x| (cosine) or |x|^2 (l2); 0 for dot
+  valid (capacity,) bool — live bitmap (free-list holes & deletes are False)
+
+Capacity grows in whole segments so shapes stay static between growth events
+(one recompile per growth). Mutations are jit-compiled scatters with donated
+buffers, so inserts/deletes never double HBM. Search is a ``jax.shard_map``
+program: each shard runs the blocked distance+top-k scan over its local rows
+(jnp scan or the fused Pallas kernel), per-shard top-k merges via an
+all-gather over ICI, and an optional exact-precision rescore finalizes the
+result — realizing the reference's intended SearchSimilar path
+(``/root/reference/src/command/types.rs:121-132``) TPU-natively.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from .config import CollectionConfig
+from .ops import distances as D
+from .ops import pallas_topk
+from .parallel.mesh import ROWS_AXIS, make_mesh, replicated, row_sharding, vec_sharding
+
+# Queries are padded to these batch tiles to bound the number of compiled
+# programs; 8 is the f32 sublane tile, larger tiles feed the MXU better.
+BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+K_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024)
+MAX_K = 1024
+DEFAULT_SEARCH_BLOCK_ROWS = 8192
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return int(math.ceil(n / buckets[-1])) * buckets[-1]
+
+
+def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
+    block = min(segment_rows, rows_local)
+    while block > DEFAULT_SEARCH_BLOCK_ROWS and block % 2 == 0:
+        block //= 2
+    while rows_local % block != 0:  # defensive; segment_rows divides rows_local
+        block //= 2
+    return max(block, 8)
+
+
+@functools.lru_cache(maxsize=256)
+def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
+               rows_local, block_rows, shards, do_rescore, impl):
+    """Build + jit the full search program for one static configuration."""
+    mesh = _MESHES[mesh_key]
+    precision = D.PRECISIONS[precision_name]
+    nblocks = rows_local // block_rows
+
+    def local_topk(x_l, aux_l, valid_l, q):
+        offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
+        if impl == "pallas":
+            vals, idx = pallas_topk.fused_topk(
+                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
+                block_rows=block_rows, index_offset=offset)
+        else:
+            vals, idx = D.blockwise_topk(
+                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
+                precision=precision, block_rows=block_rows, nblocks=nblocks,
+                index_offset=offset)
+        if shards > 1:
+            # (S, B, k) on every shard; merge locally => replicated result.
+            vals_g = lax.all_gather(vals, ROWS_AXIS)
+            idx_g = lax.all_gather(idx, ROWS_AXIS)
+            cand_v = jnp.moveaxis(vals_g, 0, 1).reshape(B, shards * k_scan)
+            cand_i = jnp.moveaxis(idx_g, 0, 1).reshape(B, shards * k_scan)
+            vals, pos = lax.top_k(cand_v, k_scan)
+            idx = jnp.take_along_axis(cand_i, pos, axis=1)
+        return vals, idx
+
+    sm = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS), P(ROWS_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+
+    def search(x, aux, valid, q):
+        qp = D.prepare_queries(q, metric=metric)
+        vals, idx = sm(x, aux, valid, qp)
+        if do_rescore:
+            vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out, metric=metric)
+        else:
+            vals, idx = vals[:, :k_out], idx[:, :k_out]
+        vals = D.finalize_scores(vals, q, metric=metric)
+        return vals, idx
+
+    return jax.jit(search)
+
+
+# Mesh objects aren't hashable across processes; key them by id in a registry
+# so lru_cache can hold compiled programs per mesh.
+_MESHES: dict[int, object] = {}
+
+
+def _mesh_key(mesh) -> int:
+    key = id(mesh)
+    _MESHES[key] = mesh
+    return key
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("metric",))
+def _write_rows(x, aux, valid, slots, vecs, *, metric):
+    rows, auxv = D.prepare_rows(vecs, metric=metric, dtype=x.dtype)
+    x = x.at[slots].set(rows, mode="drop")
+    aux = aux.at[slots].set(auxv, mode="drop")
+    valid = valid.at[slots].set(True, mode="drop")
+    return x, aux, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _erase_rows(valid, slots):
+    return valid.at[slots].set(False, mode="drop")
+
+
+@jax.jit
+def _gather_rows(x, slots):
+    return x[slots].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _move_rows(x, aux, valid, src, dst):
+    """Compaction: move rows src -> dst, then invalidate src."""
+    x = x.at[dst].set(x[src], mode="drop")
+    aux = aux.at[dst].set(aux[src], mode="drop")
+    valid = valid.at[dst].set(valid[src], mode="drop")
+    valid = valid.at[src].set(False, mode="drop")
+    return x, aux, valid
+
+
+def _init_arrays(mesh, capacity, dim, dtype):
+    xs, vs = row_sharding(mesh), vec_sharding(mesh)
+
+    @functools.partial(jax.jit, out_shardings=(xs, vs, vs))
+    def init():
+        return (
+            jnp.zeros((capacity, dim), dtype=dtype),
+            jnp.zeros((capacity,), dtype=jnp.float32),
+            jnp.zeros((capacity,), dtype=jnp.bool_),
+        )
+
+    return init()
+
+
+class DeviceEngine:
+    """Owns the device state of one collection."""
+
+    def __init__(self, cfg: CollectionConfig, mesh=None, devices=None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.shards, devices)
+        self.shards = self.mesh.devices.size
+        self.dtype = jnp.dtype(cfg.dtype)
+        # Capacity granularity: whole segments, evenly divided over shards.
+        self._grow_unit = cfg.segment_rows * self.shards
+        self.capacity = self._grow_unit
+        self.x, self.aux, self.valid = _init_arrays(
+            self.mesh, self.capacity, cfg.dim, self.dtype)
+        # Default search behavior (overridable per query).
+        self.precision = "high"
+        self.impl = "scan"  # "scan" (jnp) | "pallas"
+        self.rescore = True
+
+    # -- capacity ----------------------------------------------------------
+
+    def ensure_capacity(self, needed_slots: int) -> bool:
+        """Grow device arrays so at least ``needed_slots`` exist. True if grown."""
+        if needed_slots <= self.capacity:
+            return False
+        new_cap = int(math.ceil(needed_slots / self._grow_unit)) * self._grow_unit
+        xs, vs = row_sharding(self.mesh), vec_sharding(self.mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                           out_shardings=(xs, vs, vs))
+        def grow(x, aux, valid):
+            pad = new_cap - x.shape[0]
+            return (
+                jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)]),
+                jnp.concatenate([aux, jnp.zeros((pad,), aux.dtype)]),
+                jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)]),
+            )
+
+        self.x, self.aux, self.valid = grow(self.x, self.aux, self.valid)
+        self.capacity = new_cap
+        return True
+
+    @property
+    def rows_local(self) -> int:
+        return self.capacity // self.shards
+
+    # -- mutations ---------------------------------------------------------
+
+    def write(self, slots: np.ndarray, vecs: np.ndarray) -> None:
+        # numpy in, device placement follows the (committed, sharded) state
+        # arrays — keeps all compute on the collection's mesh.
+        slots = np.asarray(slots, dtype=np.int32)
+        vecs = np.asarray(vecs, dtype=np.float32)
+        self.x, self.aux, self.valid = _write_rows(
+            self.x, self.aux, self.valid, slots, vecs, metric=self.cfg.metric)
+
+    def erase(self, slots: np.ndarray) -> None:
+        self.valid = _erase_rows(self.valid, np.asarray(slots, dtype=np.int32))
+
+    def move(self, src: np.ndarray, dst: np.ndarray) -> None:
+        if len(src) == 0:
+            return
+        self.x, self.aux, self.valid = _move_rows(
+            self.x, self.aux, self.valid,
+            np.asarray(src, dtype=np.int32), np.asarray(dst, dtype=np.int32))
+
+    # -- reads -------------------------------------------------------------
+
+    def gather(self, slots: np.ndarray) -> np.ndarray:
+        """Fetch rows (f32) for exact-lookup SEARCH."""
+        slots = np.asarray(slots, dtype=np.int32)
+        return np.asarray(_gather_rows(self.x, slots))
+
+    def search(self, queries: np.ndarray, k: int, *, precision=None,
+               impl=None, rescore=None):
+        """Exact top-k. Returns (values (B, k) f32, slots (B, k) i32) numpy."""
+        precision = precision or self.precision
+        impl = impl or self.impl
+        rescore = self.rescore if rescore is None else rescore
+        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        B, dim = q.shape
+        if dim != self.cfg.dim:
+            raise ValueError(f"Query dim {dim} != collection dim {self.cfg.dim}")
+        if k < 1:
+            raise ValueError("k must be >= 1")
+        k = min(k, MAX_K, self.capacity)
+        Bp = _bucket(B, BATCH_BUCKETS)
+        k_out = _bucket(k, K_BUCKETS)
+        k_scan = min(
+            k_out + (self.cfg.rescore_margin if rescore else 0),
+            self.capacity,
+        )
+        if Bp != B:
+            q = np.concatenate([q, np.zeros((Bp - B, dim), np.float32)])
+        block_rows = _pick_block_rows(self.rows_local, self.cfg.segment_rows)
+        fn = _search_fn(
+            _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
+            precision, self.cfg.dtype, self.rows_local, block_rows,
+            self.shards, bool(rescore), impl)
+        vals, idx = fn(self.x, self.aux, self.valid, q)
+        return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])
+
+    # -- persistence -------------------------------------------------------
+
+    def snapshot_arrays(self):
+        """Host copies of device state (for segment snapshots)."""
+        return (
+            np.asarray(self.x.astype(jnp.float32)),
+            np.asarray(self.aux),
+            np.asarray(self.valid),
+        )
+
+    def restore_rows(self, slots: np.ndarray, vecs: np.ndarray) -> None:
+        """Bulk restore (snapshot load / WAL replay) — same path as write."""
+        self.write(slots, vecs)

@@ -1,0 +1,92 @@
+"""The vRod record model: ``(f32 embedding, string payload)``.
+
+The reference's only working data path serializes records as one
+``v0,v1,...,vD;payload`` line per vector (``src/utils/embeddings.rs:52-71``,
+format string at ``:61``). This module parses and formats that wire format,
+which is also the argument format for INSERT/UPDATE, the line format for
+BULKINSERT files, and the output format for SEARCH.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .errors import RecordFormatError
+
+
+@dataclasses.dataclass
+class Record:
+    vector: np.ndarray  # float32, shape (dim,)
+    payload: str = ""
+
+    def to_line(self) -> str:
+        return format_record(self.vector, self.payload)
+
+
+def parse_record(line: str) -> Record:
+    """Parse ``v0,v1,...;payload``. The payload may itself contain ';'."""
+    line = line.strip()
+    if not line:
+        raise RecordFormatError("Empty record string")
+    vec_part, sep, payload = line.partition(";")
+    if not sep:
+        # No payload separator: the whole line is the vector, empty payload.
+        payload = ""
+    try:
+        vector = np.array(
+            [float(tok) for tok in vec_part.split(",") if tok.strip() != ""],
+            dtype=np.float32,
+        )
+    except ValueError as e:
+        raise RecordFormatError(f"Bad vector component in record: {e}") from e
+    if vector.size == 0:
+        raise RecordFormatError("Record has an empty vector")
+    return Record(vector=vector, payload=payload)
+
+
+def format_record(vector: np.ndarray, payload: str = "") -> str:
+    vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+    # repr-style floats round-trip exactly through float(); matches the
+    # reference's join-with-comma + ';' + payload layout (embeddings.rs:55-61).
+    vec_part = ",".join(np.format_float_positional(v, trim="0") for v in vec)
+    return f"{vec_part};{payload}"
+
+
+def parse_record_file(text: str) -> list[Record]:
+    """Parse a BULKINSERT payload: one record per non-empty line."""
+    records = []
+    for i, line in enumerate(text.splitlines()):
+        if not line.strip():
+            continue
+        try:
+            records.append(parse_record(line))
+        except RecordFormatError as e:
+            raise RecordFormatError(f"line {i + 1}: {e}") from e
+    return records
+
+
+def parse_query(arg: str, default_k: int = 10):
+    """Parse a SEARCHSIMILAR argument: ``v0,v1,...[;k=10]``.
+
+    Returns ``(vector, k)``. The ``k=`` suffix is a vrod-tpu extension; the
+    reference never defined SEARCHSIMILAR's argument (stub at types.rs:121-132).
+    """
+    arg = arg.strip()
+    vec_part, sep, tail = arg.partition(";")
+    k = default_k
+    if sep and tail.strip():
+        tail = tail.strip()
+        if not tail.startswith("k="):
+            raise RecordFormatError(
+                f"Bad SEARCHSIMILAR option {tail!r}; expected 'k=<int>'"
+            )
+        try:
+            k = int(tail[2:])
+        except ValueError as e:
+            raise RecordFormatError(f"Bad k value: {e}") from e
+        if k < 1:
+            raise RecordFormatError("k must be >= 1")
+    rec = parse_record(vec_part)
+    return rec.vector, k

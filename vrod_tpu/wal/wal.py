@@ -1,0 +1,211 @@
+"""Write-ahead log: C++ fast path (via ctypes) + pure-Python fallback.
+
+Both implementations share one on-disk frame format (see
+``_native/native.cpp``), so a log written by either is replayable by the
+other:
+
+    u32 magic ("WL_1") | u64 lsn | u32 payload_len
+    | u32 crc32(lsn || payload_len || payload) | payload
+
+Replay stops at the first torn or CRC-corrupt frame — the durable prefix is
+exactly the frames that were fully written before a crash. ``repair()``
+truncates the torn tail. ``truncate()`` implements the reference's
+TRUNCATEWAL command semantics (src/command/types.rs:44-54): drop all frames
+(issued after a snapshot makes them redundant).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+import zlib
+from pathlib import Path
+
+from .._native.build import load_native
+from ..errors import WalError
+
+WAL_MAGIC = 0x315F4C57
+_HEADER = struct.Struct("<IQII")  # magic, lsn, payload_len, crc
+_CRC_FIELDS = struct.Struct("<QI")  # the header fields covered by the crc
+
+
+def _frame_crc(lsn: int, payload: bytes) -> int:
+    c = zlib.crc32(_CRC_FIELDS.pack(lsn, len(payload)))
+    return zlib.crc32(payload, c) & 0xFFFFFFFF
+
+
+class _NativeWal:
+    def __init__(self, path: Path):
+        self._lib = load_native()
+        self._h = self._lib.vrod_wal_open(str(path).encode())
+        if not self._h:
+            raise WalError(f"Cannot open WAL at {path}")
+        self.path = Path(path)
+
+    def append(self, payload: bytes, sync: bool = False) -> int:
+        buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload) if payload \
+            else (ctypes.c_uint8 * 1)()
+        lsn = self._lib.vrod_wal_append(self._h, buf, len(payload))
+        if lsn == 0:
+            raise WalError("WAL append failed")
+        if sync:
+            self.sync()
+        return lsn
+
+    def sync(self) -> None:
+        if self._lib.vrod_wal_sync(self._h) != 0:
+            raise WalError("WAL fsync failed")
+
+    def truncate(self) -> None:
+        if self._lib.vrod_wal_truncate(self._h) != 0:
+            raise WalError("WAL truncate failed")
+
+    def repair(self) -> None:
+        if self._lib.vrod_wal_repair(self._h) != 0:
+            raise WalError("WAL repair failed")
+
+    @property
+    def frame_count(self) -> int:
+        return self._lib.vrod_wal_frame_count(self._h)
+
+    @property
+    def last_lsn(self) -> int:
+        return self._lib.vrod_wal_last_lsn(self._h)
+
+    @property
+    def has_torn_tail(self) -> bool:
+        return bool(self._lib.vrod_wal_has_torn_tail(self._h))
+
+    def replay(self):
+        """Yield (lsn, payload_bytes) for every valid frame, in order."""
+        n = self.frame_count
+        for i in range(n):
+            ln = self._lib.vrod_wal_frame_len(self._h, i)
+            buf = (ctypes.c_uint8 * max(int(ln), 1))()
+            got = self._lib.vrod_wal_frame_read(self._h, i, buf, ln)
+            if got < 0:
+                raise WalError(f"WAL frame read failed at index {i} (rc={got})")
+            yield self._lib.vrod_wal_frame_lsn(self._h, i), bytes(buf[: int(ln)])
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vrod_wal_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class _PyWal:
+    """Pure-Python WAL, format-compatible with the native one."""
+
+    def __init__(self, path: Path):
+        self.path = Path(path)
+        # r+b (not a+b): append mode would force every write to EOF, making
+        # it impossible to overwrite a torn tail at valid_size.
+        if not self.path.exists():
+            self.path.touch()
+        self._f = open(path, "r+b")
+        self._index: list[tuple[int, int, int]] = []  # (lsn, payload_off, len)
+        self._valid_size = 0
+        self._next_lsn = 1
+        self._scan()
+
+    def _scan(self) -> None:
+        self._index.clear()
+        self._valid_size = 0
+        self._next_lsn = 1
+        self._f.seek(0)
+        data = self._f.read()
+        off = 0
+        while off + _HEADER.size <= len(data):
+            magic, lsn, plen, crc = _HEADER.unpack_from(data, off)
+            if magic != WAL_MAGIC:
+                break
+            end = off + _HEADER.size + plen
+            if end > len(data):
+                break
+            payload = data[off + _HEADER.size: end]
+            if _frame_crc(lsn, payload) != crc:
+                break
+            self._index.append((lsn, off + _HEADER.size, plen))
+            off = end
+            self._valid_size = off
+            self._next_lsn = lsn + 1
+        self._file_size = len(data)
+
+    def append(self, payload: bytes, sync: bool = False) -> int:
+        lsn = self._next_lsn
+        crc = _frame_crc(lsn, payload)
+        frame = _HEADER.pack(WAL_MAGIC, lsn, len(payload), crc) + payload
+        self._f.seek(self._valid_size)
+        self._f.write(frame)
+        self._f.flush()
+        self._index.append((lsn, self._valid_size + _HEADER.size, len(payload)))
+        self._valid_size += len(frame)
+        self._file_size = max(self._file_size, self._valid_size)
+        self._next_lsn = lsn + 1
+        if sync:
+            self.sync()
+        return lsn
+
+    def sync(self) -> None:
+        self._f.flush()
+        import os
+        os.fsync(self._f.fileno())
+
+    def truncate(self) -> None:
+        self._f.truncate(0)
+        self.sync()
+        self._index.clear()
+        self._valid_size = 0
+        self._file_size = 0
+
+    def repair(self) -> None:
+        self._f.truncate(self._valid_size)
+        self.sync()
+        self._file_size = self._valid_size
+
+    @property
+    def frame_count(self) -> int:
+        return len(self._index)
+
+    @property
+    def last_lsn(self) -> int:
+        return self._index[-1][0] if self._index else 0
+
+    @property
+    def has_torn_tail(self) -> bool:
+        import os
+        return os.fstat(self._f.fileno()).st_size > self._valid_size
+
+    def replay(self):
+        for lsn, off, plen in self._index:
+            self._f.seek(off)
+            yield lsn, self._f.read(plen)
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def Wal(path, native: bool | None = None):
+    """Open (creating if absent) the WAL at ``path``.
+
+    ``native=None`` auto-selects: C++ when the toolchain built, else Python.
+    """
+    if native is None:
+        native = load_native() is not None
+    if native:
+        return _NativeWal(Path(path))
+    return _PyWal(Path(path))
