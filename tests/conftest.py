@@ -14,8 +14,14 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The axon TPU plugin (if on PYTHONPATH) claims the default backend even when
+# JAX_PLATFORMS=cpu; pin default placement to CPU so jit/pallas-interpret
+# paths never route through the TPU tunnel during tests.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 
 @pytest.fixture

@@ -1,0 +1,83 @@
+"""Batched frontend + metrics tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vrod_tpu import metrics
+from vrod_tpu.frontend import QueryBatcher
+
+
+@pytest.fixture
+def col(tmp_db, rng):
+    c = tmp_db.create_collection("f", dim=16, segment_rows=64)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    c.bulk_insert(vecs, [f"p{i}" for i in range(300)])
+    c._test_vecs = vecs
+    return c
+
+
+def test_single_query(col):
+    with QueryBatcher(col, max_wait_ms=1) as qb:
+        hits = qb.search(col._test_vecs[42], k=3)
+    assert hits[0].payload == "p42"
+
+
+def test_concurrent_queries_batched(col):
+    n_threads = 32
+    results = [None] * n_threads
+    with QueryBatcher(col, max_batch=64, max_wait_ms=20) as qb:
+        def worker(i):
+            results[i] = qb.search(col._test_vecs[i], k=1)
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    for i, hits in enumerate(results):
+        assert hits[0].payload == f"p{i}", i
+
+
+def test_mixed_k_groups(col):
+    with QueryBatcher(col, max_wait_ms=20) as qb:
+        f1 = qb.submit(col._test_vecs[1], k=1)
+        f2 = qb.submit(col._test_vecs[2], k=5)
+        assert f1.result(30)[0].payload == "p1"
+        assert len(f2.result(30)) == 5
+
+
+def test_closed_batcher_rejects(col):
+    qb = QueryBatcher(col)
+    qb.close()
+    with pytest.raises(RuntimeError):
+        qb.submit(col._test_vecs[0])
+
+
+def test_error_propagates(col):
+    with QueryBatcher(col, max_wait_ms=1) as qb:
+        fut = qb.submit(np.zeros(7, dtype=np.float32))  # wrong dim
+        with pytest.raises(Exception):
+            fut.result(30)
+
+
+def test_counters_and_query_log(col):
+    records = []
+    metrics.query_log.configure(records.append)
+    metrics.counters.reset()
+    with QueryBatcher(col, max_wait_ms=1) as qb:
+        qb.search(col._test_vecs[0], k=2)
+    metrics.query_log.configure(None)
+    assert metrics.counters.get("frontend.batch") == 1
+    assert len(records) == 1
+    assert records[0]["event"] == "frontend.batch"
+    assert records[0]["k"] == 2
+    assert "latency_ms" in records[0]
+
+
+def test_timed_context():
+    metrics.counters.reset()
+    with metrics.timed("custom.op", foo="bar"):
+        pass
+    assert metrics.counters.get("custom.op") == 1

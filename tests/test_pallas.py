@@ -1,0 +1,128 @@
+"""Fused Pallas kernel correctness (interpret mode on CPU) vs the scan path.
+
+The kernel must be bit-identical in index selection to the lax.scan
+implementation at HIGHEST precision: same exact top-k semantics, same
+masking, same global index offsets. Real-TPU performance is covered by
+bench.py; these tests pin the semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax
+
+from vrod_tpu.ops import distances as D
+from vrod_tpu.ops.pallas_topk import fused_topk, pick_block_rows
+
+
+def make_data(rng, n, dim, metric, dead_every=0):
+    x = jnp.asarray(rng.standard_normal((n, dim)), dtype=jnp.float32)
+    if metric == "cosine":
+        aux = 1.0 / jnp.linalg.norm(x, axis=1)
+    elif metric == "l2":
+        aux = jnp.sum(x * x, axis=1)
+    else:
+        aux = jnp.zeros(n)
+    valid = jnp.ones(n, dtype=bool)
+    if dead_every:
+        valid = valid.at[::dead_every].set(False)
+    return x, aux, valid
+
+
+def both(x, aux, valid, q, k, metric, block_rows, offset=0):
+    v1, i1 = fused_topk(x, aux, valid, q, k=k, metric=metric,
+                        block_rows=block_rows, index_offset=offset,
+                        precision_name="exact", interpret=True)
+    v2, i2 = D.blockwise_topk(
+        x, aux, valid, q, k=k, metric=metric,
+        precision=lax.Precision.HIGHEST, block_rows=block_rows,
+        nblocks=x.shape[0] // block_rows, index_offset=offset)
+    return (np.asarray(v1), np.asarray(i1)), (np.asarray(v2), np.asarray(i2))
+
+
+@pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
+def test_matches_scan(metric, rng):
+    x, aux, valid = make_data(rng, 1024, 64, metric, dead_every=7)
+    q = jnp.asarray(rng.standard_normal((8, 64)), dtype=jnp.float32)
+    (v1, i1), (v2, i2) = both(x, aux, valid, q, 10, metric, 128)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
+
+
+def test_index_offset(rng):
+    x, aux, valid = make_data(rng, 256, 32, "dot")
+    q = jnp.asarray(rng.standard_normal((8, 32)), dtype=jnp.float32)
+    (v1, i1), (v2, i2) = both(x, aux, valid, q, 5, "dot", 128, offset=1000)
+    np.testing.assert_array_equal(i1, i2)
+    assert (i1 >= 1000).all()
+
+
+def test_k_exceeds_live(rng):
+    x, aux, valid = make_data(rng, 128, 32, "dot")
+    valid = valid.at[5:].set(False)  # only 5 live rows
+    q = jnp.asarray(rng.standard_normal((8, 32)), dtype=jnp.float32)
+    v1, i1 = fused_topk(x, aux, valid, q, k=16, metric="dot",
+                        block_rows=128, interpret=True)
+    v1, i1 = np.asarray(v1), np.asarray(i1)
+    assert ((i1 >= 0).sum(axis=1) == 5).all()
+    assert (i1[:, 5:] == -1).all()
+
+
+def test_all_dead(rng):
+    x, aux, valid = make_data(rng, 128, 32, "cosine")
+    valid = valid & False
+    q = jnp.asarray(rng.standard_normal((8, 32)), dtype=jnp.float32)
+    v1, i1 = fused_topk(x, aux, valid, q, k=4, metric="cosine",
+                        block_rows=128, interpret=True)
+    assert (np.asarray(i1) == -1).all()
+
+
+def test_duplicate_scores(rng):
+    """Ties must resolve to the lowest index, like the scan path."""
+    x = jnp.ones((256, 32), dtype=jnp.float32)
+    aux = jnp.zeros(256)
+    valid = jnp.ones(256, dtype=bool)
+    q = jnp.ones((8, 32), dtype=jnp.float32)
+    v1, i1 = fused_topk(x, aux, valid, q, k=4, metric="dot",
+                        block_rows=128, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(i1), np.tile(np.arange(4), (8, 1)))
+
+
+def test_multi_query_tile_grid(rng):
+    """B larger than one tile exercises the query-tile grid dimension."""
+    x, aux, valid = make_data(rng, 512, 32, "dot")
+    q = jnp.asarray(rng.standard_normal((16, 32)), dtype=jnp.float32)
+    v1, i1 = fused_topk(x, aux, valid, q, k=8, metric="dot",
+                        block_rows=128, interpret=True)
+    v2, i2 = D.blockwise_topk(x, aux, valid, q, k=8, metric="dot",
+                              precision=lax.Precision.HIGHEST,
+                              block_rows=128, nblocks=4)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_pick_block_rows():
+    assert pick_block_rows(131072, 768, 4) in (512, 1024)
+    assert 131072 % pick_block_rows(131072, 768, 4) == 0
+    assert pick_block_rows(128, 48, 4) == 128
+    assert pick_block_rows(96, 48, 4) == 96 or 96 % pick_block_rows(96, 48, 4) == 0
+
+
+def test_engine_pallas_impl_matches_scan(rng):
+    """End-to-end: engine with impl='pallas' (interpret on CPU mesh)."""
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.engine import DeviceEngine
+    for shards in (1, 8):
+        cfg = CollectionConfig(name="t", dim=32, metric="cosine",
+                               segment_rows=128, shards=shards)
+        eng = DeviceEngine(cfg)
+        n = 700
+        vecs = rng.standard_normal((n, 32)).astype(np.float32)
+        eng.ensure_capacity(n)
+        eng.write(np.arange(n, dtype=np.uint64), vecs)
+        eng.erase(np.arange(0, n, 9))
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        v_s, i_s = eng.search(q, 10, impl="scan")
+        v_p, i_p = eng.search(q, 10, impl="pallas")
+        np.testing.assert_array_equal(i_s, i_p)

@@ -64,13 +64,16 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
     nblocks = rows_local // block_rows
+    # Pallas TPU kernels run interpreted on CPU meshes (tests / dry runs).
+    interpret = mesh.devices.flat[0].platform != "tpu"
 
     def local_topk(x_l, aux_l, valid_l, q):
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
         if impl == "pallas":
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
-                block_rows=block_rows, index_offset=offset)
+                block_rows=block_rows, index_offset=offset,
+                precision_name=precision_name, interpret=interpret)
         else:
             vals, idx = D.blockwise_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
@@ -208,13 +211,22 @@ class DeviceEngine:
 
     # -- mutations ---------------------------------------------------------
 
+    # Rows per host->device transfer chunk. Large restores stream in chunks:
+    # jit dispatch is async, so chunk N+1's host staging overlaps chunk N's
+    # DMA + scatter (the double-buffered streaming restore of SURVEY §5).
+    WRITE_CHUNK_ROWS = 131072
+
     def write(self, slots: np.ndarray, vecs: np.ndarray) -> None:
         # numpy in, device placement follows the (committed, sharded) state
         # arrays — keeps all compute on the collection's mesh.
         slots = np.asarray(slots, dtype=np.int32)
         vecs = np.asarray(vecs, dtype=np.float32)
-        self.x, self.aux, self.valid = _write_rows(
-            self.x, self.aux, self.valid, slots, vecs, metric=self.cfg.metric)
+        for start in range(0, len(slots), self.WRITE_CHUNK_ROWS):
+            sl = slots[start:start + self.WRITE_CHUNK_ROWS]
+            self.x, self.aux, self.valid = _write_rows(
+                self.x, self.aux, self.valid, sl,
+                vecs[start:start + self.WRITE_CHUNK_ROWS],
+                metric=self.cfg.metric)
 
     def erase(self, slots: np.ndarray) -> None:
         self.valid = _erase_rows(self.valid, np.asarray(slots, dtype=np.int32))

@@ -1,0 +1,103 @@
+"""Batched query frontend: pack concurrent queries into MXU tiles.
+
+The TPU-native realization of the reference's command layer as a *query
+path* (BASELINE.json north star: "the command layer becomes a batched query
+frontend that packs concurrent queries into matmul tiles"). Concurrent
+callers submit single queries; a worker thread packs everything pending
+into one padded (B, dim) tile, runs a single compiled search, and fans
+results back out. Micro-batching trades <= ``max_wait_ms`` of latency for
+an order of magnitude of throughput (the MXU is utilization-bound at B=1).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from . import metrics
+
+
+class QueryBatcher:
+    def __init__(self, collection, *, max_batch: int = 256,
+                 max_wait_ms: float = 2.0):
+        self.collection = collection
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1e3
+        self._lock = threading.Condition()
+        self._pending: list[tuple[np.ndarray, int, Future]] = []
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, vector, k: int = 10) -> Future:
+        """Queue one query; the Future resolves to a list of SearchHit."""
+        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("QueryBatcher is closed")
+            self._pending.append((vec, k, fut))
+            self._lock.notify()
+        return fut
+
+    def search(self, vector, k: int = 10, timeout: float | None = 30.0):
+        return self.submit(vector, k).result(timeout=timeout)
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            self._lock.notify()
+        self._worker.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- worker ------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._lock.wait()
+                if self._closed and not self._pending:
+                    return
+                # Micro-batch window: once the first query arrives, wait up
+                # to max_wait for more (until the tile fills).
+                deadline = self._now() + self.max_wait
+                while (len(self._pending) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - self._now()
+                    if remaining <= 0:
+                        break
+                    self._lock.wait(timeout=remaining)
+                batch = self._pending[: self.max_batch]
+                del self._pending[: self.max_batch]
+            self._execute(batch)
+
+    @staticmethod
+    def _now() -> float:
+        import time
+        return time.monotonic()
+
+    def _execute(self, batch) -> None:
+        # One engine call per k-group (k is a static compile parameter).
+        groups: dict[int, list[tuple[np.ndarray, Future]]] = {}
+        for vec, k, fut in batch:
+            groups.setdefault(k, []).append((vec, fut))
+        for k, items in groups.items():
+            vecs = np.stack([v for v, _ in items])
+            try:
+                with metrics.timed("frontend.batch", batch=len(items), k=k,
+                                   collection=self.collection.config.name):
+                    results = self.collection.search_similar(vecs, k)
+                for (_, fut), hits in zip(items, results):
+                    fut.set_result(hits)
+            except Exception as e:  # propagate to every waiter
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
