@@ -111,6 +111,49 @@ def cpu_qps(n_rows, dim, batch, k, subset, metric="cosine"):
     return batch / dt_scaled
 
 
+def mixed_workload(n_rows, dim, iters):
+    """BASELINE config 4: mixed insert/delete/search with compaction and a
+    WAL-backed restore. Reports aggregate ops/sec."""
+    import tempfile
+    from vrod_tpu.database import Database
+
+    rng = np.random.default_rng(3)
+    with tempfile.TemporaryDirectory() as tmp:
+        db = Database.new(tmp, "benchdb", wal_sync=False)
+        col = db.create_collection("m", dim=dim, segment_rows=65536)
+        base = rng.standard_normal((n_rows, dim)).astype(np.float32)
+        col.bulk_insert(base)
+        # warm-up compile
+        col.search_similar(base[0], k=10)
+        ops_done = 0
+        t0 = time.perf_counter()
+        live_ids = list(range(1, n_rows + 1))
+        for i in range(iters):
+            ins = rng.standard_normal((256, dim)).astype(np.float32)
+            new_ids = col.bulk_insert(ins)
+            ops_done += 256
+            dead = rng.choice(live_ids, size=128, replace=False)
+            for d in dead:
+                col.delete(int(d))
+            live_ids = [x for x in live_ids if x not in set(dead.tolist())]
+            live_ids.extend(new_ids.tolist())
+            ops_done += 128
+            col.search_similar(ins[:64], k=10)
+            ops_done += 64
+            if i == iters // 2:
+                col.reindex()
+        dt = time.perf_counter() - t0
+        # WAL/snapshot restore path
+        t1 = time.perf_counter()
+        db.close()
+        db2 = Database.load(f"{tmp}/benchdb", wal_sync=False)
+        col2 = db2.collection("m")
+        restore_s = time.perf_counter() - t1
+        count = col2.count
+        db2.close()
+        return ops_done / dt, restore_s, count
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
@@ -122,7 +165,23 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--impl", default=None)
     ap.add_argument("--precision", default=None)
+    ap.add_argument("--workload", default="search",
+                    choices=["search", "mixed"])
     args = ap.parse_args()
+
+    if args.workload == "mixed":
+        n_rows = args.rows or (65536 if args.quick else 262144)
+        ops_s, restore_s, count = mixed_workload(
+            n_rows, 768, args.iters or (3 if args.quick else 10))
+        print(json.dumps({
+            "metric": f"mixed insert/delete/search ops/s, base {n_rows}x768",
+            "value": round(ops_s, 1),
+            "unit": "ops/s",
+            "vs_baseline": None,
+            "extra": {"restore_seconds": round(restore_s, 2),
+                      "final_count": count},
+        }))
+        return
 
     n_rows = args.rows or (131072 if args.quick else 1_000_000)
     iters = args.iters or (3 if args.quick else 10)

@@ -170,3 +170,16 @@ def test_sharded_collection(tmp_path, rng):
     assert col2.engine.shards == 8
     hits = col2.search_similar(vecs[123], k=3)
     assert hits[0].record_id == rids[123]
+
+
+def test_snapshot_corruption_detected(tmp_path, rng):
+    from vrod_tpu.errors import WalCorruptionError
+    col = new_col(tmp_path)
+    col.bulk_insert(rng.standard_normal((20, 16)).astype(np.float32))
+    col.snapshot()
+    vec_file = tmp_path / "c" / "snapshot" / "vectors.npy"
+    data = bytearray(vec_file.read_bytes())
+    data[-5] ^= 0xFF
+    vec_file.write_bytes(bytes(data))
+    with pytest.raises(WalCorruptionError, match="corrupt"):
+        Collection.load(tmp_path / "c")

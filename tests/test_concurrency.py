@@ -1,0 +1,103 @@
+"""Concurrent read/insert interleavings (SURVEY §5 race-detection row).
+
+Mutations donate device buffers; the collection's RW lock must keep
+concurrent searches off buffers a mutation is invalidating. These tests
+hammer search+mutate from threads and assert (a) no crashes, (b) exact
+results once quiesced.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vrod_tpu.utils.locks import RWLock
+
+
+def test_rwlock_basics():
+    lk = RWLock()
+    with lk.read():
+        with lk.read():  # concurrent readers OK (different "threads" here same)
+            pass
+    with lk.write():
+        pass
+
+
+def test_rwlock_excludes():
+    lk = RWLock()
+    state = {"writers": 0, "readers": 0, "max_r_during_w": 0}
+    stop = threading.Event()
+    errors = []
+
+    def reader():
+        while not stop.is_set():
+            with lk.read():
+                state["readers"] += 1
+                if state["writers"] > 0:
+                    errors.append("reader saw writer")
+                state["readers"] -= 1
+
+    def writer():
+        for _ in range(200):
+            with lk.write():
+                state["writers"] += 1
+                if state["readers"] > 0:
+                    errors.append("writer saw readers")
+                state["writers"] -= 1
+
+    rs = [threading.Thread(target=reader) for _ in range(4)]
+    w = threading.Thread(target=writer)
+    for t in rs:
+        t.start()
+    w.start()
+    w.join()
+    stop.set()
+    for t in rs:
+        t.join()
+    assert not errors
+
+
+def test_concurrent_search_and_mutate(tmp_db, rng):
+    col = tmp_db.create_collection("cc", dim=16, segment_rows=64)
+    base = rng.standard_normal((200, 16)).astype(np.float32)
+    rids = col.bulk_insert(base, [f"p{i}" for i in range(200)])
+
+    errors = []
+    stop = threading.Event()
+
+    def searcher(tid):
+        try:
+            while not stop.is_set():
+                q = base[(tid * 13) % 200]
+                hits = col.search_similar(q, k=3)
+                assert len(hits) >= 1
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def mutator():
+        try:
+            for i in range(60):
+                v = rng.standard_normal(16).astype(np.float32)
+                rid = col.insert(v, f"new{i}")
+                if i % 3 == 0:
+                    col.delete(rid)
+                if i % 10 == 0:
+                    col.reindex()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    searchers = [threading.Thread(target=searcher, args=(t,)) for t in range(3)]
+    for t in searchers:
+        t.start()
+    m = threading.Thread(target=mutator)
+    m.start()
+    m.join()
+    stop.set()
+    for t in searchers:
+        t.join()
+    assert not errors, errors
+
+    # Quiesced state is exact.
+    hits = col.search_similar(base[7], k=1)
+    assert hits[0].record_id == rids[7]
+    assert col.count == 200 + 40  # 60 inserts, 20 deleted

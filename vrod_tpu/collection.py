@@ -35,6 +35,7 @@ from .errors import (
     DimensionMismatchError, RecordNotFoundError,
 )
 from .records import Record
+from .utils.locks import RWLock
 from .wal import Wal, ops
 
 
@@ -63,6 +64,9 @@ class Collection:
         self.wal = Wal(self.path / WAL_FILE)
         self.payloads: dict[int, str] = {}
         self.next_id = 1
+        # Single-writer / multi-reader: mutations donate device buffers, so
+        # a concurrent search must never hold the old arrays (SURVEY §5).
+        self._rw = RWLock()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -109,10 +113,12 @@ class Collection:
 
     def insert(self, vector, payload: str = "") -> int:
         vecs = self._check_dim(vector)
-        rid = self.next_id
-        self.wal.append(
-            ops.encode(ops.InsertOp(rid, vecs[0], payload)), sync=self.wal_sync)
-        self._apply_insert(np.array([rid], dtype=np.uint64), vecs, [payload])
+        with self._rw.write():
+            rid = self.next_id
+            self.wal.append(
+                ops.encode(ops.InsertOp(rid, vecs[0], payload)),
+                sync=self.wal_sync)
+            self._apply_insert(np.array([rid], dtype=np.uint64), vecs, [payload])
         return rid
 
     def bulk_insert(self, vectors, payloads=None) -> np.ndarray:
@@ -122,11 +128,12 @@ class Collection:
             payloads = [""] * n
         if len(payloads) != n:
             raise ValueError("payloads length must match vectors")
-        rids = np.arange(self.next_id, self.next_id + n, dtype=np.uint64)
-        self.wal.append(
-            ops.encode(ops.BulkOp(rids, vecs, list(payloads))),
-            sync=self.wal_sync)
-        self._apply_insert(rids, vecs, payloads)
+        with self._rw.write():
+            rids = np.arange(self.next_id, self.next_id + n, dtype=np.uint64)
+            self.wal.append(
+                ops.encode(ops.BulkOp(rids, vecs, list(payloads))),
+                sync=self.wal_sync)
+            self._apply_insert(rids, vecs, payloads)
         return rids
 
     def _apply_insert(self, rids: np.ndarray, vecs: np.ndarray, payloads) -> None:
@@ -138,11 +145,12 @@ class Collection:
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
     def delete(self, record_id: int) -> None:
-        if self.alloc.slot_of(record_id) == NO_ID:
-            raise RecordNotFoundError(f"No record with id {record_id}")
-        self.wal.append(
-            ops.encode(ops.DeleteOp(record_id)), sync=self.wal_sync)
-        self._apply_delete(record_id)
+        with self._rw.write():
+            if self.alloc.slot_of(record_id) == NO_ID:
+                raise RecordNotFoundError(f"No record with id {record_id}")
+            self.wal.append(
+                ops.encode(ops.DeleteOp(record_id)), sync=self.wal_sync)
+            self._apply_delete(record_id)
 
     def _apply_delete(self, record_id: int) -> None:
         slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
@@ -155,12 +163,13 @@ class Collection:
         """UPDATE = delete + insert under the same record id
         (reference: UpdateCommand stub, types.rs:82-93)."""
         vecs = self._check_dim(vector)
-        if self.alloc.slot_of(record_id) == NO_ID:
-            raise RecordNotFoundError(f"No record with id {record_id}")
-        self.wal.append(
-            ops.encode(ops.UpdateOp(record_id, vecs[0], payload)),
-            sync=self.wal_sync)
-        self._apply_update(record_id, vecs, payload)
+        with self._rw.write():
+            if self.alloc.slot_of(record_id) == NO_ID:
+                raise RecordNotFoundError(f"No record with id {record_id}")
+            self.wal.append(
+                ops.encode(ops.UpdateOp(record_id, vecs[0], payload)),
+                sync=self.wal_sync)
+            self._apply_update(record_id, vecs, payload)
 
     def _apply_update(self, record_id: int, vecs: np.ndarray, payload: str) -> None:
         self._apply_delete(record_id)
@@ -171,11 +180,12 @@ class Collection:
 
     def get(self, record_id: int) -> Record:
         """Exact lookup (the reference's SEARCH verb, types.rs:108-119)."""
-        slot = self.alloc.slot_of(record_id)
-        if slot == NO_ID:
-            raise RecordNotFoundError(f"No record with id {record_id}")
-        vec = self.engine.gather(np.array([slot]))[0]
-        return Record(vector=vec, payload=self.payloads.get(record_id, ""))
+        with self._rw.read():
+            slot = self.alloc.slot_of(record_id)
+            if slot == NO_ID:
+                raise RecordNotFoundError(f"No record with id {record_id}")
+            vec = self.engine.gather(np.array([slot]))[0]
+            return Record(vector=vec, payload=self.payloads.get(record_id, ""))
 
     def search_similar(self, queries, k: int = 10, **search_kw):
         """Exact kNN (the reference's SEARCHSIMILAR verb, types.rs:121-132).
@@ -189,7 +199,8 @@ class Collection:
         if q.shape[1] != self.config.dim:
             raise DimensionMismatchError(
                 f"Query dim {q.shape[1]} != collection dim {self.config.dim}")
-        vals, slots = self.engine.search(q, k, **search_kw)
+        with self._rw.read():
+            vals, slots = self.engine.search(q, k, **search_kw)
         results = []
         for b in range(q.shape[0]):
             hits = []
@@ -211,12 +222,13 @@ class Collection:
         """REINDEX (reference: types.rs:134-144): compact live rows into
         [0, live_count) — device gather/scatter moves planned by the
         allocator. Returns the number of rows moved."""
-        src, dst = self.alloc.plan_compaction()
-        if src.size:
-            self.engine.move(src, dst)
-            self.alloc.apply_compaction(src, dst)
-        # A snapshot makes the compacted layout durable and drops stale WAL.
-        self.snapshot()
+        with self._rw.write():
+            src, dst = self.alloc.plan_compaction()
+            if src.size:
+                self.engine.move(src, dst)
+                self.alloc.apply_compaction(src, dst)
+            # Snapshot makes the compacted layout durable, drops stale WAL.
+            self._snapshot_locked()
         return int(src.size)
 
     def truncate_wal(self) -> None:
@@ -227,6 +239,10 @@ class Collection:
 
     def snapshot(self) -> Path:
         """Persist live records; then the WAL is redundant and truncated."""
+        with self._rw.write():
+            return self._snapshot_locked()
+
+    def _snapshot_locked(self) -> Path:
         snap_dir = self.path / SNAPSHOT_DIR
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")
         if tmp_dir.exists():
@@ -242,10 +258,16 @@ class Collection:
         np.save(tmp_dir / "vectors.npy", vecs)
         (tmp_dir / "payloads.json").write_text(json.dumps(
             {str(r): self.payloads.get(int(r), "") for r in rids.tolist()}))
+        import zlib
+        checksums = {
+            f: zlib.crc32((tmp_dir / f).read_bytes()) & 0xFFFFFFFF
+            for f in ("ids.npy", "vectors.npy", "payloads.json")
+        }
         (tmp_dir / "meta.json").write_text(json.dumps({
             "next_id": self.next_id,
             "count": int(rids.size),
             "last_lsn": self.wal.last_lsn,
+            "crc32": checksums,
         }))
         if snap_dir.exists():
             shutil.rmtree(snap_dir)
@@ -257,6 +279,14 @@ class Collection:
         snap_dir = self.path / SNAPSHOT_DIR
         if snap_dir.exists():
             meta = json.loads((snap_dir / "meta.json").read_text())
+            import zlib
+            from .errors import WalCorruptionError
+            for f, expect in meta.get("crc32", {}).items():
+                got = zlib.crc32((snap_dir / f).read_bytes()) & 0xFFFFFFFF
+                if got != expect:
+                    raise WalCorruptionError(
+                        f"Snapshot file {f} corrupt (crc {got:#x} != "
+                        f"{expect:#x}); restore from WAL or a backup")
             rids = np.load(snap_dir / "ids.npy")
             vecs = np.load(snap_dir / "vectors.npy")
             payloads_map = json.loads((snap_dir / "payloads.json").read_text())

@@ -42,8 +42,11 @@ class CollectionConfig:
     segment_rows: int = 65536
     # Number of mesh shards the collection's rows are split over (1 = single chip).
     shards: int = 1
-    # When dtype=bfloat16: exact f32 rescore of the top-(k+margin) candidates.
-    rescore_margin: int = 64
+    # Candidate margin for the exact-precision rescore stage: the fast scan
+    # returns top-(k+margin), rescore at HIGHEST precision reorders and
+    # trims to k. 16 covers the tiny ordering jitter of 1-pass bf16 scans;
+    # raise for adversarially tight score distributions.
+    rescore_margin: int = 16
 
     def __post_init__(self) -> None:
         if self.metric not in METRICS:

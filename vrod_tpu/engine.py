@@ -177,9 +177,13 @@ class DeviceEngine:
         self.capacity = self._grow_unit
         self.x, self.aux, self.valid = _init_arrays(
             self.mesh, self.capacity, cfg.dim, self.dtype)
-        # Default search behavior (overridable per query).
-        self.precision = "high"
-        self.impl = "scan"  # "scan" (jnp) | "pallas"
+        # Default search behavior (overridable per query). The fused Pallas
+        # kernel is the production path on TPU (at the HBM roofline); the
+        # scan path serves CPU meshes (pallas would run interpreted) and
+        # acts as the reference implementation.
+        on_tpu = self.mesh.devices.flat[0].platform == "tpu"
+        self.precision = "fast" if on_tpu else "high"
+        self.impl = "pallas" if on_tpu else "scan"
         self.rescore = True
 
     # -- capacity ----------------------------------------------------------

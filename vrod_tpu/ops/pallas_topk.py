@@ -60,20 +60,25 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
+    b = s.shape[0]
+    # Multi-extraction: split the block into G lane groups of 128 columns;
+    # each loop iteration harvests every group's maximum (one vectorized
+    # pass) and insertion-sorts the G candidates into the carry ((B, k)
+    # ops, cheap). Extraction-heavy blocks (the first few, and any block
+    # that improves the top-k) cost ~G x fewer full-block passes than
+    # one-at-a-time extraction.
+    ngroups = block_rows // 128 if block_rows % 128 == 0 else 1
+    gcols = block_rows // ngroups
+
     def cond(state):
         s, cv, ci = state
         return jnp.any(s > cv[:, k - 1:k])
 
-    def body(state):
-        s, cv, ci = state
-        theta = cv[:, k - 1:k]
-        m = jnp.max(s, axis=1, keepdims=True)                      # (B, 1)
-        am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
-                     keepdims=True)                                 # (B, 1)
-        has = m > theta                                             # (B, 1)
-        # Insert (m, am) into the sorted carry after any equal-valued entries
-        # (>=, not >): ties keep ascending-index order, matching the stable
-        # lax.top_k of the scan path.
+    def insert_one(cv, ci, m, am):
+        """Insert candidate (m, am) (B,1) into the sorted carry after any
+        equal-valued entries (>=, not >): ties keep ascending-index order,
+        matching the stable lax.top_k of the scan path."""
+        has = m > cv[:, k - 1:k]
         pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
         shift_v = pltpu.roll(cv, 1, 1)
         shift_i = pltpu.roll(ci, 1, 1)
@@ -83,8 +88,27 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
                           jnp.where(kiota == pos, am, shift_i))
         cv = jnp.where(has, ins_v, cv)
         ci = jnp.where(has, ins_i, ci)
-        # Remove the extracted element so the next max is fresh.
-        s = jnp.where((col == am) & has, NEG_INF, s)
+        return cv, ci, has
+
+    def body(state):
+        s, cv, ci = state
+        s3 = s.reshape(b, ngroups, gcols)
+        col3 = col.reshape(b, ngroups, gcols)
+        mg = jnp.max(s3, axis=2)                                   # (B, G)
+        ag = jnp.min(jnp.where(s3 == mg[:, :, None], col3, _INT_MAX),
+                     axis=2)                                        # (B, G)
+        # Equal values arrive in ascending-group (= ascending-index) order,
+        # so sequential insertion stays tie-stable. hasg accumulates as i32
+        # via iota-select (Mosaic can neither concat (B,1) slices nor expand
+        # i1 minor dims).
+        giota = lax.broadcasted_iota(jnp.int32, (b, ngroups), 1)
+        hasg = jnp.zeros((b, ngroups), jnp.int32)
+        for g in range(ngroups):
+            cv, ci, has = insert_one(cv, ci, mg[:, g:g + 1], ag[:, g:g + 1])
+            hasg = jnp.where(giota == g, has.astype(jnp.int32), hasg)
+        # Clear every extracted element in one pass.
+        cleared = (col3 == ag[:, :, None]) & (hasg[:, :, None] != 0)
+        s = jnp.where(cleared, NEG_INF, s3).reshape(b, block_rows)
         return s, cv, ci
 
     _, cv, ci = lax.while_loop(cond, body, (s, cv_ref[:], ci_ref[:]))
@@ -149,6 +173,15 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             flops=2 * b * n * d,
             bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # Query tiles are independent; row blocks carry the running
+            # top-k and must run in order.
+            dimension_semantics=("parallel", "arbitrary"),
+            # The multi-extract loop keeps a few (B, BLK) temporaries live;
+            # the default 16 MiB scoped limit is too tight with 3 MiB x
+            # blocks double-buffered.
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(offset, q, x, aux2d, mask2d)
