@@ -70,10 +70,10 @@ def test_counters_and_query_log(col):
         qb.search(col._test_vecs[0], k=2)
     metrics.query_log.configure(None)
     assert metrics.counters.get("frontend.batch") == 1
-    assert len(records) == 1
-    assert records[0]["event"] == "frontend.batch"
-    assert records[0]["k"] == 2
-    assert "latency_ms" in records[0]
+    assert metrics.counters.get("collection.search") == 1
+    events = {r["event"] for r in records}
+    assert events == {"frontend.batch", "collection.search"}
+    assert all(r["k"] == 2 and "latency_ms" in r for r in records)
 
 
 def test_timed_context():

@@ -34,6 +34,7 @@ from .engine import DeviceEngine
 from .errors import (
     DimensionMismatchError, RecordNotFoundError,
 )
+from . import metrics
 from .records import Record
 from .utils.locks import RWLock
 from .wal import Wal, ops
@@ -119,6 +120,7 @@ class Collection:
                 ops.encode(ops.InsertOp(rid, vecs[0], payload)),
                 sync=self.wal_sync)
             self._apply_insert(np.array([rid], dtype=np.uint64), vecs, [payload])
+        metrics.counters.inc("collection.inserts")
         return rid
 
     def bulk_insert(self, vectors, payloads=None) -> np.ndarray:
@@ -134,6 +136,7 @@ class Collection:
                 ops.encode(ops.BulkOp(rids, vecs, list(payloads))),
                 sync=self.wal_sync)
             self._apply_insert(rids, vecs, payloads)
+        metrics.counters.inc("collection.inserts", n)
         return rids
 
     def _apply_insert(self, rids: np.ndarray, vecs: np.ndarray, payloads) -> None:
@@ -151,6 +154,7 @@ class Collection:
             self.wal.append(
                 ops.encode(ops.DeleteOp(record_id)), sync=self.wal_sync)
             self._apply_delete(record_id)
+        metrics.counters.inc("collection.deletes")
 
     def _apply_delete(self, record_id: int) -> None:
         slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
@@ -199,8 +203,12 @@ class Collection:
         if q.shape[1] != self.config.dim:
             raise DimensionMismatchError(
                 f"Query dim {q.shape[1]} != collection dim {self.config.dim}")
-        with self._rw.read():
-            vals, slots = self.engine.search(q, k, **search_kw)
+        with metrics.timed("collection.search", collection=self.config.name,
+                           batch=int(q.shape[0]), k=k,
+                           metric=self.config.metric,
+                           shards=self.engine.shards):
+            with self._rw.read():
+                vals, slots = self.engine.search(q, k, **search_kw)
         results = []
         for b in range(q.shape[0]):
             hits = []
@@ -229,6 +237,7 @@ class Collection:
                 self.alloc.apply_compaction(src, dst)
             # Snapshot makes the compacted layout durable, drops stale WAL.
             self._snapshot_locked()
+        metrics.counters.inc("collection.compactions")
         return int(src.size)
 
     def truncate_wal(self) -> None:

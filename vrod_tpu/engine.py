@@ -250,12 +250,23 @@ class DeviceEngine:
         return np.asarray(_gather_rows(self.x, slots))
 
     def search(self, queries: np.ndarray, k: int, *, precision=None,
-               impl=None, rescore=None):
-        """Exact top-k. Returns (values (B, k) f32, slots (B, k) i32) numpy."""
+               impl=None, rescore=None, as_numpy=True):
+        """Exact top-k. Returns (values (B, k) f32, slots (B, k) i32) numpy.
+
+        ``as_numpy=False`` returns device arrays without forcing a
+        device->host sync — used by throughput harnesses to pipeline
+        batches (each host readback costs a full interconnect round trip).
+        """
         precision = precision or self.precision
         impl = impl or self.impl
         rescore = self.rescore if rescore is None else rescore
-        q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if isinstance(queries, jax.Array):
+            # Pre-staged device queries: no host round trip, pad on device.
+            q = queries.astype(jnp.float32)
+            if q.ndim == 1:
+                q = q[None, :]
+        else:
+            q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         B, dim = q.shape
         if dim != self.cfg.dim:
             raise ValueError(f"Query dim {dim} != collection dim {self.cfg.dim}")
@@ -269,13 +280,18 @@ class DeviceEngine:
             self.capacity,
         )
         if Bp != B:
-            q = np.concatenate([q, np.zeros((Bp - B, dim), np.float32)])
+            if isinstance(q, jax.Array):
+                q = jnp.pad(q, ((0, Bp - B), (0, 0)))
+            else:
+                q = np.concatenate([q, np.zeros((Bp - B, dim), np.float32)])
         block_rows = _pick_block_rows(self.rows_local, self.cfg.segment_rows)
         fn = _search_fn(
             _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
             precision, self.cfg.dtype, self.rows_local, block_rows,
             self.shards, bool(rescore), impl)
         vals, idx = fn(self.x, self.aux, self.valid, q)
+        if not as_numpy:
+            return vals[:B, :k], idx[:B, :k]
         return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])
 
     # -- persistence -------------------------------------------------------

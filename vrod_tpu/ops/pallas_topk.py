@@ -60,25 +60,14 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
-    b = s.shape[0]
-    # Multi-extraction: split the block into G lane groups of 128 columns;
-    # each loop iteration harvests every group's maximum (one vectorized
-    # pass) and insertion-sorts the G candidates into the carry ((B, k)
-    # ops, cheap). Extraction-heavy blocks (the first few, and any block
-    # that improves the top-k) cost ~G x fewer full-block passes than
-    # one-at-a-time extraction.
-    ngroups = block_rows // 128 if block_rows % 128 == 0 else 1
-    gcols = block_rows // ngroups
-
     def cond(state):
         s, cv, ci = state
         return jnp.any(s > cv[:, k - 1:k])
 
-    def insert_one(cv, ci, m, am):
+    def insert_one(cv, ci, m, am, has):
         """Insert candidate (m, am) (B,1) into the sorted carry after any
         equal-valued entries (>=, not >): ties keep ascending-index order,
         matching the stable lax.top_k of the scan path."""
-        has = m > cv[:, k - 1:k]
         pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
         shift_v = pltpu.roll(cv, 1, 1)
         shift_i = pltpu.roll(ci, 1, 1)
@@ -88,27 +77,22 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
                           jnp.where(kiota == pos, am, shift_i))
         cv = jnp.where(has, ins_v, cv)
         ci = jnp.where(has, ins_i, ci)
-        return cv, ci, has
+        return cv, ci
 
+    # One candidate per iteration: a masked max + argmax over the block
+    # (pure lane-wise VPU passes; no reshapes — splitting the lane dim into
+    # sublane groups relayouts the whole block and is far slower than the
+    # extra iterations it saves). Expected total iterations over the scan:
+    # ~k * (1 + ln nblocks) per query tile.
     def body(state):
         s, cv, ci = state
-        s3 = s.reshape(b, ngroups, gcols)
-        col3 = col.reshape(b, ngroups, gcols)
-        mg = jnp.max(s3, axis=2)                                   # (B, G)
-        ag = jnp.min(jnp.where(s3 == mg[:, :, None], col3, _INT_MAX),
-                     axis=2)                                        # (B, G)
-        # Equal values arrive in ascending-group (= ascending-index) order,
-        # so sequential insertion stays tie-stable. hasg accumulates as i32
-        # via iota-select (Mosaic can neither concat (B,1) slices nor expand
-        # i1 minor dims).
-        giota = lax.broadcasted_iota(jnp.int32, (b, ngroups), 1)
-        hasg = jnp.zeros((b, ngroups), jnp.int32)
-        for g in range(ngroups):
-            cv, ci, has = insert_one(cv, ci, mg[:, g:g + 1], ag[:, g:g + 1])
-            hasg = jnp.where(giota == g, has.astype(jnp.int32), hasg)
-        # Clear every extracted element in one pass.
-        cleared = (col3 == ag[:, :, None]) & (hasg[:, :, None] != 0)
-        s = jnp.where(cleared, NEG_INF, s3).reshape(b, block_rows)
+        theta = cv[:, k - 1:k]
+        m = jnp.max(s, axis=1, keepdims=True)                      # (B, 1)
+        am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
+                     keepdims=True)                                 # (B, 1)
+        has = m > theta
+        cv, ci = insert_one(cv, ci, m, am, has)
+        s = jnp.where((col == am) & has, NEG_INF, s)
         return s, cv, ci
 
     _, cv, ci = lax.while_loop(cond, body, (s, cv_ref[:], ci_ref[:]))
