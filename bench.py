@@ -234,7 +234,8 @@ def main():
         return
 
     n_rows = args.rows or (131072 if args.quick else 1_000_000)
-    iters = args.iters or (3 if args.quick else 10)
+    # Enough pipelined batches to amortize per-dispatch overhead.
+    iters = args.iters or (5 if args.quick else 40)
     dim, batch, k = 768, args.batch, args.k
 
     qps, lat, recall = tpu_qps(n_rows, dim, batch, k, iters,

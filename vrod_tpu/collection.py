@@ -260,9 +260,13 @@ class Collection:
         live_slots = self.alloc.live_slots()
         rids = np.array([self.alloc.id_of(int(s)) for s in live_slots],
                         dtype=np.uint64)
-        vecs = (self.engine.gather(live_slots.astype(np.int64))
-                if live_slots.size else
-                np.zeros((0, self.config.dim), np.float32))
+        # Chunked device->host gather: bounds peak host memory per transfer
+        # and pipelines readback with the next chunk's device gather.
+        chunk = self.engine.WRITE_CHUNK_ROWS
+        vecs = np.empty((live_slots.size, self.config.dim), np.float32)
+        for start in range(0, live_slots.size, chunk):
+            sl = live_slots[start:start + chunk].astype(np.int64)
+            vecs[start:start + chunk] = self.engine.gather(sl)
         np.save(tmp_dir / "ids.npy", rids)
         np.save(tmp_dir / "vectors.npy", vecs)
         (tmp_dir / "payloads.json").write_text(json.dumps(
