@@ -30,10 +30,12 @@ def make_data(rng, n, dim, metric, dead_every=0):
     return x, aux, valid
 
 
-def both(x, aux, valid, q, k, metric, block_rows, offset=0):
+def both(x, aux, valid, q, k, metric, block_rows, offset=0,
+         pipeline="manual"):
     v1, i1 = fused_topk(x, aux, valid, q, k=k, metric=metric,
                         block_rows=block_rows, index_offset=offset,
-                        precision_name="exact", interpret=True)
+                        precision_name="exact", interpret=True,
+                        pipeline=pipeline)
     v2, i2 = D.blockwise_topk(
         x, aux, valid, q, k=k, metric=metric,
         precision=lax.Precision.HIGHEST, block_rows=block_rows,
@@ -41,11 +43,13 @@ def both(x, aux, valid, q, k, metric, block_rows, offset=0):
     return (np.asarray(v1), np.asarray(i1)), (np.asarray(v2), np.asarray(i2))
 
 
+@pytest.mark.parametrize("pipeline", ["manual", "auto"])
 @pytest.mark.parametrize("metric", ["cosine", "l2", "dot"])
-def test_matches_scan(metric, rng):
+def test_matches_scan(metric, pipeline, rng):
     x, aux, valid = make_data(rng, 1024, 64, metric, dead_every=7)
     q = jnp.asarray(rng.standard_normal((8, 64)), dtype=jnp.float32)
-    (v1, i1), (v2, i2) = both(x, aux, valid, q, 10, metric, 128)
+    (v1, i1), (v2, i2) = both(x, aux, valid, q, 10, metric, 128,
+                              pipeline=pipeline)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, rtol=1e-5)
 

@@ -105,6 +105,156 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         oi_ref[:] = ci_ref[:]
 
 
+def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
+               xbuf, abuf, mbuf, sems, *, metric, k, block_rows, nblocks,
+               precision):
+    """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
+    DMAs block j+1 into the alternate VMEM slot while computing block j, so
+    streaming and compute overlap regardless of how the pipeliner treats the
+    data-dependent extraction loop."""
+    offset = offset_ref[0]
+    kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
+    q = q_ref[:]
+
+    def get_dma(slot, j):
+        row0 = j * block_rows
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(row0, block_rows), :], xbuf.at[slot],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                aux_hbm.at[:, pl.ds(row0, block_rows)], abuf.at[slot],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                mask_hbm.at[:, pl.ds(row0, block_rows)], mbuf.at[slot],
+                sems.at[slot, 2]),
+        )
+
+    for d in get_dma(0, 0):
+        d.start()
+
+    def insert_one(cv, ci, m, am, has):
+        pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
+        shift_v = pltpu.roll(cv, 1, 1)
+        shift_i = pltpu.roll(ci, 1, 1)
+        ins_v = jnp.where(kiota < pos, cv, jnp.where(kiota == pos, m, shift_v))
+        ins_i = jnp.where(kiota < pos, ci, jnp.where(kiota == pos, am, shift_i))
+        return jnp.where(has, ins_v, cv), jnp.where(has, ins_i, ci)
+
+    def block_loop(j, carry):
+        cv, ci = carry
+        cur = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < nblocks)
+        def _():
+            for d in get_dma(nxt, j + 1):
+                d.start()
+
+        for d in get_dma(cur, j):
+            d.wait()
+
+        g = lax.dot_general(
+            q.astype(xbuf.dtype), xbuf[cur],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+        aux = abuf[cur][0, :]
+        if metric == "cosine":
+            s = g * aux[None, :]
+        elif metric == "l2":
+            s = 2.0 * g - aux[None, :]
+        else:
+            s = g
+        s = s + mbuf[cur][0, :][None, :]
+
+        col = (lax.broadcasted_iota(jnp.int32, s.shape, 1)
+               + (j * block_rows + offset))
+
+        def cond(state):
+            s, cv, ci = state
+            return jnp.any(s > cv[:, k - 1:k])
+
+        def body(state):
+            s, cv, ci = state
+            theta = cv[:, k - 1:k]
+            m = jnp.max(s, axis=1, keepdims=True)
+            am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
+                         keepdims=True)
+            has = m > theta
+            cv, ci = insert_one(cv, ci, m, am, has)
+            s = jnp.where((col == am) & has, NEG_INF, s)
+            return s, cv, ci
+
+        _, cv, ci = lax.while_loop(cond, body, (s, cv, ci))
+        return cv, ci
+
+    init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
+            jnp.full(oi_ref.shape, -1, dtype=jnp.int32))
+    cv, ci = lax.fori_loop(0, nblocks, block_loop, init)
+    ov_ref[:] = cv
+    oi_ref[:] = ci
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
+                     "interpret"))
+def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
+                   b_tile, precision_name, interpret):
+    n, d = x.shape
+    b = q.shape[0]
+    nblocks = n // block_rows
+    precision = {
+        "exact": lax.Precision.HIGHEST,
+        "high": lax.Precision.HIGH,
+        "fast": lax.Precision.DEFAULT,
+    }[precision_name]
+
+    kernel = functools.partial(
+        _kernel_db, metric=metric, k=k, block_rows=block_rows,
+        nblocks=nblocks, precision=precision)
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(b // b_tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
+            pl.BlockSpec((b_tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # q
+            pl.BlockSpec(memory_space=pltpu.ANY),                    # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),                    # aux
+            pl.BlockSpec(memory_space=pltpu.ANY),                    # mask
+        ],
+        out_specs=(
+            pl.BlockSpec((b_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_rows, d), x.dtype),
+            pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(offset, q, x, aux2d, mask2d)
+    return vals, idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
@@ -185,7 +335,8 @@ def pick_block_rows(n: int, d: int, itemsize: int,
 
 
 def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
-               index_offset=0, precision_name="high", interpret=False):
+               index_offset=0, precision_name="high", interpret=False,
+               pipeline="manual"):
     """Exact top-k of q (B, D) against x (N, D). Same contract as
     ``distances.blockwise_topk``: returns (values (B,k) f32, indices (B,k)
     i32 in the global slot space via ``index_offset``), empty ranks are
@@ -203,7 +354,10 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     aux2d = aux.reshape(1, n)
     mask2d = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
     offset = jnp.asarray(index_offset, dtype=jnp.int32).reshape(1)
-    vals, idx = _fused_call(
+    # The manual double-buffered variant overlaps the HBM stream with
+    # compute; interpret mode lacks real DMA timing, so tests exercise both.
+    call = _fused_call_db if pipeline == "manual" else _fused_call
+    vals, idx = call(
         x, aux2d, mask2d, q, offset, k=k, metric=metric,
         block_rows=block_rows, b_tile=b_tile,
         precision_name=precision_name, interpret=interpret)
