@@ -200,8 +200,8 @@ def main():
 
     if args.workload == "scaling":
         # BASELINE config 5: rows sharded over N chips, all-gather merge.
-        import jax
-        n_dev = len(jax.devices())
+        from vrod_tpu.runtime import default_devices
+        n_dev = len(default_devices())
         n_rows = args.rows or (131072 if args.quick else 1_000_000)
         iters = args.iters or (3 if args.quick else 10)
         curve = {}
