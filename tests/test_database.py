@@ -106,3 +106,27 @@ def test_truncate_wal_targets(tmp_db):
     assert col.wal.frame_count == 0
     tmp_db.truncate_wal(None)         # database-level (builder.rs:41 default)
     assert tmp_db.wal.frame_count == 0
+
+
+def test_collection_stats_lazy(tmp_path, rng):
+    """Listing must not device-restore cold collections."""
+    db = Database.new(tmp_path, "lazy")
+    col = db.create_collection("a", dim=8, segment_rows=64)
+    col.bulk_insert(rng.standard_normal((30, 8)).astype(np.float32))
+    col.snapshot()
+    db.close()
+
+    db2 = Database.load(tmp_path / "lazy")
+    st = db2.collection_stats("a")
+    assert st["count"] == 30           # from snapshot meta, no restore
+    assert st["loaded"] is False
+    assert "a" not in db2._collections  # still cold
+    # un-replayed WAL frames make the cold count unknown
+    col = db2.collection("a")
+    col.insert(np.ones(8, dtype=np.float32))
+    db2.close()
+    db3 = Database.load(tmp_path / "lazy")
+    st = db3.collection_stats("a")
+    assert st["count"] is None and st["wal_frames"] == 1
+    assert db3.collection("a").count == 31
+    db3.close()

@@ -87,9 +87,13 @@ class ListCollectionsCommand(Command):
             return "(no collections)"
         lines = []
         for n in names:
-            st = self.db.collection(n).stats()
+            # Lazy stats: listing must not force a device restore of every
+            # collection (a cold one reports its snapshot count or '?' if
+            # un-replayed WAL frames make the live count unknown).
+            st = self.db.collection_stats(n)
+            count = st["count"] if st["count"] is not None else "?"
             lines.append(
-                f"{n}  count={st['count']} dim={st['dim']} "
+                f"{n}  count={count} dim={st['dim']} "
                 f"metric={st['metric']} dtype={st['dtype']} shards={st['shards']}")
         return "\n".join(lines)
 

@@ -157,6 +157,31 @@ class Database:
         """LISTCOLLECTIONS (reference: ListCollectionsCommand, types.rs:33-42)."""
         return sorted(self.config.collections)
 
+    def collection_stats(self, name: str) -> dict:
+        """Stats without forcing a device restore: already-loaded collections
+        report live state; cold ones report config + snapshot metadata."""
+        if name in self._collections:
+            return self._collections[name].stats()
+        if name not in self.config.collections:
+            raise CollectionNotFoundError(f"No collection named {name!r}")
+        cdir = self._collection_dir(name)
+        cfg = CollectionConfig.from_json(read_config(cdir / CONFIG_FILE))
+        count = None
+        meta_path = cdir / "snapshot" / "meta.json"
+        if meta_path.exists():
+            import json
+            count = json.loads(meta_path.read_text()).get("count")
+        from .wal import Wal as _Wal
+        wal = _Wal(cdir / WAL_FILE)
+        frames = wal.frame_count
+        wal.close()
+        return {
+            "name": name, "dim": cfg.dim, "metric": cfg.metric,
+            "dtype": cfg.dtype, "shards": cfg.shards,
+            "count": count if frames == 0 and count is not None else None,
+            "snapshot_count": count, "wal_frames": frames, "loaded": False,
+        }
+
     def collection(self, name: str) -> Collection:
         if name in self._collections:
             return self._collections[name]
