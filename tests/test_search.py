@@ -140,3 +140,16 @@ def test_query_dim_mismatch(rng):
     eng = make_engine()
     with pytest.raises(ValueError):
         eng.search(rng.standard_normal((1, 7)).astype(np.float32), 5)
+
+
+def test_verify_recall_harness(tmp_db, rng):
+    from vrod_tpu.utils.verify import verify_recall
+    for metric in ("cosine", "l2", "dot"):
+        col = tmp_db.create_collection(f"vr_{metric}", dim=24, metric=metric,
+                                       segment_rows=64)
+        vecs = rng.standard_normal((400, 24)).astype(np.float32)
+        rids = col.bulk_insert(vecs)
+        for r in rids[::5]:
+            col.delete(int(r))
+        q = rng.standard_normal((6, 24)).astype(np.float32)
+        assert verify_recall(col, q, k=10) == 1.0

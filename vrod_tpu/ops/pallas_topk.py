@@ -115,6 +115,9 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
     offset = offset_ref[0]
     kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
     q = q_ref[:]
+    # Loop-invariant local column ids, hoisted out of the block loop; each
+    # block only adds its scalar base.
+    col_local = lax.broadcasted_iota(jnp.int32, (q.shape[0], block_rows), 1)
 
     def get_dma(slot, j):
         row0 = j * block_rows
@@ -167,8 +170,7 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
             s = g
         s = s + mbuf[cur][0, :][None, :]
 
-        col = (lax.broadcasted_iota(jnp.int32, s.shape, 1)
-               + (j * block_rows + offset))
+        col = col_local + (j * block_rows + offset)
 
         def cond(state):
             s, cv, ci = state
