@@ -111,13 +111,15 @@ def cpu_qps(n_rows, dim, batch, k, subset, metric="cosine"):
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     q = rng.standard_normal((batch, dim)).astype(np.float32)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    # warm-up
+    # warm-up, then best-of-3 (the single-core baseline is noisy)
     s = qn[:8] @ xn.T
-    t0 = time.perf_counter()
-    s = qn @ xn.T
-    part = np.argpartition(-s, k, axis=1)[:, :k]
-    dt = time.perf_counter() - t0
-    dt_scaled = dt * (n_rows / subset)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        s = qn @ xn.T
+        part = np.argpartition(-s, k, axis=1)[:, :k]
+        best = min(best, time.perf_counter() - t0)
+    dt_scaled = best * (n_rows / subset)
     return batch / dt_scaled
 
 

@@ -345,11 +345,11 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     (-inf, -1)."""
     n, d = x.shape
     b = q.shape[0]
-    if block_rows is None or n % block_rows != 0:
+    if block_rows is None or n % block_rows != 0 or (
+            block_rows * d * x.dtype.itemsize > 8 * 1024 * 1024):
+        # Choose the streaming block ourselves when the caller's hint does
+        # not divide the row count or exceeds the VMEM double-buffer budget.
         block_rows = pick_block_rows(n, d, x.dtype.itemsize)
-    else:
-        block_rows = pick_block_rows(n, d, x.dtype.itemsize,
-                                     vmem_budget=block_rows * d * x.dtype.itemsize)
     b_tile = b if b <= 256 else 256
     while b % b_tile != 0:
         b_tile //= 2
