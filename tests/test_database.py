@@ -130,3 +130,33 @@ def test_collection_stats_lazy(tmp_path, rng):
     assert st["count"] is None and st["wal_frames"] == 1
     assert db3.collection("a").count == 31
     db3.close()
+
+
+def test_database_lock_excludes_second_process(tmp_path):
+    """A second opener must fail fast instead of corrupting the WAL."""
+    import subprocess, sys, os, textwrap
+    from vrod_tpu.errors import DatabaseLockedError
+    db = Database.new(tmp_path, "locked")
+    # same-process second open also fails (fresh fd, same inode lock held)
+    child = textwrap.dedent(f"""
+        import os, sys
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["VROD_PLATFORM"] = "cpu"
+        from vrod_tpu.database import Database
+        from vrod_tpu.errors import DatabaseLockedError
+        try:
+            Database.load({str(tmp_path / 'locked')!r})
+            print("ACQUIRED")
+        except DatabaseLockedError:
+            print("LOCKED")
+    """)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", child], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "LOCKED" in out.stdout, out.stdout + out.stderr
+    db.close()
+    # after close, a new open succeeds
+    db2 = Database.load(tmp_path / "locked")
+    db2.close()

@@ -21,9 +21,12 @@ from .config import (
 )
 from .errors import (
     CollectionExistsError, CollectionNotFoundError, DatabaseExistsError,
-    DatabaseNotFoundError,
+    DatabaseLockedError, DatabaseNotFoundError,
 )
 from .wal import Wal, ops
+
+
+LOCK_FILE = "vr_lock"
 
 
 class Database:
@@ -33,6 +36,17 @@ class Database:
         self.config = config
         self._devices = devices
         self._wal_sync = wal_sync
+        # Exclusive advisory lock: a second process opening the same DB
+        # would interleave WAL appends and corrupt the durable prefix.
+        import fcntl
+        self._lock_f = open(self.path / LOCK_FILE, "w")
+        try:
+            fcntl.flock(self._lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            self._lock_f.close()
+            self._lock_f = None
+            raise DatabaseLockedError(
+                f"Database at {self.path} is locked by another process")
         self.wal = Wal(self.path / WAL_FILE)
         self._collections: dict[str, Collection] = {}
 
@@ -69,6 +83,11 @@ class Database:
             col.close()
         self._collections.clear()
         self.wal.close()
+        if getattr(self, "_lock_f", None):
+            import fcntl
+            fcntl.flock(self._lock_f, fcntl.LOCK_UN)
+            self._lock_f.close()
+            self._lock_f = None
 
     def __enter__(self):
         return self

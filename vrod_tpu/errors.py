@@ -45,6 +45,10 @@ class DatabaseNotFoundError(VrodError):
     """No database at the given path (reference: Database::load intent, mod.rs:19-21)."""
 
 
+class DatabaseLockedError(VrodError):
+    """Another process holds the database's exclusive advisory lock."""
+
+
 class CollectionExistsError(VrodError):
     pass
 
