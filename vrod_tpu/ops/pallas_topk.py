@@ -31,6 +31,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
+_PRECISIONS = {
+    "exact": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "fast": lax.Precision.DEFAULT,
+}
+
 
 def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
             cv_ref, ci_ref, *, metric, k, block_rows, precision):
@@ -206,11 +212,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
-    precision = {
-        "exact": lax.Precision.HIGHEST,
-        "high": lax.Precision.HIGH,
-        "fast": lax.Precision.DEFAULT,
-    }[precision_name]
+    precision = _PRECISIONS[precision_name]
 
     kernel = functools.partial(
         _kernel_db, metric=metric, k=k, block_rows=block_rows,
@@ -266,11 +268,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
-    precision = {
-        "exact": lax.Precision.HIGHEST,
-        "high": lax.Precision.HIGH,
-        "fast": lax.Precision.DEFAULT,
-    }[precision_name]
+    precision = _PRECISIONS[precision_name]
 
     grid = (b // b_tile, nblocks)
     kernel = functools.partial(
