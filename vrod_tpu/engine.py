@@ -294,16 +294,3 @@ class DeviceEngine:
             return vals[:B, :k], idx[:B, :k]
         return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])
 
-    # -- persistence -------------------------------------------------------
-
-    def snapshot_arrays(self):
-        """Host copies of device state (for segment snapshots)."""
-        return (
-            np.asarray(self.x.astype(jnp.float32)),
-            np.asarray(self.aux),
-            np.asarray(self.valid),
-        )
-
-    def restore_rows(self, slots: np.ndarray, vecs: np.ndarray) -> None:
-        """Bulk restore (snapshot load / WAL replay) — same path as write."""
-        self.write(slots, vecs)

@@ -18,7 +18,6 @@ free-list holes can never appear in results.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

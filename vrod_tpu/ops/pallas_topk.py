@@ -66,9 +66,16 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
+    # The block max is carried through the loop, so the continue-check is
+    # O(B) — non-contributing blocks (the overwhelming majority) cost one
+    # max pass and nothing else. One candidate per extraction iteration:
+    # masked argmax + carry insert, pure lane-wise VPU passes (no reshapes —
+    # splitting the lane dim into sublane groups relayouts the whole block
+    # and is far slower than the iterations it saves). Expected total
+    # iterations over the scan: ~k * (1 + ln nblocks) per query tile.
     def cond(state):
-        s, cv, ci = state
-        return jnp.any(s > cv[:, k - 1:k])
+        s, m, cv, ci = state
+        return jnp.any(m > cv[:, k - 1:k])
 
     def insert_one(cv, ci, m, am, has):
         """Insert candidate (m, am) (B,1) into the sorted carry after any
@@ -85,23 +92,19 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         ci = jnp.where(has, ins_i, ci)
         return cv, ci
 
-    # One candidate per iteration: a masked max + argmax over the block
-    # (pure lane-wise VPU passes; no reshapes — splitting the lane dim into
-    # sublane groups relayouts the whole block and is far slower than the
-    # extra iterations it saves). Expected total iterations over the scan:
-    # ~k * (1 + ln nblocks) per query tile.
     def body(state):
-        s, cv, ci = state
+        s, m, cv, ci = state
         theta = cv[:, k - 1:k]
-        m = jnp.max(s, axis=1, keepdims=True)                      # (B, 1)
         am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
                      keepdims=True)                                 # (B, 1)
         has = m > theta
         cv, ci = insert_one(cv, ci, m, am, has)
         s = jnp.where((col == am) & has, NEG_INF, s)
-        return s, cv, ci
+        m = jnp.max(s, axis=1, keepdims=True)
+        return s, m, cv, ci
 
-    _, cv, ci = lax.while_loop(cond, body, (s, cv_ref[:], ci_ref[:]))
+    m0 = jnp.max(s, axis=1, keepdims=True)
+    _, _, cv, ci = lax.while_loop(cond, body, (s, m0, cv_ref[:], ci_ref[:]))
     cv_ref[:] = cv
     ci_ref[:] = ci
 
@@ -143,6 +146,7 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
         d.start()
 
     def insert_one(cv, ci, m, am, has):
+        # Insert after equal entries (>=): tie order matches stable top_k.
         pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
         shift_v = pltpu.roll(cv, 1, 1)
         shift_i = pltpu.roll(ci, 1, 1)
@@ -178,22 +182,25 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
 
         col = col_local + (j * block_rows + offset)
 
+        # Carried block max: the continue-check is O(B), so blocks that
+        # don't improve the top-k cost one max pass and nothing else.
         def cond(state):
-            s, cv, ci = state
-            return jnp.any(s > cv[:, k - 1:k])
+            s, m, cv, ci = state
+            return jnp.any(m > cv[:, k - 1:k])
 
         def body(state):
-            s, cv, ci = state
+            s, m, cv, ci = state
             theta = cv[:, k - 1:k]
-            m = jnp.max(s, axis=1, keepdims=True)
             am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
                          keepdims=True)
             has = m > theta
             cv, ci = insert_one(cv, ci, m, am, has)
             s = jnp.where((col == am) & has, NEG_INF, s)
-            return s, cv, ci
+            m = jnp.max(s, axis=1, keepdims=True)
+            return s, m, cv, ci
 
-        _, cv, ci = lax.while_loop(cond, body, (s, cv, ci))
+        m0 = jnp.max(s, axis=1, keepdims=True)
+        _, _, cv, ci = lax.while_loop(cond, body, (s, m0, cv, ci))
         return cv, ci
 
     init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
