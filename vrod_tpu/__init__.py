@@ -8,15 +8,18 @@ and multi-chip scaling via ``jax.shard_map`` over an ICI mesh with all-gather
 top-k merge.
 """
 
+from . import metrics
 from .collection import Collection, SearchHit
 from .config import CollectionConfig, DatabaseConfig, VROD_VERSION
 from .database import Database
+from .frontend import QueryBatcher
 from .records import Record, format_record, parse_record
+from .utils.verify import verify_recall
 
 __version__ = VROD_VERSION
 
 __all__ = [
     "Collection", "SearchHit", "CollectionConfig", "DatabaseConfig",
-    "Database", "Record", "format_record", "parse_record", "VROD_VERSION",
-    "__version__",
+    "Database", "QueryBatcher", "Record", "format_record", "parse_record",
+    "metrics", "verify_recall", "VROD_VERSION", "__version__",
 ]

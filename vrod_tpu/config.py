@@ -22,6 +22,18 @@ VROD_VERSION = "0.1.0"
 METRICS = ("cosine", "l2", "dot")
 DTYPES = ("float32", "bfloat16")
 
+_NAME_RE = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]{0,127}$")
+
+
+def validate_name(name: str, what: str = "name") -> str:
+    """Collection/database names become directory names; reject separators,
+    traversal and other path metacharacters."""
+    if not isinstance(name, str) or not _NAME_RE.match(name) or ".." in name:
+        raise ConfigError(
+            f"Invalid {what} {name!r}: use letters, digits, '_', '-', '.' "
+            f"(must start alphanumeric, max 128 chars)")
+    return name
+
 # File names inherited from the reference on-disk layout (setup.rs:17-23).
 CONFIG_FILE = "vr_config"
 WAL_FILE = "vr_wal"
@@ -49,6 +61,7 @@ class CollectionConfig:
     rescore_margin: int = 16
 
     def __post_init__(self) -> None:
+        validate_name(self.name, "collection name")
         if self.metric not in METRICS:
             raise ConfigError(f"Unknown metric {self.metric!r}; expected one of {METRICS}")
         if self.dtype not in DTYPES:

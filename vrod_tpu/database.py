@@ -56,7 +56,8 @@ class Database:
     def new(cls, path, name: str, **kw) -> "Database":
         """Create ``<path>/<name>/`` with vr_config + vr_wal
         (reference: create_database_directory, setup.rs:3-26)."""
-        root = Path(path) / name
+        from .config import validate_name
+        root = Path(path) / validate_name(name, "database name")
         if root.exists():
             raise DatabaseExistsError(f"Database directory already exists: {root}")
         root.mkdir(parents=True)

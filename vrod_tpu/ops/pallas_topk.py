@@ -115,8 +115,8 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
 
 
 def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-               xbuf, abuf, mbuf, sems, *, metric, k, block_rows, nblocks,
-               precision):
+               xbuf, abuf, mbuf, s_ref, sems, *, metric, k, block_rows,
+               nblocks, precision):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
     streaming and compute overlap regardless of how the pipeliner treats the
@@ -182,25 +182,30 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
 
         col = col_local + (j * block_rows + offset)
 
-        # Carried block max: the continue-check is O(B), so blocks that
-        # don't improve the top-k cost one max pass and nothing else.
+        # Scores live in a scratch ref and the loop carries only (m, cv,
+        # ci): the continue-check is O(B) and the (B, BLK) block never
+        # round-trips through while-carry copies — blocks that don't
+        # improve the top-k cost one max pass and nothing else.
+        s_ref[:] = s
+        m0 = jnp.max(s, axis=1, keepdims=True)
+
         def cond(state):
-            s, m, cv, ci = state
+            m, cv, ci = state
             return jnp.any(m > cv[:, k - 1:k])
 
         def body(state):
-            s, m, cv, ci = state
+            m, cv, ci = state
+            s = s_ref[:]
             theta = cv[:, k - 1:k]
             am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
                          keepdims=True)
             has = m > theta
             cv, ci = insert_one(cv, ci, m, am, has)
             s = jnp.where((col == am) & has, NEG_INF, s)
-            m = jnp.max(s, axis=1, keepdims=True)
-            return s, m, cv, ci
+            s_ref[:] = s
+            return jnp.max(s, axis=1, keepdims=True), cv, ci
 
-        m0 = jnp.max(s, axis=1, keepdims=True)
-        _, _, cv, ci = lax.while_loop(cond, body, (s, m0, cv, ci))
+        _, cv, ci = lax.while_loop(cond, body, (m0, cv, ci))
         return cv, ci
 
     init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
@@ -250,6 +255,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             pltpu.VMEM((2, block_rows, d), x.dtype),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            pltpu.VMEM((b_tile, block_rows), jnp.float32),  # scores
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
