@@ -41,19 +41,31 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     # would benchmark the tunnel, not the engine).
     xs, vs = row_sharding(eng.mesh), vec_sharding(eng.mesh)
 
+    # Chunked so peak HBM stays bounded even where buffer donation is
+    # unavailable (multi-GB collections on a 16 GB chip).
+    fill_chunk = min(n_rows, 1 << 20)
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                       static_argnames=("start", "rows_n"),
                        out_shardings=(xs, vs, vs))
-    def fill(x, aux, valid):
-        key = jax.random.PRNGKey(0)
-        rows = jax.random.normal(key, (n_rows, dim), dtype=jnp.float32)
-        norms = jnp.linalg.norm(rows, axis=1)
-        x = x.at[:n_rows].set(rows.astype(x.dtype))
-        aux = aux.at[:n_rows].set(
-            jnp.where(norms > 0, 1.0 / jnp.maximum(norms, 1e-30), 0.0))
-        valid = valid.at[:n_rows].set(True)
+    def fill(x, aux, valid, *, start, rows_n):
+        key = jax.random.PRNGKey(start)
+        rows = jax.random.normal(key, (rows_n, dim), dtype=x.dtype)
+        sq = jnp.einsum("nd,nd->n", rows, rows,
+                        preferred_element_type=jnp.float32)
+        norms = jnp.sqrt(sq)
+        x = jax.lax.dynamic_update_slice_in_dim(x, rows, start, 0)
+        aux = jax.lax.dynamic_update_slice_in_dim(
+            aux, jnp.where(norms > 0, 1.0 / jnp.maximum(norms, 1e-30), 0.0),
+            start, 0)
+        valid = jax.lax.dynamic_update_slice_in_dim(
+            valid, jnp.ones(rows_n, dtype=valid.dtype), start, 0)
         return x, aux, valid
 
-    eng.x, eng.aux, eng.valid = fill(eng.x, eng.aux, eng.valid)
+    for start in range(0, n_rows, fill_chunk):
+        eng.x, eng.aux, eng.valid = fill(
+            eng.x, eng.aux, eng.valid, start=start,
+            rows_n=min(fill_chunk, n_rows - start))
     jax.block_until_ready(eng.x)
 
     rng = np.random.default_rng(42)
@@ -79,7 +91,8 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     qps = batch * iters / dt
 
     # Exactness probe: oracle over a host-checkable subset via masking.
-    probe_n = 65536
+    # (16k rows keeps the device->host fetch small on tunneled devices.)
+    probe_n = 16384
     x_probe = np.asarray(eng.x[:probe_n].astype(jnp.float32))
     recall = _recall_probe(eng, x_probe, probe_n, n_rows, q[:8], k)
     return qps, dt / iters, recall

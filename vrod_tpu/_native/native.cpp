@@ -346,6 +346,15 @@ extern "C" uint64_t vrod_alloc_id_of(void* h, uint64_t slot) {
   return a->slot_to_id[slot];
 }
 
+// Bulk slot->id mapping (one call for a whole result batch). Slots out of
+// range or unbound map to NO_ID.
+extern "C" void vrod_alloc_ids_of(void* h, uint64_t n, const uint64_t* slots,
+                                  uint64_t* out) {
+  Alloc* a = (Alloc*)h;
+  for (uint64_t i = 0; i < n; i++)
+    out[i] = slots[i] < a->capacity ? a->slot_to_id[slots[i]] : NO_ID;
+}
+
 extern "C" int vrod_alloc_is_live(void* h, uint64_t slot) {
   Alloc* a = (Alloc*)h;
   return (slot < a->capacity && a->slot_to_id[slot] != NO_ID) ? 1 : 0;

@@ -82,6 +82,15 @@ class _NativeAllocator:
     def id_of(self, slot: int) -> int:
         return self._lib.vrod_alloc_id_of(self._h, slot)
 
+    def ids_of(self, slots: np.ndarray) -> np.ndarray:
+        """Bulk slot->id mapping; NO_ID for unbound/out-of-range slots."""
+        slots, sp = self._u64buf(slots)
+        out = np.empty(slots.size, dtype=np.uint64)
+        self._lib.vrod_alloc_ids_of(
+            self._h, slots.size, sp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out
+
     def is_live(self, slot: int) -> bool:
         return bool(self._lib.vrod_alloc_is_live(self._h, slot))
 
@@ -175,6 +184,10 @@ class _PyAllocator:
 
     def id_of(self, slot: int) -> int:
         return self._slot_to_id.get(slot, NO_ID)
+
+    def ids_of(self, slots: np.ndarray) -> np.ndarray:
+        return np.array([self._slot_to_id.get(int(s), NO_ID)
+                         for s in np.asarray(slots).ravel()], dtype=np.uint64)
 
     def is_live(self, slot: int) -> bool:
         return slot in self._slot_to_id

@@ -209,18 +209,18 @@ class Collection:
                            shards=self.engine.shards):
             with self._rw.read():
                 vals, slots = self.engine.search(q, k, **search_kw)
+        # Bulk slot->id mapping (one native call for the whole batch).
+        rids = self.alloc.ids_of(
+            np.where(slots >= 0, slots, 0).astype(np.uint64)
+        ).reshape(slots.shape)
         results = []
         for b in range(q.shape[0]):
             hits = []
             for j in range(vals.shape[1]):
-                slot = int(slots[b, j])
-                if slot < 0:
+                if slots[b, j] < 0 or rids[b, j] == NO_ID:
                     continue
-                rid = self.alloc.id_of(slot)
-                if rid == NO_ID:
-                    continue
-                hits.append(SearchHit(rid, float(vals[b, j]),
-                                      self.payloads.get(rid, "")))
+                hits.append(SearchHit(int(rids[b, j]), float(vals[b, j]),
+                                      self.payloads.get(int(rids[b, j]), "")))
             results.append(hits)
         return results[0] if single else results
 
@@ -242,7 +242,8 @@ class Collection:
 
     def truncate_wal(self) -> None:
         """TRUNCATEWAL for this collection (reference: types.rs:44-54)."""
-        self.wal.truncate()
+        with self._rw.write():
+            self.wal.truncate()
 
     # -- persistence -------------------------------------------------------
 
