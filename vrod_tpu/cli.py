@@ -74,6 +74,8 @@ def _preprocess(argv):
 
 
 def main(argv=None) -> int:
+    from .runtime import enable_compilation_cache
+    enable_compilation_cache()
     parser = build_parser()
     args = parser.parse_args(_preprocess(
         list(argv) if argv is not None else sys.argv[1:]))
