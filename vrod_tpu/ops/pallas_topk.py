@@ -369,6 +369,10 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     offset = jnp.asarray(index_offset, dtype=jnp.int32).reshape(1)
     # The manual double-buffered variant overlaps the HBM stream with
     # compute; interpret mode lacks real DMA timing, so tests exercise both.
+    # Manual HBM->VMEM DMA slices must be 128-lane aligned; odd dims fall
+    # back to the auto-pipelined grid (which pads blocks transparently).
+    if pipeline == "manual" and (d % 128 != 0 or block_rows % 128 != 0):
+        pipeline = "auto"
     call = _fused_call_db if pipeline == "manual" else _fused_call
     vals, idx = call(
         x, aux2d, mask2d, q, offset, k=k, metric=metric,
