@@ -98,22 +98,33 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     return qps, dt / iters, recall
 
 
-def _recall_probe(eng, x_probe, probe_n, n_rows, q, k):
-    """recall@k of the engine vs NumPy f32 oracle, restricted to rows whose
-    true top-k lie inside the probe subset (mask the rest off)."""
+def _recall_probe(eng, x_probe, probe_n, n_rows, q, k, eps=1e-5):
+    """Tie-aware recall@k vs a NumPy f64 oracle over a probe subset.
+
+    Items whose oracle score sits within ``eps`` of the rank-k boundary are
+    interchangeable (different f32 accumulation orders legitimately swap
+    them), so recall counts only the items strictly above the boundary —
+    the standard exactness criterion for floating-point kNN."""
     import numpy as np
     # temporarily invalidate rows >= probe_n
     eng.erase(np.arange(probe_n, n_rows, dtype=np.int64))
     vals, idx = eng.search(q, k)
-    xn = x_probe / np.maximum(
-        np.linalg.norm(x_probe, axis=1, keepdims=True), 1e-30)
-    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    x64 = x_probe.astype(np.float64)
+    xn = x64 / np.maximum(np.linalg.norm(x64, axis=1, keepdims=True), 1e-300)
+    q64 = np.asarray(q, dtype=np.float64)
+    qn = q64 / np.maximum(np.linalg.norm(q64, axis=1, keepdims=True), 1e-300)
     s = qn @ xn.T
-    oracle = np.argsort(-s, axis=1)[:, :k]
-    hits = np.mean([len(set(idx[b]) & set(oracle[b])) / k
-                    for b in range(q.shape[0])])
+    order = np.argsort(-s, axis=1)
+    total, hit = 0, 0
+    for b in range(q.shape[0]):
+        boundary = s[b, order[b, k - 1]]
+        required = set(np.nonzero(s[b] > boundary + eps)[0].tolist())
+        got = set(int(i) for i in idx[b] if i >= 0)
+        assert len(got) == k, "engine returned fewer than k live results"
+        hit += len(got & required)
+        total += len(required)
     # (no restore needed: the probe runs after all timed measurements)
-    return float(hits)
+    return float(hit / total) if total else 1.0
 
 
 def cpu_qps(n_rows, dim, batch, k, subset, metric="cosine"):

@@ -183,3 +183,16 @@ def test_snapshot_corruption_detected(tmp_path, rng):
     vec_file.write_bytes(bytes(data))
     with pytest.raises(WalCorruptionError, match="corrupt"):
         Collection.load(tmp_path / "c")
+
+
+def test_wal_sync_off_still_replays_after_clean_close(tmp_path, rng):
+    """wal_sync=False trades durability-on-crash for insert throughput;
+    data written before a clean close must still replay."""
+    cfg = CollectionConfig(name="ns", dim=16, segment_rows=64)
+    col = Collection.create(tmp_path / "ns", cfg, wal_sync=False)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    col.bulk_insert(vecs)
+    col.close()
+    col2 = Collection.load(tmp_path / "ns")
+    assert col2.count == 40
+    col2.close()

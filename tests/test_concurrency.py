@@ -101,3 +101,18 @@ def test_concurrent_search_and_mutate(tmp_db, rng):
     hits = col.search_similar(base[7], k=1)
     assert hits[0].record_id == rids[7]
     assert col.count == 200 + 40  # 60 inserts, 20 deleted
+
+
+def test_batcher_during_mutations(tmp_db, rng):
+    """QueryBatcher keeps serving exact results while a writer mutates."""
+    from vrod_tpu.frontend import QueryBatcher
+    col = tmp_db.create_collection("qb", dim=16, segment_rows=64)
+    base = rng.standard_normal((100, 16)).astype(np.float32)
+    col.bulk_insert(base, [f"p{i}" for i in range(100)])
+    with QueryBatcher(col, max_batch=32, max_wait_ms=5) as qb:
+        futs = [qb.submit(base[i % 100], k=1) for i in range(40)]
+        for i in range(30):
+            col.insert(rng.standard_normal(16).astype(np.float32), f"n{i}")
+        for i, f in enumerate(futs):
+            hits = f.result(60)
+            assert hits[0].payload == f"p{i % 100}"

@@ -275,10 +275,11 @@ class DeviceEngine:
         k = min(k, MAX_K, self.capacity)
         Bp = _bucket(B, BATCH_BUCKETS)
         k_out = _bucket(k, K_BUCKETS)
-        k_scan = min(
-            k_out + (self.cfg.rescore_margin if rescore else 0),
-            self.capacity,
-        )
+        # Candidate margin scales with k: larger k means the rank boundary
+        # sits in a denser score band, so fast-precision ordering jitter
+        # needs more slack for the exact rescore to recover from.
+        margin = max(self.cfg.rescore_margin, k_out // 2) if rescore else 0
+        k_scan = min(k_out + margin, self.capacity)
         if Bp != B:
             if isinstance(q, jax.Array):
                 q = jnp.pad(q, ((0, Bp - B), (0, 0)))
