@@ -169,8 +169,7 @@ def mixed_workload(n_rows, dim, iters):
             new_ids = col.bulk_insert(ins)
             ops_done += 256
             dead = rng.choice(live_ids, size=128, replace=False)
-            for d in dead:
-                col.delete(int(d))
+            col.delete_many(dead)
             live_ids = [x for x in live_ids if x not in set(dead.tolist())]
             live_ids.extend(new_ids.tolist())
             ops_done += 128

@@ -196,3 +196,41 @@ def test_wal_sync_off_still_replays_after_clean_close(tmp_path, rng):
     col2 = Collection.load(tmp_path / "ns")
     assert col2.count == 40
     col2.close()
+
+
+def test_restore_on_smaller_topology(tmp_path, rng):
+    """A snapshot from an 8-shard mesh restores on fewer devices (shard
+    count clamps; ids/vectors are topology-independent)."""
+    import jax, warnings
+    col = new_col(tmp_path, name="pod", shards=8)
+    vecs = rng.standard_normal((300, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    col.snapshot()
+    col.close()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        col2 = Collection.load(tmp_path / "pod",
+                               devices=jax.devices("cpu")[:2])
+        assert any("shards" in str(x.message) for x in w)
+    assert col2.engine.shards == 2
+    assert col2.count == 300
+    hits = col2.search_similar(vecs[123], k=1)
+    assert hits[0].record_id == rids[123]
+
+
+def test_delete_many(tmp_path, rng):
+    col = new_col(tmp_path)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    n = col.delete_many(list(rids[10:30]) + [99999])  # one unknown id
+    assert n == 20
+    assert col.count == 30
+    assert col.wal.frame_count == 2  # bulk insert + bulk delete
+    # deleted records gone, survivors searchable, replay converges
+    col2 = Collection.load(tmp_path / "c")
+    assert col2.count == 30
+    with pytest.raises(RecordNotFoundError):
+        col2.get(int(rids[10]))
+    hits = col2.search_similar(vecs[5], k=1)
+    assert hits[0].record_id == rids[5]
+    assert col.delete_many([99999]) == 0

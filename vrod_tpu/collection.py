@@ -156,6 +156,30 @@ class Collection:
             self._apply_delete(record_id)
         metrics.counters.inc("collection.deletes")
 
+    def delete_many(self, record_ids) -> int:
+        """Bulk DELETE: one WAL frame, one device scatter. Unknown ids are
+        skipped; returns the number actually deleted."""
+        rids = np.asarray(record_ids, dtype=np.uint64).reshape(-1)
+        with self._rw.write():
+            known = np.array(
+                [r for r in rids.tolist() if self.alloc.slot_of(r) != NO_ID],
+                dtype=np.uint64)
+            if known.size == 0:
+                return 0
+            self.wal.append(ops.encode(ops.BulkDeleteOp(known)),
+                            sync=self.wal_sync)
+            self._apply_bulk_delete(known)
+        metrics.counters.inc("collection.deletes", int(known.size))
+        return int(known.size)
+
+    def _apply_bulk_delete(self, rids: np.ndarray) -> None:
+        slots = self.alloc.release(rids)
+        live = slots[slots != NO_ID]
+        if live.size:
+            self.engine.erase(live)
+        for rid in rids.tolist():
+            self.payloads.pop(rid, None)
+
     def _apply_delete(self, record_id: int) -> None:
         slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
         live = slots[slots != NO_ID]
@@ -333,6 +357,12 @@ class Collection:
         elif isinstance(op, ops.DeleteOp):
             if self.alloc.slot_of(op.record_id) != NO_ID:
                 self._apply_delete(op.record_id)
+        elif isinstance(op, ops.BulkDeleteOp):
+            known = np.array(
+                [r for r in op.record_ids.tolist()
+                 if self.alloc.slot_of(r) != NO_ID], dtype=np.uint64)
+            if known.size:
+                self._apply_bulk_delete(known)
         elif isinstance(op, ops.UpdateOp):
             self._apply_update(op.record_id, op.vector[None, :], op.payload)
             self.next_id = max(self.next_id, op.record_id + 1)

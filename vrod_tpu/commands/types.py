@@ -168,12 +168,16 @@ class DeleteCommand(Command):
     def execute(self) -> str:
         col = self.db.collection(
             self._require(self.collection_name, "a collection (-c)"))
+        arg = self._require(self.arg, "a record id (or id,id,...) (-a)")
         try:
-            rid = int(self._require(self.arg, "a record id (-a)"))
+            rids = [int(tok) for tok in arg.split(",") if tok.strip()]
         except ValueError as e:
-            raise RecordFormatError(f"Bad record id {self.arg!r}") from e
-        col.delete(rid)
-        return f"Deleted record {rid}"
+            raise RecordFormatError(f"Bad record id in {self.arg!r}") from e
+        if len(rids) == 1:
+            col.delete(rids[0])
+            return f"Deleted record {rids[0]}"
+        n = col.delete_many(rids)
+        return f"Deleted {n} records"
 
 
 @dataclasses.dataclass

@@ -169,7 +169,22 @@ class DeviceEngine:
 
     def __init__(self, cfg: CollectionConfig, mesh=None, devices=None):
         self.cfg = cfg
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.shards, devices)
+        if mesh is None:
+            from .runtime import default_devices
+            avail = devices if devices is not None else default_devices()
+            shards = cfg.shards
+            if shards > len(avail):
+                # A collection sharded on a larger topology restores fine on
+                # fewer chips: snapshots/WAL address record ids, not slots,
+                # so the row layout is rebuilt for the local mesh.
+                import warnings
+                warnings.warn(
+                    f"Collection {cfg.name!r} configured for {shards} shards "
+                    f"but only {len(avail)} devices are available; "
+                    f"row-sharding over {len(avail)}.")
+                shards = len(avail)
+            mesh = make_mesh(shards, avail)
+        self.mesh = mesh
         self.shards = self.mesh.devices.size
         self.dtype = jnp.dtype(cfg.dtype)
         # Capacity granularity: whole segments, evenly divided over shards.

@@ -24,6 +24,7 @@ OP_CREATE_COLLECTION = 4
 OP_DROP_COLLECTION = 5
 OP_CHECKPOINT = 6
 OP_BULK = 7
+OP_BULK_DELETE = 8
 
 
 @dataclasses.dataclass
@@ -43,6 +44,11 @@ class BulkOp:
 @dataclasses.dataclass
 class DeleteOp:
     record_id: int
+
+
+@dataclasses.dataclass
+class BulkDeleteOp:
+    record_ids: np.ndarray  # uint64 (n,)
 
 
 @dataclasses.dataclass
@@ -95,6 +101,10 @@ def encode(op) -> bytes:
         return bytes([OP_UPDATE]) + _pack_vec_payload(op.record_id, op.vector, op.payload)
     if isinstance(op, DeleteOp):
         return bytes([OP_DELETE]) + struct.pack("<Q", op.record_id)
+    if isinstance(op, BulkDeleteOp):
+        ids = np.ascontiguousarray(op.record_ids, dtype=np.uint64)
+        return (bytes([OP_BULK_DELETE]) + struct.pack("<Q", ids.size)
+                + ids.tobytes())
     if isinstance(op, BulkOp):
         ids = np.ascontiguousarray(op.record_ids, dtype=np.uint64)
         vecs = np.ascontiguousarray(op.vectors, dtype=np.float32)
@@ -126,6 +136,10 @@ def decode(buf: bytes):
     if kind == OP_DELETE:
         (record_id,) = struct.unpack_from("<Q", buf, 1)
         return DeleteOp(record_id=record_id)
+    if kind == OP_BULK_DELETE:
+        (n,) = struct.unpack_from("<Q", buf, 1)
+        ids = np.frombuffer(buf, dtype=np.uint64, count=n, offset=9).copy()
+        return BulkDeleteOp(record_ids=ids)
     if kind == OP_BULK:
         n, dim = struct.unpack_from("<QI", buf, 1)
         off = 13
