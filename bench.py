@@ -190,6 +190,8 @@ def mixed_workload(n_rows, dim, iters):
 
 
 def main():
+    from vrod_tpu.runtime import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="small config for smoke runs")

@@ -81,3 +81,12 @@ def test_timed_context():
     with metrics.timed("custom.op", foo="bar"):
         pass
     assert metrics.counters.get("custom.op") == 1
+
+
+def test_profile_context(tmp_path, col):
+    from vrod_tpu import metrics
+    metrics_dir = tmp_path / "trace"
+    with metrics.profile(str(metrics_dir)):
+        col.search_similar(col._test_vecs[0], k=2)
+    # jax.profiler writes a plugins/profile tree
+    assert any(metrics_dir.rglob("*.xplane.pb")) or any(metrics_dir.iterdir())
