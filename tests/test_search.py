@@ -153,3 +153,25 @@ def test_verify_recall_harness(tmp_db, rng):
             col.delete(int(r))
         q = rng.standard_normal((6, 24)).astype(np.float32)
         assert verify_recall(col, q, k=10) == 1.0
+
+
+def test_device_query_and_device_results(rng):
+    """Pre-staged device queries + as_numpy=False (the pipelined-bench path)."""
+    import jax
+    eng = make_engine()
+    vecs = fill(eng, rng, 300, 48)
+    q_dev = jax.device_put(vecs[17:19], jax.devices("cpu")[0])
+    vals, idx = eng.search(q_dev, 5, as_numpy=False)
+    assert isinstance(vals, jax.Array) and isinstance(idx, jax.Array)
+    assert int(np.asarray(idx)[0, 0]) == 17
+    # 1-D device query
+    vals, idx = eng.search(q_dev[0], 1)
+    assert idx[0, 0] == 17
+
+
+def test_batch_bucketing():
+    from vrod_tpu.engine import _bucket, BATCH_BUCKETS
+    assert _bucket(1, BATCH_BUCKETS) == 8
+    assert _bucket(8, BATCH_BUCKETS) == 8
+    assert _bucket(9, BATCH_BUCKETS) == 16
+    assert _bucket(5000, BATCH_BUCKETS) == 8192
