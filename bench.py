@@ -159,8 +159,13 @@ def mixed_workload(n_rows, dim, iters):
         col = db.create_collection("m", dim=dim, segment_rows=65536)
         base = rng.standard_normal((n_rows, dim)).astype(np.float32)
         col.bulk_insert(base)
-        # warm-up compile
-        col.search_similar(base[0], k=10)
+        # Warm up every compiled shape the loop uses (insert 256, delete
+        # 128, search 64) so the timed region measures steady state, not
+        # compiles.
+        warm_ids = col.bulk_insert(base[:256])
+        col.delete_many(warm_ids[:128])
+        col.delete_many(warm_ids[128:])
+        col.search_similar(base[:64], k=10)
         ops_done = 0
         t0 = time.perf_counter()
         live_ids = list(range(1, n_rows + 1))
