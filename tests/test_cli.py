@@ -64,3 +64,18 @@ def test_generate_embeddings(tmp_path, capsys, monkeypatch):
     rec = parse_record(lines[0])
     assert rec.vector.shape == (384,)
     assert rec.payload == "Alice"
+
+
+def test_delete_id_list(tmp_path, capsys):
+    assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
+    db = str(tmp_path / "db")
+    assert main(["-d", db, "-e", "create", "-a", "c;dim=4;segment_rows=64"]) == 0
+    for i in range(3):
+        assert main(["-d", db, "-c", "c", "-e", "insert",
+                     "-a", f"{i},0,0,0;p{i}"]) == 0
+    assert main(["-d", db, "-c", "c", "-e", "delete", "-a", "1,2"]) == 0
+    out = capsys.readouterr().out
+    assert "Deleted 2 records" in out
+    assert main(["-d", db, "-c", "c", "-e", "searchsimilar", "-a", "1,0,0,0;k=5"]) == 0
+    out = capsys.readouterr().out
+    assert "p2" in out and "p0" not in out and "p1" not in out
