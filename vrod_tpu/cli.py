@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="development utility: embed the first AMOUNT words of "
                         "a sample text and write alice_embeddings.txt "
                         "(reference: src/utils/embeddings.rs)")
+    from .config import VROD_VERSION
+    p.add_argument("-V", "--version", action="version",
+                   version=f"vrod-tpu {VROD_VERSION}")
     return p
 
 
@@ -74,6 +77,11 @@ def _preprocess(argv):
 
 
 def main(argv=None) -> int:
+    import warnings
+    # Donation is a perf hint; on backends that can't honor it the warning
+    # would spam every mutation's stderr.
+    warnings.filterwarnings(
+        "ignore", message="Some donated buffers were not usable")
     from .runtime import enable_compilation_cache
     enable_compilation_cache()
     parser = build_parser()
