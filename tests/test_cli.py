@@ -79,3 +79,23 @@ def test_delete_id_list(tmp_path, capsys):
     assert main(["-d", db, "-c", "c", "-e", "searchsimilar", "-a", "1,0,0,0;k=5"]) == 0
     out = capsys.readouterr().out
     assert "p2" in out and "p0" not in out and "p1" not in out
+
+
+def test_ingest_to_search_pipeline(tmp_path, monkeypatch, capsys):
+    """The reference's data path, end to end: text -> embeddings file ->
+    BULKINSERT -> SEARCHSIMILAR (embeddings.rs output feeds the store)."""
+    monkeypatch.chdir(tmp_path)
+    assert main(["--generate-embeddings", "30"]) == 0
+    assert main(["--init-database", ".", "-n", "db"]) == 0
+    assert main(["-d", "db", "-e", "create", "-a", "words;dim=384;segment_rows=64"]) == 0
+    assert main(["-d", "db", "-c", "words", "-e", "bulkinsert",
+                 "-a", "alice_embeddings.txt"]) == 0
+    capsys.readouterr()
+    # query with the embedding of a stored word: top hit is that word
+    from vrod_tpu.utils.embeddings import hash_embed
+    q = hash_embed(["sister"])[0]
+    qv = ",".join(repr(float(x)) for x in q)
+    assert main(["-d", "db", "-c", "words", "-e", "searchsimilar",
+                 "-a", f"{qv};k=1"]) == 0
+    out = capsys.readouterr().out
+    assert "sister" in out
