@@ -49,6 +49,10 @@ class Database:
                 f"Database at {self.path} is locked by another process")
         self.wal = Wal(self.path / WAL_FILE)
         self._collections: dict[str, Collection] = {}
+        # Registry mutations (create/drop/load) are serialized; per-record
+        # concurrency is handled by each collection's RW lock.
+        import threading
+        self._registry_lock = threading.Lock()
 
     # -- lifecycle (reference: Database::new / Database::load) --------------
 
@@ -141,6 +145,16 @@ class Database:
 
         Default dim 384 matches the reference's fastembed default model
         (BGESmallENV15, embeddings.rs:7)."""
+        self._registry_lock.acquire()
+        try:
+            return self._create_collection_locked(
+                name, dim=dim, metric=metric, dtype=dtype, shards=shards,
+                segment_rows=segment_rows, **cfg_kw)
+        finally:
+            self._registry_lock.release()
+
+    def _create_collection_locked(self, name, *, dim, metric, dtype, shards,
+                                  segment_rows, **cfg_kw) -> Collection:
         if name in self.config.collections or self._collection_dir(name).exists():
             raise CollectionExistsError(f"Collection {name!r} already exists")
         cfg = CollectionConfig(name=name, dim=dim, metric=metric, dtype=dtype,
@@ -159,6 +173,10 @@ class Database:
 
     def drop_collection(self, name: str) -> None:
         """DROP (reference: DropCollectionCommand, types.rs:21-31)."""
+        with self._registry_lock:
+            self._drop_collection_locked(name)
+
+    def _drop_collection_locked(self, name: str) -> None:
         if name not in self.config.collections:
             raise CollectionNotFoundError(f"No collection named {name!r}")
         self.wal.append(ops.encode(ops.DropCollectionOp(name)),
@@ -205,12 +223,16 @@ class Database:
     def collection(self, name: str) -> Collection:
         if name in self._collections:
             return self._collections[name]
-        if name not in self.config.collections:
-            raise CollectionNotFoundError(f"No collection named {name!r}")
-        col = Collection.load(self._collection_dir(name),
-                              devices=self._devices, wal_sync=self._wal_sync)
-        self._collections[name] = col
-        return col
+        with self._registry_lock:
+            if name in self._collections:
+                return self._collections[name]
+            if name not in self.config.collections:
+                raise CollectionNotFoundError(f"No collection named {name!r}")
+            col = Collection.load(
+                self._collection_dir(name),
+                devices=self._devices, wal_sync=self._wal_sync)
+            self._collections[name] = col
+            return col
 
     def truncate_wal(self, target: str | None = None) -> None:
         """TRUNCATEWAL: collection WAL if a target is given, else the
