@@ -39,7 +39,7 @@ _PRECISIONS = {
 
 
 def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
-            cv_ref, ci_ref, *, metric, k, block_rows, precision):
+            cv_ref, ci_ref, s_ref, *, metric, k, block_rows, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -74,7 +74,7 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
     # and is far slower than the iterations it saves). Expected total
     # iterations over the scan: ~k * (1 + ln nblocks) per query tile.
     def cond(state):
-        s, m, cv, ci = state
+        m, cv, ci = state
         return jnp.any(m > cv[:, k - 1:k])
 
     def insert_one(cv, ci, m, am, has):
@@ -92,19 +92,23 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         ci = jnp.where(has, ins_i, ci)
         return cv, ci
 
+    # Scores live in a scratch ref; the while carries only (m, cv, ci).
     def body(state):
-        s, m, cv, ci = state
+        m, cv, ci = state
+        s = s_ref[:]
         theta = cv[:, k - 1:k]
         am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
                      keepdims=True)                                 # (B, 1)
         has = m > theta
         cv, ci = insert_one(cv, ci, m, am, has)
         s = jnp.where((col == am) & has, NEG_INF, s)
+        s_ref[:] = s
         m = jnp.max(s, axis=1, keepdims=True)
-        return s, m, cv, ci
+        return m, cv, ci
 
+    s_ref[:] = s
     m0 = jnp.max(s, axis=1, keepdims=True)
-    _, _, cv, ci = lax.while_loop(cond, body, (s, m0, cv_ref[:], ci_ref[:]))
+    _, cv, ci = lax.while_loop(cond, body, (m0, cv_ref[:], ci_ref[:]))
     cv_ref[:] = cv
     ci_ref[:] = ci
 
@@ -315,6 +319,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
         scratch_shapes=[
             pltpu.VMEM((b_tile, k), jnp.float32),
             pltpu.VMEM((b_tile, k), jnp.int32),
+            pltpu.VMEM((b_tile, block_rows), jnp.float32),  # scores
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
