@@ -241,9 +241,9 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
             pl.BlockSpec((b_tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                   # q
-            pl.BlockSpec(memory_space=pltpu.ANY),                    # x (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),                    # aux
-            pl.BlockSpec(memory_space=pltpu.ANY),                    # mask
+            pl.BlockSpec(memory_space=pl.ANY),                    # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),                    # aux
+            pl.BlockSpec(memory_space=pl.ANY),                    # mask
         ],
         out_specs=(
             pl.BlockSpec((b_tile, k), lambda i: (i, 0),
