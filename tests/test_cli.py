@@ -99,3 +99,16 @@ def test_ingest_to_search_pipeline(tmp_path, monkeypatch, capsys):
                  "-a", f"{qv};k=1"]) == 0
     out = capsys.readouterr().out
     assert "sister" in out
+
+
+def test_generate_embeddings_custom_source(tmp_path, monkeypatch):
+    """Ingest reads alice_in_wonderland.txt when present (reference:
+    embeddings.rs:8-9 reads exactly that file)."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "alice_in_wonderland.txt").write_text(
+        "zebra yak xylophone walrus")
+    assert main(["--generate-embeddings", "3"]) == 0
+    from vrod_tpu.records import parse_record
+    lines = (tmp_path / "alice_embeddings.txt").read_text().splitlines()
+    assert [parse_record(l).payload for l in lines] == [
+        "zebra", "yak", "xylophone"]

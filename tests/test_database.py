@@ -160,3 +160,34 @@ def test_database_lock_excludes_second_process(tmp_path):
     # after close, a new open succeeds
     db2 = Database.load(tmp_path / "locked")
     db2.close()
+
+
+def test_multi_collection_database(tmp_path, rng):
+    """Several collections with different schemas coexist in one DB."""
+    db = Database.new(tmp_path, "multi")
+    specs = [("cos32", "cosine", "float32", 16),
+             ("l2bf", "l2", "bfloat16", 24),
+             ("dot32", "dot", "float32", 8)]
+    data = {}
+    for name, metric, dtype, dim in specs:
+        col = db.create_collection(name, dim=dim, metric=metric,
+                                   dtype=dtype, segment_rows=64)
+        vecs = rng.standard_normal((60, dim)).astype(np.float32)
+        rids = col.bulk_insert(vecs, [f"{name}-{i}" for i in range(60)])
+        data[name] = (vecs, rids, dim)
+    assert db.list_collections() == sorted(n for n, *_ in specs)
+    for name, metric, dtype, dim in specs:
+        vecs, rids, _ = data[name]
+        hits = db.collection(name).search_similar(vecs[7], k=1)
+        assert hits[0].record_id == rids[7]
+        assert hits[0].payload == f"{name}-7"
+    db.close()
+
+    db2 = Database.load(tmp_path / "multi")
+    for name, metric, dtype, dim in specs:
+        vecs, rids, _ = data[name]
+        col = db2.collection(name)
+        assert col.config.metric == metric and col.config.dtype == dtype
+        hits = col.search_similar(vecs[7], k=1)
+        assert hits[0].record_id == rids[7]
+    db2.close()
