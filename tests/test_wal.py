@@ -146,3 +146,69 @@ def test_bulk_op_roundtrip():
     np.testing.assert_array_equal(back.record_ids, ids)
     np.testing.assert_array_equal(back.vectors, vecs)
     assert back.payloads == payloads
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_truncate_until_keeps_tail(tmp_path, native):
+    p = tmp_path / "vr_wal"
+    w = Wal(p, native=native)
+    for i in range(5):
+        w.append(f"op{i}".encode(), sync=True)
+    w.truncate_until(3)  # drop lsn 1..3, keep 4..5
+    assert [(l, pl) for l, pl in w.replay()] == [(4, b"op3"), (5, b"op4")]
+    assert w.append(b"after") == 6  # lsn continues
+    w.close()
+    # Survives a reopen (the rewrite was renamed durably into place).
+    w2 = Wal(p, native=native)
+    assert [(l, pl) for l, pl in w2.replay()] == [
+        (4, b"op3"), (5, b"op4"), (6, b"after")]
+    w2.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_truncate_until_all_and_none(tmp_path, native):
+    w = Wal(tmp_path / "vr_wal", native=native)
+    w.append(b"a", sync=True)
+    w.append(b"b", sync=True)
+    w.truncate_until(0)  # no-op
+    assert w.frame_count == 2
+    w.truncate_until(99)  # drops everything
+    assert w.frame_count == 0
+    assert w.append(b"c") == 3  # lsn still monotonic in-process
+    w.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_rewind_unacked_append(tmp_path, native):
+    w = Wal(tmp_path / "vr_wal", native=native)
+    w.append(b"keep", sync=True)
+    pre = w.valid_size
+    w.append(b"failed-apply", sync=True)
+    w.rewind(pre)
+    assert [pl for _, pl in w.replay()] == [b"keep"]
+    # The rewound lsn is not reused (monotonicity).
+    assert w.append(b"next") == 3
+    w.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_seed_lsn(tmp_path, native):
+    w = Wal(tmp_path / "vr_wal", native=native)
+    w.seed_lsn(41)
+    assert w.append(b"x") == 42
+    w.seed_lsn(10)  # can only move forward
+    assert w.append(b"y") == 43
+    w.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_leftover_tmp_cleaned_on_open(tmp_path, native):
+    p = tmp_path / "vr_wal"
+    w = Wal(p, native=native)
+    w.append(b"real", sync=True)
+    w.close()
+    (tmp_path / "vr_wal.tmp").write_bytes(b"garbage from crashed rewrite")
+    w2 = Wal(p, native=native)
+    assert [pl for _, pl in w2.replay()] == [b"real"]
+    assert not (tmp_path / "vr_wal.tmp").exists()
+    w2.close()

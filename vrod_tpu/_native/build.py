@@ -81,6 +81,12 @@ def load_native() -> ctypes.CDLL | None:
     lib.vrod_wal_sync.argtypes = [ctypes.c_void_p]
     lib.vrod_wal_truncate.restype = ctypes.c_int
     lib.vrod_wal_truncate.argtypes = [ctypes.c_void_p]
+    lib.vrod_wal_truncate_until.restype = ctypes.c_int
+    lib.vrod_wal_truncate_until.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.vrod_wal_rewind.restype = ctypes.c_int
+    lib.vrod_wal_rewind.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.vrod_wal_seed_lsn.restype = None
+    lib.vrod_wal_seed_lsn.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.vrod_wal_repair.restype = ctypes.c_int
     lib.vrod_wal_repair.argtypes = [ctypes.c_void_p]
     for fn in ("vrod_wal_frame_count", "vrod_wal_valid_size", "vrod_wal_last_lsn"):

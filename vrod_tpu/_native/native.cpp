@@ -136,6 +136,9 @@ static bool wal_scan(Wal* w) {
 extern "C" void* vrod_wal_open(const char* path) {
   Wal* w = new Wal();
   w->path = path;
+  // A leftover .tmp from a crashed truncate_until rewrite is garbage (the
+  // rename never happened, so the real log is intact).
+  unlink((w->path + ".tmp").c_str());
   w->fd = open(path, O_RDWR | O_CREAT, 0644);
   if (w->fd < 0) {
     delete w;
@@ -191,8 +194,72 @@ extern "C" int vrod_wal_truncate(void* h) {
   if (fdatasync(w->fd) != 0) return -1;
   w->index.clear();
   w->valid_size = 0;
-  // lsn keeps increasing across truncations so replay ordering stays global.
+  // next_lsn keeps increasing within this process; across a reopen it is
+  // re-seeded from the snapshot's recorded last_lsn (vrod_wal_seed_lsn), so
+  // LSNs stay globally monotonic in practice.
   return 0;
+}
+
+// Drop every frame with lsn <= upto_lsn, keeping the tail (frames appended
+// concurrently with a snapshot). Crash-safe: survivors are written to a
+// sibling temp file which is fsynced and renamed over the log.
+extern "C" int vrod_wal_truncate_until(void* h, uint64_t upto_lsn) {
+  Wal* w = (Wal*)h;
+  size_t first_kept = 0;
+  while (first_kept < w->index.size() && w->index[first_kept].lsn <= upto_lsn)
+    first_kept++;
+  if (first_kept == 0) return 0;  // nothing to drop
+  if (first_kept == w->index.size()) return vrod_wal_truncate(h);
+
+  std::string tmp_path = w->path + ".tmp";
+  int tfd = open(tmp_path.c_str(), O_RDWR | O_CREAT | O_TRUNC, 0644);
+  if (tfd < 0) return -1;
+  uint64_t start = w->index[first_kept].payload_offset - WAL_HEADER_SIZE;
+  uint64_t remaining = w->valid_size - start;
+  std::vector<uint8_t> buf(1 << 20);
+  uint64_t src = start, dst = 0;
+  while (remaining > 0) {
+    size_t chunk = remaining < buf.size() ? (size_t)remaining : buf.size();
+    ssize_t r = pread(w->fd, buf.data(), chunk, src);
+    if (r <= 0) { close(tfd); return -1; }
+    if (pwrite(tfd, buf.data(), r, dst) != r) { close(tfd); return -1; }
+    src += r; dst += r; remaining -= r;
+  }
+  if (fdatasync(tfd) != 0) { close(tfd); return -1; }
+  if (rename(tmp_path.c_str(), w->path.c_str()) != 0) { close(tfd); return -1; }
+  // Durable rename: fsync the parent directory.
+  std::string dir = w->path;
+  size_t slash = dir.find_last_of('/');
+  dir = slash == std::string::npos ? std::string(".") : dir.substr(0, slash);
+  int dfd = open(dir.c_str(), O_RDONLY);
+  if (dfd >= 0) { fsync(dfd); close(dfd); }
+  close(w->fd);
+  w->fd = tfd;
+  uint64_t saved_next = w->next_lsn;
+  if (!wal_scan(w)) return -1;
+  if (w->next_lsn < saved_next) w->next_lsn = saved_next;
+  return 0;
+}
+
+// Undo appends past `size` (a mutation whose apply failed was never acked).
+// next_lsn is NOT rewound: LSNs stay monotonic.
+extern "C" int vrod_wal_rewind(void* h, uint64_t size) {
+  Wal* w = (Wal*)h;
+  if (size > w->valid_size) return -1;
+  if (ftruncate(w->fd, size) != 0) return -1;
+  if (fdatasync(w->fd) != 0) return -1;
+  while (!w->index.empty() &&
+         w->index.back().payload_offset - WAL_HEADER_SIZE >= size)
+    w->index.pop_back();
+  w->valid_size = size;
+  return 0;
+}
+
+// Seed the lsn counter after restore so LSNs stay monotonic across
+// truncate+reopen (the snapshot records the lsn it captured).
+extern "C" void vrod_wal_seed_lsn(void* h, uint64_t last_lsn) {
+  Wal* w = (Wal*)h;
+  if (last_lsn + 1 > w->next_lsn) w->next_lsn = last_lsn + 1;
 }
 
 // Truncate a torn/corrupt tail so the file ends at the last valid frame.

@@ -60,9 +60,26 @@ class _NativeWal:
         if self._lib.vrod_wal_truncate(self._h) != 0:
             raise WalError("WAL truncate failed")
 
+    def truncate_until(self, upto_lsn: int) -> None:
+        """Drop frames with lsn <= upto_lsn; keep the concurrent tail."""
+        if self._lib.vrod_wal_truncate_until(self._h, upto_lsn) != 0:
+            raise WalError("WAL truncate_until failed")
+
+    def rewind(self, size: int) -> None:
+        """Undo appends past ``size`` (an op whose apply failed, never acked)."""
+        if self._lib.vrod_wal_rewind(self._h, size) != 0:
+            raise WalError("WAL rewind failed")
+
+    def seed_lsn(self, last_lsn: int) -> None:
+        self._lib.vrod_wal_seed_lsn(self._h, last_lsn)
+
     def repair(self) -> None:
         if self._lib.vrod_wal_repair(self._h) != 0:
             raise WalError("WAL repair failed")
+
+    @property
+    def valid_size(self) -> int:
+        return self._lib.vrod_wal_valid_size(self._h)
 
     @property
     def frame_count(self) -> int:
@@ -104,6 +121,10 @@ class _PyWal:
 
     def __init__(self, path: Path):
         self.path = Path(path)
+        # A leftover .tmp from a crashed truncate_until rewrite is garbage.
+        tmp = self.path.with_name(self.path.name + ".tmp")
+        if tmp.exists():
+            tmp.unlink()
         # r+b (not a+b): append mode would force every write to EOF, making
         # it impossible to overwrite a torn tail at valid_size.
         if not self.path.exists():
@@ -164,10 +185,61 @@ class _PyWal:
         self._valid_size = 0
         self._file_size = 0
 
+    def truncate_until(self, upto_lsn: int) -> None:
+        """Drop frames with lsn <= upto_lsn; keep the concurrent tail.
+        Crash-safe: survivors go to a temp file renamed over the log."""
+        import os
+        first_kept = 0
+        while (first_kept < len(self._index)
+               and self._index[first_kept][0] <= upto_lsn):
+            first_kept += 1
+        if first_kept == 0:
+            return
+        if first_kept == len(self._index):
+            self.truncate()
+            return
+        start = self._index[first_kept][1] - _HEADER.size
+        self._f.seek(start)
+        tail = self._f.read(self._valid_size - start)
+        tmp = self.path.with_name(self.path.name + ".tmp")
+        with open(tmp, "wb") as tf:
+            tf.write(tail)
+            tf.flush()
+            os.fsync(tf.fileno())
+        saved_next = self._next_lsn
+        self._f.close()
+        os.replace(tmp, self.path)
+        dfd = os.open(str(self.path.parent), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        self._f = open(self.path, "r+b")
+        self._scan()
+        self._next_lsn = max(self._next_lsn, saved_next)
+
+    def rewind(self, size: int) -> None:
+        """Undo appends past ``size``; next_lsn stays monotonic."""
+        if size > self._valid_size:
+            raise WalError("rewind past valid size")
+        self._f.truncate(size)
+        self.sync()
+        while self._index and self._index[-1][1] - _HEADER.size >= size:
+            self._index.pop()
+        self._valid_size = size
+        self._file_size = size
+
+    def seed_lsn(self, last_lsn: int) -> None:
+        self._next_lsn = max(self._next_lsn, last_lsn + 1)
+
     def repair(self) -> None:
         self._f.truncate(self._valid_size)
         self.sync()
         self._file_size = self._valid_size
+
+    @property
+    def valid_size(self) -> int:
+        return self._valid_size
 
     @property
     def frame_count(self) -> int:
