@@ -234,3 +234,47 @@ def test_delete_many(tmp_path, rng):
     hits = col2.search_similar(vecs[5], k=1)
     assert hits[0].record_id == rids[5]
     assert col.delete_many([99999]) == 0
+
+
+def test_failed_apply_rewinds_wal(tmp_path, rng):
+    """A mutation whose device apply fails must not materialize on replay
+    (the WAL frame was never acked)."""
+    col = new_col(tmp_path, "rw", dim=8, segment_rows=64)
+    col.insert(rng.standard_normal(8), "keep")
+    boom = RuntimeError("simulated device OOM")
+
+    orig = col._apply_insert
+
+    def failing(*a, **kw):
+        raise boom
+
+    col._apply_insert = failing
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        col.insert(rng.standard_normal(8), "phantom")
+    col._apply_insert = orig
+    col.close()
+
+    col2 = Collection.load(tmp_path / "rw")
+    assert col2.count == 1
+    assert col2.get(1).payload == "keep"
+    with _pytest.raises(Exception):
+        col2.get(2)
+    col2.close()
+
+
+def test_bulk_insert_chunks_wal_frames(tmp_path, rng):
+    """Large BULKINSERTs write multiple bounded WAL frames, and a replay
+    across the frame boundary reconstructs every record."""
+    col = new_col(tmp_path, "chunky", dim=8, segment_rows=4096)
+    # Force tiny frames so the test exercises multi-frame bulks cheaply.
+    col.WAL_FRAME_ROWS_MAX = 100
+    vecs = rng.standard_normal((256, 8)).astype("float32")
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(256)])
+    assert col.wal.frame_count == 3  # ceil(256/100)
+    col.close()
+    col2 = Collection.load(tmp_path / "chunky")
+    assert col2.count == 256
+    assert col2.get(int(rids[255])).payload == "p255"
+    assert col2.get(int(rids[100])).payload == "p100"
+    col2.close()

@@ -124,7 +124,6 @@ def test_op_encoding_roundtrip():
         ops.InsertOp(42, vec, "payload ; with ; semis"),
         ops.UpdateOp(7, vec * 2, ""),
         ops.DeleteOp(99),
-        ops.CheckpointOp(3),
         ops.CreateCollectionOp({"name": "c", "dim": 4}),
         ops.DropCollectionOp("c"),
     ]:

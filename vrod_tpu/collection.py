@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import shutil
+import threading
 from pathlib import Path
 
 import numpy as np
@@ -68,6 +69,12 @@ class Collection:
         # Single-writer / multi-reader: mutations donate device buffers, so
         # a concurrent search must never hold the old arrays (SURVEY §5).
         self._rw = RWLock()
+        # Serializes maintenance (snapshot/reindex); ordinary reads/writes
+        # proceed concurrently with a running snapshot.
+        self._maint = threading.Lock()
+        # Cap on rows per BULKINSERT WAL frame (~64 MB of vector data): huge
+        # ingests write many bounded frames instead of one multi-GB frame.
+        self.WAL_FRAME_ROWS_MAX = max(1, (64 << 20) // (config.dim * 4 + 64))
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -110,16 +117,34 @@ class Collection:
     def count(self) -> int:
         return self.alloc.live_count
 
+
     # -- mutations (WAL first, then device) --------------------------------
+
+    def _log_and_apply(self, op, apply_fn):
+        """Append the op to the WAL, then apply it to device/host state.
+
+        If the apply raises (e.g. device OOM during a grow/scatter) the WAL
+        is rewound to its pre-append size: the op was never acked, so it
+        must not silently materialize on the next replay."""
+        pre = self.wal.valid_size
+        self.wal.append(ops.encode(op), sync=self.wal_sync)
+        try:
+            apply_fn()
+        except BaseException:
+            try:
+                self.wal.rewind(pre)
+            except Exception:
+                pass  # rewind is best-effort; the original error matters more
+            raise
 
     def insert(self, vector, payload: str = "") -> int:
         vecs = self._check_dim(vector)
         with self._rw.write():
             rid = self.next_id
-            self.wal.append(
-                ops.encode(ops.InsertOp(rid, vecs[0], payload)),
-                sync=self.wal_sync)
-            self._apply_insert(np.array([rid], dtype=np.uint64), vecs, [payload])
+            self._log_and_apply(
+                ops.InsertOp(rid, vecs[0], payload),
+                lambda: self._apply_insert(
+                    np.array([rid], dtype=np.uint64), vecs, [payload]))
         metrics.counters.inc("collection.inserts")
         return rid
 
@@ -132,10 +157,29 @@ class Collection:
             raise ValueError("payloads length must match vectors")
         with self._rw.write():
             rids = np.arange(self.next_id, self.next_id + n, dtype=np.uint64)
-            self.wal.append(
-                ops.encode(ops.BulkOp(rids, vecs, list(payloads))),
-                sync=self.wal_sync)
-            self._apply_insert(rids, vecs, payloads)
+            # Cap WAL frame size: a 10M-row ingest must not become one
+            # multi-GB frame (bounded replay memory, finer torn-tail
+            # granularity). Each chunk is its own op; one fsync at the end
+            # covers them all (group durability before ack).
+            chunk = max(1, self.WAL_FRAME_ROWS_MAX)
+            pre = self.wal.valid_size
+            try:
+                for start in range(0, n, chunk):
+                    end = min(start + chunk, n)
+                    self.wal.append(
+                        ops.encode(ops.BulkOp(
+                            rids[start:end], vecs[start:end],
+                            list(payloads[start:end]))),
+                        sync=False)
+                if self.wal_sync:
+                    self.wal.sync()
+                self._apply_insert(rids, vecs, payloads)
+            except BaseException:
+                try:
+                    self.wal.rewind(pre)
+                except Exception:
+                    pass
+                raise
         metrics.counters.inc("collection.inserts", n)
         return rids
 
@@ -151,9 +195,8 @@ class Collection:
         with self._rw.write():
             if self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
-            self.wal.append(
-                ops.encode(ops.DeleteOp(record_id)), sync=self.wal_sync)
-            self._apply_delete(record_id)
+            self._log_and_apply(ops.DeleteOp(record_id),
+                                lambda: self._apply_delete(record_id))
         metrics.counters.inc("collection.deletes")
 
     def delete_many(self, record_ids) -> int:
@@ -166,9 +209,8 @@ class Collection:
                 dtype=np.uint64)
             if known.size == 0:
                 return 0
-            self.wal.append(ops.encode(ops.BulkDeleteOp(known)),
-                            sync=self.wal_sync)
-            self._apply_bulk_delete(known)
+            self._log_and_apply(ops.BulkDeleteOp(known),
+                                lambda: self._apply_bulk_delete(known))
         metrics.counters.inc("collection.deletes", int(known.size))
         return int(known.size)
 
@@ -194,10 +236,9 @@ class Collection:
         with self._rw.write():
             if self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
-            self.wal.append(
-                ops.encode(ops.UpdateOp(record_id, vecs[0], payload)),
-                sync=self.wal_sync)
-            self._apply_update(record_id, vecs, payload)
+            self._log_and_apply(
+                ops.UpdateOp(record_id, vecs[0], payload),
+                lambda: self._apply_update(record_id, vecs, payload))
 
     def _apply_update(self, record_id: int, vecs: np.ndarray, payload: str) -> None:
         self._apply_delete(record_id)
@@ -233,18 +274,26 @@ class Collection:
                            shards=self.engine.shards):
             with self._rw.read():
                 vals, slots = self.engine.search(q, k, **search_kw)
-        # Bulk slot->id mapping (one native call for the whole batch).
-        rids = self.alloc.ids_of(
-            np.where(slots >= 0, slots, 0).astype(np.uint64)
-        ).reshape(slots.shape)
+                # Slot->id binding and payload lookup must happen under the
+                # same read lock as the search: a concurrent delete+insert
+                # reusing a freed slot (or a compaction) would otherwise
+                # rebind slots between the device scan and the id mapping.
+                rids = self.alloc.ids_of(
+                    np.where(slots >= 0, slots, 0).astype(np.uint64)
+                ).reshape(slots.shape)
+                payloads = {
+                    int(r): self.payloads.get(int(r), "")
+                    for r in np.unique(rids[rids != NO_ID])
+                }
         results = []
         for b in range(q.shape[0]):
             hits = []
             for j in range(vals.shape[1]):
                 if slots[b, j] < 0 or rids[b, j] == NO_ID:
                     continue
-                hits.append(SearchHit(int(rids[b, j]), float(vals[b, j]),
-                                      self.payloads.get(int(rids[b, j]), "")))
+                rid = int(rids[b, j])
+                hits.append(SearchHit(rid, float(vals[b, j]),
+                                      payloads.get(rid, "")))
             results.append(hits)
         return results[0] if single else results
 
@@ -254,13 +303,16 @@ class Collection:
         """REINDEX (reference: types.rs:134-144): compact live rows into
         [0, live_count) — device gather/scatter moves planned by the
         allocator. Returns the number of rows moved."""
-        with self._rw.write():
-            src, dst = self.alloc.plan_compaction()
-            if src.size:
-                self.engine.move(src, dst)
-                self.alloc.apply_compaction(src, dst)
-            # Snapshot makes the compacted layout durable, drops stale WAL.
-            self._snapshot_locked()
+        with self._maint:
+            with self._rw.write():
+                src, dst = self.alloc.plan_compaction()
+                if src.size:
+                    self.engine.move(src, dst)
+                    self.alloc.apply_compaction(src, dst)
+            # Snapshot makes the live set durable and drops the stale WAL
+            # prefix. (Compaction itself is not WAL-logged: slots are a
+            # device-layout detail, rebuilt from (id, vector) on restore.)
+            self._snapshot_impl()
         metrics.counters.inc("collection.compactions")
         return int(src.size)
 
@@ -271,73 +323,161 @@ class Collection:
 
     # -- persistence -------------------------------------------------------
 
-    def snapshot(self) -> Path:
-        """Persist live records; then the WAL is redundant and truncated."""
-        with self._rw.write():
-            return self._snapshot_locked()
+    # Rows per snapshot gather chunk: bounds peak host memory (~200 MB at
+    # dim 768 f32) and the read-lock hold time per chunk.
+    SNAPSHOT_CHUNK_ROWS = 65536
 
-    def _snapshot_locked(self) -> Path:
+    def snapshot(self) -> Path:
+        """Persist live records; the WAL frames they came from become
+        redundant and are dropped (``truncate_until`` keeps any tail
+        appended concurrently with the snapshot).
+
+        Non-blocking: a brief write lock fixes the cut (live slots, ids,
+        last durable LSN), then the device->host gather and disk writes run
+        chunk-at-a-time taking only short read locks — searches and
+        mutations proceed throughout. The snapshot is fuzzy (a concurrently
+        rebound slot may be captured with stale data) and the preserved WAL
+        tail re-establishes exactness on restore, because replay is
+        idempotent and ordered."""
+        with self._maint:
+            return self._snapshot_impl()
+
+    def _snapshot_impl(self) -> Path:
         snap_dir = self.path / SNAPSHOT_DIR
+        old_dir = self.path / (SNAPSHOT_DIR + ".old")
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")
         if tmp_dir.exists():
             shutil.rmtree(tmp_dir)
         tmp_dir.mkdir(parents=True)
-        live_slots = self.alloc.live_slots()
-        rids = np.array([self.alloc.id_of(int(s)) for s in live_slots],
-                        dtype=np.uint64)
-        # Chunked device->host gather: bounds peak host memory per transfer
-        # and pipelines readback with the next chunk's device gather.
-        chunk = self.engine.WRITE_CHUNK_ROWS
-        vecs = np.empty((live_slots.size, self.config.dim), np.float32)
-        for start in range(0, live_slots.size, chunk):
+
+        # Phase 1 — plan the cut under a brief write lock.
+        with self._rw.write():
+            self.wal.sync()  # everything applied so far is durable
+            live_slots = self.alloc.live_slots()
+            rids = self.alloc.ids_of(live_slots.astype(np.uint64))
+            next_id = self.next_id
+            last_lsn = self.wal.last_lsn
+
+        # Phase 2 — chunked gather + streaming write, no write lock held.
+        n = int(live_slots.size)
+        from . import snapshot as snapio
+        vw = snapio.NpyStreamWriter(
+            tmp_dir / "vectors.npy", np.float32, (n, self.config.dim))
+        pw = snapio.PayloadStreamWriter(tmp_dir / "payloads.bin", n)
+        chunk = self.SNAPSHOT_CHUNK_ROWS
+        for start in range(0, n, chunk):
             sl = live_slots[start:start + chunk].astype(np.int64)
-            vecs[start:start + chunk] = self.engine.gather(sl)
-        np.save(tmp_dir / "ids.npy", rids)
-        np.save(tmp_dir / "vectors.npy", vecs)
-        (tmp_dir / "payloads.json").write_text(json.dumps(
-            {str(r): self.payloads.get(int(r), "") for r in rids.tolist()}))
-        import zlib
+            rid_chunk = rids[start:start + chunk]
+            with self._rw.read():
+                vecs = self.engine.gather(sl)
+                pls = [self.payloads.get(int(r), "")
+                       for r in rid_chunk.tolist()]
+            vw.write_rows(vecs)
+            pw.write_many(pls)
         checksums = {
-            f: zlib.crc32((tmp_dir / f).read_bytes()) & 0xFFFFFFFF
-            for f in ("ids.npy", "vectors.npy", "payloads.json")
+            "vectors.npy": vw.close(),
+            "payloads.bin": pw.close(),
         }
+        np.save(tmp_dir / "ids.npy", rids.astype(np.uint64))
+        snapio.fsync_file(tmp_dir / "ids.npy")
+        checksums["ids.npy"] = snapio.crc32_of_file(tmp_dir / "ids.npy")
         (tmp_dir / "meta.json").write_text(json.dumps({
-            "next_id": self.next_id,
-            "count": int(rids.size),
-            "last_lsn": self.wal.last_lsn,
+            "next_id": next_id,
+            "count": n,
+            "last_lsn": last_lsn,
             "crc32": checksums,
         }))
+        snapio.fsync_file(tmp_dir / "meta.json")
+        snapio.fsync_dir(tmp_dir)
+
+        # Phase 3 — durable swap: keep the previous snapshot as .old until
+        # the new one is fully in place (a crash at any point leaves a
+        # CRC-valid snapshot plus a WAL that covers everything after it).
+        if old_dir.exists():
+            shutil.rmtree(old_dir)
         if snap_dir.exists():
-            shutil.rmtree(snap_dir)
-        tmp_dir.replace(snap_dir)
-        self.wal.truncate()
+            snap_dir.rename(old_dir)
+            snapio.fsync_dir(self.path)
+        tmp_dir.rename(snap_dir)
+        snapio.fsync_dir(self.path)
+
+        # Phase 4 — the WAL prefix up to the cut is now redundant; frames
+        # appended during phases 2-3 survive.
+        self.wal.truncate_until(last_lsn)
+        if old_dir.exists():
+            shutil.rmtree(old_dir)
+            snapio.fsync_dir(self.path)
         return snap_dir
 
-    def _restore(self) -> None:
-        snap_dir = self.path / SNAPSHOT_DIR
-        if snap_dir.exists():
-            meta = json.loads((snap_dir / "meta.json").read_text())
-            import zlib
+    def _pick_snapshot(self):
+        """Newest CRC-valid snapshot directory: the committed one, else the
+        previous (.old — swap crashed mid-way; WAL still covers it), else a
+        completed-but-unrenamed .tmp."""
+        from . import snapshot as snapio
+        main_present = False
+        for name in (SNAPSHOT_DIR, SNAPSHOT_DIR + ".old",
+                     SNAPSHOT_DIR + ".tmp"):
+            d = self.path / name
+            meta_p = d / "meta.json"
+            if not meta_p.exists():
+                continue
+            if name == SNAPSHOT_DIR:
+                main_present = True
+            try:
+                meta = json.loads(meta_p.read_text())
+                ok = all(
+                    snapio.crc32_of_file(d / f) == expect
+                    for f, expect in meta.get("crc32", {}).items())
+            except Exception:
+                continue
+            if ok:
+                if name != SNAPSHOT_DIR and main_present:
+                    import warnings
+                    warnings.warn(
+                        f"Snapshot at {self.path / SNAPSHOT_DIR} is corrupt;"
+                        f" restoring from {name} + WAL replay")
+                return d, meta
+        if main_present:
             from .errors import WalCorruptionError
-            for f, expect in meta.get("crc32", {}).items():
-                got = zlib.crc32((snap_dir / f).read_bytes()) & 0xFFFFFFFF
-                if got != expect:
-                    raise WalCorruptionError(
-                        f"Snapshot file {f} corrupt (crc {got:#x} != "
-                        f"{expect:#x}); restore from WAL or a backup")
+            raise WalCorruptionError(
+                f"Snapshot at {self.path / SNAPSHOT_DIR} is corrupt (crc "
+                f"mismatch) and no fallback validates; restore from a backup")
+        return None, None
+
+    def _restore(self) -> None:
+        snap_dir, meta = self._pick_snapshot()
+        if snap_dir is not None:
+            from . import snapshot as snapio
             rids = np.load(snap_dir / "ids.npy")
-            vecs = np.load(snap_dir / "vectors.npy")
-            payloads_map = json.loads((snap_dir / "payloads.json").read_text())
-            if rids.size:
+            chunk = self.SNAPSHOT_CHUNK_ROWS
+            # Memory-mapped vectors + streamed payloads: restore memory is
+            # bounded by the chunk size, not the collection size.
+            vecs = np.load(snap_dir / "vectors.npy", mmap_mode="r")
+            if (snap_dir / "payloads.bin").exists():
+                payload_chunks = snapio.read_payloads(
+                    snap_dir / "payloads.bin", chunk_records=chunk)
+            else:  # legacy (round-1) snapshot layout
+                pmap = json.loads((snap_dir / "payloads.json").read_text())
+                payload_chunks = (
+                    [pmap.get(str(r), "") for r in rids[s:s + chunk].tolist()]
+                    for s in range(0, rids.size, chunk))
+            for start, pls in zip(range(0, rids.size, chunk), payload_chunks):
                 self._apply_insert(
-                    rids, vecs,
-                    [payloads_map.get(str(r), "") for r in rids.tolist()])
+                    rids[start:start + chunk],
+                    np.asarray(vecs[start:start + chunk], dtype=np.float32),
+                    pls)
             self.next_id = max(self.next_id, int(meta["next_id"]))
+            self.wal.seed_lsn(int(meta.get("last_lsn", 0)))
         # Crash recovery: drop any torn tail, then replay the durable prefix.
         if self.wal.has_torn_tail:
             self.wal.repair()
         for _lsn, frame in self.wal.replay():
             self._replay_op(ops.decode(frame))
+        # Leftover swap intermediates are garbage once restore succeeded.
+        for name in (SNAPSHOT_DIR + ".old", SNAPSHOT_DIR + ".tmp"):
+            d = self.path / name
+            if d.exists() and d != snap_dir:
+                shutil.rmtree(d, ignore_errors=True)
 
     def _replay_op(self, op) -> None:
         """Idempotent replay: re-applying an already-applied op is a no-op."""
@@ -366,8 +506,6 @@ class Collection:
         elif isinstance(op, ops.UpdateOp):
             self._apply_update(op.record_id, op.vector[None, :], op.payload)
             self.next_id = max(self.next_id, op.record_id + 1)
-        elif isinstance(op, ops.CheckpointOp):
-            pass
         else:
             raise TypeError(f"Unexpected op in collection WAL: {op}")
 

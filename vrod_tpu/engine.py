@@ -110,14 +110,23 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     return jax.jit(search)
 
 
-# Mesh objects aren't hashable across processes; key them by id in a registry
-# so lru_cache can hold compiled programs per mesh.
-_MESHES: dict[int, object] = {}
+# Registry of live meshes keyed by a stable topology fingerprint (device
+# ids + shape + axis names): collections on the same topology share one
+# registry entry — and therefore share lru_cache'd compiled search programs.
+# Values are held weakly so a dropped collection's mesh doesn't outlive its
+# last strong reference (cached closures keep theirs alive until lru
+# eviction, which bounds the total).
+import weakref
+
+_MESHES: "weakref.WeakValueDictionary[tuple, object]" = \
+    weakref.WeakValueDictionary()
 
 
-def _mesh_key(mesh) -> int:
-    key = id(mesh)
-    _MESHES[key] = mesh
+def _mesh_key(mesh) -> tuple:
+    key = (tuple(int(d.id) for d in mesh.devices.flat),
+           tuple(mesh.devices.shape), tuple(mesh.axis_names))
+    if _MESHES.get(key) is None:
+        _MESHES[key] = mesh
     return key
 
 

@@ -68,13 +68,6 @@ class DropCollectionOp:
     name: str
 
 
-@dataclasses.dataclass
-class CheckpointOp:
-    """Snapshot barrier: frames at or before this op are captured by
-    snapshot ``snapshot_id``; replay after restore starts past it."""
-    snapshot_id: int
-
-
 def _pack_vec_payload(record_id: int, vector: np.ndarray, payload: str) -> bytes:
     vec = np.ascontiguousarray(vector, dtype=np.float32)
     pb = payload.encode("utf-8")
@@ -120,8 +113,6 @@ def encode(op) -> bytes:
         return bytes([OP_CREATE_COLLECTION]) + json.dumps(op.config_json).encode()
     if isinstance(op, DropCollectionOp):
         return bytes([OP_DROP_COLLECTION]) + op.name.encode("utf-8")
-    if isinstance(op, CheckpointOp):
-        return bytes([OP_CHECKPOINT]) + struct.pack("<Q", op.snapshot_id)
     raise TypeError(f"Unknown WAL op {type(op)}")
 
 
@@ -159,7 +150,4 @@ def decode(buf: bytes):
         return CreateCollectionOp(config_json=json.loads(buf[1:].decode()))
     if kind == OP_DROP_COLLECTION:
         return DropCollectionOp(name=buf[1:].decode("utf-8"))
-    if kind == OP_CHECKPOINT:
-        (sid,) = struct.unpack_from("<Q", buf, 1)
-        return CheckpointOp(snapshot_id=sid)
     raise WalCorruptionError(f"Unknown WAL op kind {kind}")
