@@ -116,3 +116,88 @@ def test_batcher_during_mutations(tmp_db, rng):
         for i, f in enumerate(futs):
             hits = f.result(60)
             assert hits[0].payload == f"p{i % 100}"
+
+
+def test_group_commit_shares_fsyncs(tmp_path, rng):
+    """Concurrent single-record inserts must share fsyncs (group commit)
+    while remaining durable-before-ack: every acked insert survives reload."""
+    import threading
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+
+    cfg = CollectionConfig(name="gc", dim=8, segment_rows=256)
+    col = Collection.create(tmp_path / "gc", cfg, wal_sync=True)
+
+    sync_calls = {"n": 0}
+    real_sync = col.wal.sync
+
+    def counting_sync():
+        sync_calls["n"] += 1
+        real_sync()
+
+    col.wal.sync = counting_sync
+
+    n_threads, per_thread = 8, 10
+    errors = []
+
+    def worker(t):
+        try:
+            for i in range(per_thread):
+                col.insert(rng.standard_normal(8), f"t{t}i{i}")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,))
+               for t in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    total = n_threads * per_thread
+    assert col.count == total
+    # Sharing: strictly fewer fsyncs than inserts (in practice far fewer).
+    assert sync_calls["n"] < total, (sync_calls, total)
+    col.close()
+    col2 = Collection.load(tmp_path / "gc")
+    assert col2.count == total
+    col2.close()
+
+
+def test_group_commit_with_concurrent_snapshot(tmp_path, rng):
+    """Snapshots (which rewrite the WAL file under the committer's
+    exclusive lock) must not wedge or drop concurrent acked inserts."""
+    import threading
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+
+    cfg = CollectionConfig(name="gs", dim=8, segment_rows=256)
+    col = Collection.create(tmp_path / "gs", cfg, wal_sync=True)
+    stop = threading.Event()
+    errors = []
+    acked = []
+
+    def inserter():
+        try:
+            while not stop.is_set():
+                rid = col.insert(rng.standard_normal(8), "d")
+                acked.append(rid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=inserter) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(5):
+            col.snapshot()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    assert col.count == len(acked)
+    col.close()
+    col2 = Collection.load(tmp_path / "gs")
+    assert col2.count == len(acked)
+    col2.close()

@@ -38,7 +38,7 @@ from .errors import (
 from . import metrics
 from .records import Record
 from .utils.locks import RWLock
-from .wal import Wal, ops
+from .wal import GroupCommit, Wal, ops
 
 
 class SearchHit:
@@ -64,6 +64,9 @@ class Collection:
         self.engine = DeviceEngine(config, mesh=mesh, devices=devices)
         self.alloc = SlotAllocator(self.engine.capacity)
         self.wal = Wal(self.path / WAL_FILE)
+        # Group commit: concurrent mutations share one fsync before ack
+        # instead of paying ~10 ms each (SURVEY §5 checkpoint/resume row).
+        self._commit = GroupCommit(self.wal)
         self.payloads: dict[int, str] = {}
         self.next_id = 1
         # Single-writer / multi-reader: mutations donate device buffers, so
@@ -120,14 +123,18 @@ class Collection:
 
     # -- mutations (WAL first, then device) --------------------------------
 
-    def _log_and_apply(self, op, apply_fn):
-        """Append the op to the WAL, then apply it to device/host state.
+    def _log_and_apply(self, op, apply_fn) -> int:
+        """Append the op to the WAL, apply it to device/host state, and
+        return the op's LSN. The fsync happens AFTER the caller releases
+        the write lock (``_commit.sync_upto``) so concurrent mutations
+        share one fsync — durability before ack is preserved because device
+        state is volatile (rebuilt from the WAL on restart).
 
         If the apply raises (e.g. device OOM during a grow/scatter) the WAL
         is rewound to its pre-append size: the op was never acked, so it
         must not silently materialize on the next replay."""
         pre = self.wal.valid_size
-        self.wal.append(ops.encode(op), sync=self.wal_sync)
+        lsn = self.wal.append(ops.encode(op), sync=False)
         try:
             apply_fn()
         except BaseException:
@@ -136,15 +143,22 @@ class Collection:
             except Exception:
                 pass  # rewind is best-effort; the original error matters more
             raise
+        return lsn
+
+    def _ack(self, lsn: int) -> None:
+        """Block until the op at ``lsn`` is durable (shared group fsync)."""
+        if self.wal_sync:
+            self._commit.sync_upto(lsn)
 
     def insert(self, vector, payload: str = "") -> int:
         vecs = self._check_dim(vector)
         with self._rw.write():
             rid = self.next_id
-            self._log_and_apply(
+            lsn = self._log_and_apply(
                 ops.InsertOp(rid, vecs[0], payload),
                 lambda: self._apply_insert(
                     np.array([rid], dtype=np.uint64), vecs, [payload]))
+        self._ack(lsn)
         metrics.counters.inc("collection.inserts")
         return rid
 
@@ -163,16 +177,15 @@ class Collection:
             # covers them all (group durability before ack).
             chunk = max(1, self.WAL_FRAME_ROWS_MAX)
             pre = self.wal.valid_size
+            lsn = 0
             try:
                 for start in range(0, n, chunk):
                     end = min(start + chunk, n)
-                    self.wal.append(
+                    lsn = self.wal.append(
                         ops.encode(ops.BulkOp(
                             rids[start:end], vecs[start:end],
                             list(payloads[start:end]))),
                         sync=False)
-                if self.wal_sync:
-                    self.wal.sync()
                 self._apply_insert(rids, vecs, payloads)
             except BaseException:
                 try:
@@ -180,6 +193,7 @@ class Collection:
                 except Exception:
                     pass
                 raise
+        self._ack(lsn)
         metrics.counters.inc("collection.inserts", n)
         return rids
 
@@ -195,8 +209,9 @@ class Collection:
         with self._rw.write():
             if self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
-            self._log_and_apply(ops.DeleteOp(record_id),
-                                lambda: self._apply_delete(record_id))
+            lsn = self._log_and_apply(ops.DeleteOp(record_id),
+                                      lambda: self._apply_delete(record_id))
+        self._ack(lsn)
         metrics.counters.inc("collection.deletes")
 
     def delete_many(self, record_ids) -> int:
@@ -209,8 +224,9 @@ class Collection:
                 dtype=np.uint64)
             if known.size == 0:
                 return 0
-            self._log_and_apply(ops.BulkDeleteOp(known),
-                                lambda: self._apply_bulk_delete(known))
+            lsn = self._log_and_apply(ops.BulkDeleteOp(known),
+                                      lambda: self._apply_bulk_delete(known))
+        self._ack(lsn)
         metrics.counters.inc("collection.deletes", int(known.size))
         return int(known.size)
 
@@ -236,9 +252,10 @@ class Collection:
         with self._rw.write():
             if self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
-            self._log_and_apply(
+            lsn = self._log_and_apply(
                 ops.UpdateOp(record_id, vecs[0], payload),
                 lambda: self._apply_update(record_id, vecs, payload))
+        self._ack(lsn)
 
     def _apply_update(self, record_id: int, vecs: np.ndarray, payload: str) -> None:
         self._apply_delete(record_id)
@@ -319,7 +336,9 @@ class Collection:
     def truncate_wal(self) -> None:
         """TRUNCATEWAL for this collection (reference: types.rs:44-54)."""
         with self._rw.write():
-            self.wal.truncate()
+            with self._commit.exclusive():
+                self.wal.truncate()
+            self._commit.mark_synced()
 
     # -- persistence -------------------------------------------------------
 
@@ -353,6 +372,7 @@ class Collection:
         # Phase 1 — plan the cut under a brief write lock.
         with self._rw.write():
             self.wal.sync()  # everything applied so far is durable
+            self._commit.mark_synced()
             live_slots = self.alloc.live_slots()
             rids = self.alloc.ids_of(live_slots.astype(np.uint64))
             next_id = self.next_id
@@ -402,8 +422,15 @@ class Collection:
         snapio.fsync_dir(self.path)
 
         # Phase 4 — the WAL prefix up to the cut is now redundant; frames
-        # appended during phases 2-3 survive.
-        self.wal.truncate_until(last_lsn)
+        # appended during phases 2-3 survive. The rewrite swaps the WAL fd,
+        # so appends (write lock) and in-flight group fsyncs (exclusive)
+        # are locked out for its brief duration; the rewrite itself fsyncs
+        # the surviving tail, which mark_synced records.
+        with self._rw.write():
+            with self._commit.exclusive():
+                self.wal.truncate_until(last_lsn)
+            self.wal.sync()  # covers the no-op case (nothing dropped)
+            self._commit.mark_synced()
         if old_dir.exists():
             shutil.rmtree(old_dir)
             snapio.fsync_dir(self.path)

@@ -1,4 +1,4 @@
-from .wal import Wal
+from .wal import GroupCommit, Wal
 from . import ops
 
-__all__ = ["Wal", "ops"]
+__all__ = ["GroupCommit", "Wal", "ops"]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ctypes
 import struct
+import threading
 import zlib
 from pathlib import Path
 
@@ -269,6 +270,77 @@ class _PyWal:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class GroupCommit:
+    """Shared-fsync commit protocol: concurrent writers append (under the
+    collection's write lock), then call ``sync_upto(lsn)`` before acking.
+    One writer becomes the leader and issues a single fsync that covers
+    every append completed before it started; the rest just wait. Turns
+    N concurrent inserts into ~1 fsync instead of N (the mutation-side
+    analogue of the query batcher)."""
+
+    def __init__(self, wal):
+        self._wal = wal
+        self._cv = threading.Condition()
+        self._synced = 0       # highest lsn known durable
+        self._pending = 0      # highest lsn anyone asked to make durable
+        self._leader = False
+
+    def exclusive(self):
+        """Lock out leader fsyncs while the WAL's fd is being swapped
+        (truncate/truncate_until rewrite the file)."""
+        return _GroupCommitExclusive(self)
+
+    def sync_upto(self, lsn: int) -> None:
+        with self._cv:
+            self._pending = max(self._pending, lsn)
+            while self._synced < lsn:
+                if not self._leader:
+                    self._leader = True
+                    target = self._pending
+                    break
+                self._cv.wait()
+            else:
+                return
+        try:
+            self._wal.sync()
+        except BaseException:
+            with self._cv:
+                self._leader = False
+                self._cv.notify_all()  # someone else retries / re-raises
+            raise
+        with self._cv:
+            self._leader = False
+            self._synced = max(self._synced, target)
+            self._cv.notify_all()
+
+    def mark_synced(self) -> None:
+        """Record that the WAL was fsynced externally (e.g. snapshot cut)."""
+        with self._cv:
+            self._synced = max(self._synced, self._pending,
+                               self._wal.last_lsn)
+            self._cv.notify_all()
+
+
+class _GroupCommitExclusive:
+    def __init__(self, gc: GroupCommit):
+        self._gc = gc
+
+    def __enter__(self):
+        cv = self._gc._cv
+        cv.acquire()
+        while self._gc._leader:  # wait out an in-flight fsync
+            cv.wait()
+        self._gc._leader = True  # block new leaders; we hold no fsync
+        cv.release()
+        return self
+
+    def __exit__(self, *exc):
+        cv = self._gc._cv
+        with cv:
+            self._gc._leader = False
+            cv.notify_all()
 
 
 def Wal(path, native: bool | None = None):
