@@ -63,3 +63,28 @@ def test_parse_query():
         parse_query("1,2;top=5")
     with pytest.raises(RecordFormatError):
         parse_query("1,2;k=0")
+
+
+def test_adversarial_payload_roundtrip():
+    """Payloads with newlines, CRs, backslashes, semicolons, and unicode
+    must round-trip through the line format (VERDICT r1 item 7)."""
+    from vrod_tpu.records import format_record, parse_record, parse_record_file
+    import numpy as np
+    adversarial = [
+        "multi\nline\npayload",
+        "cr\r\nlf",
+        "back\\slash and \\n literal",
+        "semi;colons;every;where",
+        "mixed\n;\\\;\r\nüñïçødé ☃",
+        "",
+        "trailing\n",
+    ]
+    vec = np.array([1.5, -2.25], dtype=np.float32)
+    lines = [format_record(vec, p) for p in adversarial]
+    for line, p in zip(lines, adversarial):
+        assert "\n" not in line and "\r" not in line
+        rec = parse_record(line)
+        assert rec.payload == p, (rec.payload, p)
+    # The whole set as one BULKINSERT file body.
+    recs = parse_record_file("\n".join(lines))
+    assert [r.payload for r in recs] == adversarial

@@ -25,8 +25,43 @@ class Record:
         return format_record(self.vector, self.payload)
 
 
+def _escape_payload(p: str) -> str:
+    """Make a payload line-safe: the record format is one record per line
+    (reference: ``embeddings.rs:61``), so literal newlines/CRs are escaped
+    (backslash escapes, round-trip exact via ``_unescape_payload``)."""
+    return p.replace("\\", "\\\\").replace("\n", "\\n").replace("\r", "\\r")
+
+
+def _unescape_payload(s: str) -> str:
+    if "\\" not in s:
+        return s
+    out = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if nxt == "n":
+                out.append("\n")
+                i += 2
+                continue
+            if nxt == "r":
+                out.append("\r")
+                i += 2
+                continue
+            if nxt == "\\":
+                out.append("\\")
+                i += 2
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def parse_record(line: str) -> Record:
-    """Parse ``v0,v1,...;payload``. The payload may itself contain ';'."""
+    """Parse ``v0,v1,...;payload``. The payload may itself contain ';';
+    escaped newlines/CRs/backslashes are restored."""
     line = line.strip()
     if not line:
         raise RecordFormatError("Empty record string")
@@ -34,6 +69,7 @@ def parse_record(line: str) -> Record:
     if not sep:
         # No payload separator: the whole line is the vector, empty payload.
         payload = ""
+    payload = _unescape_payload(payload)
     try:
         vector = np.array(
             [float(tok) for tok in vec_part.split(",") if tok.strip() != ""],
@@ -51,7 +87,7 @@ def format_record(vector: np.ndarray, payload: str = "") -> str:
     # repr-style floats round-trip exactly through float(); matches the
     # reference's join-with-comma + ';' + payload layout (embeddings.rs:55-61).
     vec_part = ",".join(np.format_float_positional(v, trim="0") for v in vec)
-    return f"{vec_part};{payload}"
+    return f"{vec_part};{_escape_payload(payload)}"
 
 
 def parse_record_file(text: str) -> list[Record]:
