@@ -21,15 +21,18 @@ import numpy as np
 
 
 def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
-            impl=None, precision=None, shards=1):
+            impl=None, precision=None, shards=1, rescore_margin=None,
+            percentiles=False):
     import jax
     import jax.numpy as jnp
     from vrod_tpu.config import CollectionConfig
     from vrod_tpu.engine import DeviceEngine
     from vrod_tpu.parallel.mesh import row_sharding, vec_sharding
 
+    cfg_kw = {} if rescore_margin is None else {
+        "rescore_margin": rescore_margin}
     cfg = CollectionConfig(name="bench", dim=dim, metric=metric, dtype=dtype,
-                           segment_rows=65536, shards=shards)
+                           segment_rows=65536, shards=shards, **cfg_kw)
     eng = DeviceEngine(cfg)
     if impl:
         eng.impl = impl
@@ -90,12 +93,47 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     dt = time.perf_counter() - t0
     qps = batch * iters / dt
 
-    # Exactness probe: oracle over a host-checkable subset via masking.
-    # (16k rows keeps the device->host fetch small on tunneled devices.)
-    probe_n = 16384
-    x_probe = np.asarray(eng.x[:probe_n].astype(jnp.float32))
-    recall = _recall_probe(eng, x_probe, probe_n, n_rows, q[:8], k)
-    return qps, dt / iters, recall
+    # Latency percentiles (north-star metric includes p99, BASELINE.md:16).
+    # Per-batch sync timing: each sample pays one device->host readback, so
+    # on the dev tunnel these include ~20-25 ms RTT; the pipeline batch
+    # latency above is the throughput-mode number.
+    pcts = None
+    if percentiles:
+        samples = []
+        for i in range(30):
+            t1 = time.perf_counter()
+            v, ix = eng.search(q, k, as_numpy=False)
+            np.asarray(ix[0, :1])  # minimal readback forces completion
+            samples.append(time.perf_counter() - t1)
+        a = np.array(samples)
+        pcts = {"p50_ms": round(float(np.percentile(a, 50)) * 1e3, 3),
+                "p95_ms": round(float(np.percentile(a, 95)) * 1e3, 3),
+                "p99_ms": round(float(np.percentile(a, 99)) * 1e3, 3)}
+
+    # Exactness probe over the FULL collection, on device: the production
+    # path's scores vs an exact-precision scan-path oracle for 8 queries;
+    # only one scalar crosses the host link. Tie-aware via the eps band.
+    recall = device_recall_probe(eng, q[:8], k)
+    return qps, dt / iters, recall, pcts
+
+
+def device_recall_probe(eng, q, k, eps=1e-5):
+    """recall@k of the production search vs an exact-precision full-N
+    oracle, computed entirely on device (VERDICT r1: probe the actual
+    1M-row scan, not a masked subset)."""
+    import numpy as np
+    vals_e, _ = eng.search(q, k, as_numpy=False)
+    vals_o, _ = eng.search(q, k, impl="scan", precision="exact",
+                           rescore=False, as_numpy=False)
+    lower_better = eng.cfg.metric == "l2"
+    kth = np.asarray(vals_o[:, k - 1:k])
+    ve = np.asarray(vals_e)
+    scale = np.maximum(np.abs(kth), 1.0)
+    if lower_better:
+        hits = ve <= kth + eps * scale
+    else:
+        hits = ve >= kth - eps * scale
+    return float(hits.mean())
 
 
 def _recall_probe(eng, x_probe, probe_n, n_rows, q, k, eps=1e-5):
@@ -216,6 +254,8 @@ def main():
     ap.add_argument("--workload", default="search",
                     choices=["search", "mixed", "batch-sweep", "scaling"])
     ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--margin", type=int, default=None,
+                    help="override rescore candidate margin (k_scan = k_out + margin)")
     args = ap.parse_args()
 
     if args.workload == "batch-sweep":
@@ -224,8 +264,8 @@ def main():
         iters = args.iters or (3 if args.quick else 10)
         curve = {}
         for b in (1, 16, 64, 256, 1024):
-            qps, lat, _ = tpu_qps(n_rows, 768, b, 100, iters,
-                                  dtype=args.dtype, shards=args.shards)
+            qps, lat, _, _ = tpu_qps(n_rows, 768, b, 100, iters,
+                                     dtype=args.dtype, shards=args.shards)
             curve[str(b)] = {"qps": round(qps, 1),
                              "batch_latency_ms": round(lat * 1e3, 3)}
         best = max(v["qps"] for v in curve.values())
@@ -245,8 +285,8 @@ def main():
         curve = {}
         shards_list = [s for s in (1, 2, 4, 8) if s <= n_dev]
         for s in shards_list:
-            qps, lat, _ = tpu_qps(n_rows, 768, args.batch, args.k, iters,
-                                  dtype=args.dtype, shards=s)
+            qps, lat, _, _ = tpu_qps(n_rows, 768, args.batch, args.k, iters,
+                                     dtype=args.dtype, shards=s)
             curve[str(s)] = round(qps, 1)
         base = curve[str(shards_list[0])]
         print(json.dumps({
@@ -277,9 +317,11 @@ def main():
     iters = args.iters or (5 if args.quick else 40)
     dim, batch, k = 768, args.batch, args.k
 
-    qps, lat, recall = tpu_qps(n_rows, dim, batch, k, iters,
-                               dtype=args.dtype, impl=args.impl,
-                               precision=args.precision)
+    qps, lat, recall, pcts = tpu_qps(n_rows, dim, batch, k, iters,
+                                     dtype=args.dtype, impl=args.impl,
+                                     precision=args.precision,
+                                     rescore_margin=args.margin,
+                                     percentiles=True)
     cpu = cpu_qps(n_rows, dim, batch, k,
                   subset=min(n_rows, 65536 if args.quick else 131072))
 
@@ -290,7 +332,8 @@ def main():
         "vs_baseline": round(qps / cpu, 2),
         "extra": {
             "batch_latency_ms": round(lat * 1e3, 3),
-            "recall_probe@k": recall,
+            "latency_percentiles": pcts,
+            "recall_full_scan@k": recall,
             "cpu_brute_force_qps": round(cpu, 2),
             "dtype": args.dtype,
         },

@@ -138,6 +138,8 @@ def build_kernel(variant, *, metric, k, block_rows, nblocks, precision,
                 if variant == "maxref":
                     s_ref[:] = s
                     m0 = jnp.max(s_ref[:], axis=1, keepdims=True)
+                elif variant == "nostore":
+                    m0 = jnp.max(s, axis=1, keepdims=True)
                 elif variant == "gate":
                     m0 = jnp.max(s, axis=1, keepdims=True)
 
@@ -148,21 +150,70 @@ def build_kernel(variant, *, metric, k, block_rows, nblocks, precision,
                     s_ref[:] = s
                     m0 = jnp.max(s, axis=1, keepdims=True)
 
+            if variant == "nostore":
+                # Zero-store extraction: s is never modified, so no scratch
+                # stores at all. The carry walks candidates in (value desc,
+                # col asc) order: m = current value, a = last extracted col
+                # at that value (-1 if none yet). Tie-safe and exact. Two
+                # read passes per extraction; non-contributing blocks cost
+                # dot + max only (the floor).
+                INT_MAX = np.int32(2**31 - 1)
+
+                def ns_cond(state):
+                    m, a, cv, ci = state
+                    return jnp.any(m > cv[:, k - 1:k])
+
+                def ns_body(state):
+                    m, a, cv, ci = state
+                    theta = cv[:, k - 1:k]
+                    am = jnp.min(
+                        jnp.where((s == m) & (col > a), col, INT_MAX),
+                        axis=1, keepdims=True)
+                    has = m > theta
+                    cv, ci = insert_one(cv, ci, m, am, has)
+                    nxt = (s < m) | ((s == m) & (col > am))
+                    m_next = jnp.max(jnp.where(nxt, s, NEG_INF),
+                                     axis=1, keepdims=True)
+                    a_next = jnp.where(m_next == m, am,
+                                       jnp.full_like(am, -2**30))
+                    return m_next, a_next, cv, ci
+
+                a0 = jnp.full((q.shape[0], 1), -2**30, jnp.int32)
+                _, _, cv, ci = lax.while_loop(
+                    ns_cond, ns_body, (m0, a0, cv, ci))
+                return cv, ci
+
             def cond(state):
                 m, cv, ci = state
                 return jnp.any(m > cv[:, k - 1:k])
 
-            def body(state):
-                m, cv, ci = state
-                s = s_ref[:]
-                theta = cv[:, k - 1:k]
-                am = jnp.min(jnp.where(s == m, col, np.int32(2**31 - 1)),
-                             axis=1, keepdims=True)
-                has = m > theta
-                cv, ci = insert_one(cv, ci, m, am, has)
-                s = jnp.where((col == am) & has, NEG_INF, s)
-                s_ref[:] = s
-                return jnp.max(s, axis=1, keepdims=True), cv, ci
+            if variant == "argmax":
+                # 2 passes/iteration instead of 3-4: a native arg-reduction
+                # finds the candidate column (ties -> lowest index, matching
+                # stable top_k), then one pass fuses invalidate + next max.
+                def body(state):
+                    m, cv, ci = state
+                    s = s_ref[:]
+                    theta = cv[:, k - 1:k]
+                    aml = jnp.argmax(s, axis=1).astype(jnp.int32)[:, None]
+                    am = aml + (j * block_rows + offset)
+                    has = m > theta
+                    cv, ci = insert_one(cv, ci, m, am, has)
+                    s = jnp.where((col_local == aml) & has, NEG_INF, s)
+                    s_ref[:] = s
+                    return jnp.max(s, axis=1, keepdims=True), cv, ci
+            else:
+                def body(state):
+                    m, cv, ci = state
+                    s = s_ref[:]
+                    theta = cv[:, k - 1:k]
+                    am = jnp.min(jnp.where(s == m, col, np.int32(2**31 - 1)),
+                                 axis=1, keepdims=True)
+                    has = m > theta
+                    cv, ci = insert_one(cv, ci, m, am, has)
+                    s = jnp.where((col == am) & has, NEG_INF, s)
+                    s_ref[:] = s
+                    return jnp.max(s, axis=1, keepdims=True), cv, ci
 
             _, cv, ci = lax.while_loop(cond, body, (m0, cv, ci))
             return cv, ci

@@ -2,20 +2,24 @@
 
 The TPU-native core of SEARCHSIMILAR (reference stub:
 ``/root/reference/src/command/types.rs:121-132``). One pass over the
-collection: each grid step loads a row block HBM->VMEM (auto double-buffered
-by the Pallas pipeline), computes the query-tile x block score matrix on the
-MXU, applies the metric epilogue + validity mask on the VPU, and merges the
-block into a running top-k carried in VMEM scratch across grid steps. The
+collection: each grid step loads a row block HBM->VMEM (manually
+double-buffered DMA by default), computes the query-tile x block score
+matrix on the MXU, applies the metric epilogue + validity mask on the VPU,
+and merges the block into a running top-k carried in VMEM across steps. The
 (B, N) score matrix never exists — unlike the lax.scan path, nothing is
 spilled to HBM between blocks.
 
-Exact top-k without sorting: the carry is kept sorted descending; per block
-we extract candidates one at a time (vectorized across the query tile) but
-ONLY while some query's block max beats its current k-th score (theta). For
-random data the expected number of extractions across the whole scan is
-k*(1 + ln(nblocks)) per query, so almost every block is a single masked
-max + compare — pure VPU, a few percent of the matmul cost. Worst case is
-still exact, just slower.
+Exact top-k without sorting OR score mutation: the carry is kept sorted
+descending; per block, candidates are walked in (value desc, col asc) order
+by a carry of (current value m, last extracted col a). Each extraction is
+two lane-wise read passes over the pristine score block — a min-where for
+the candidate column and a masked max for the next value — with ties broken
+by the ``col > a`` constraint, matching stable lax.top_k exactly. The score
+block is never written back, so non-contributing blocks (the overwhelming
+majority once the carry warms up) cost one max pass beyond the matmul, and
+no VMEM scratch is needed for scores at all. Expected extractions across
+the whole scan: ~k * (1 + ln nblocks) per query; worst case is still
+exact, just slower.
 """
 
 from __future__ import annotations
@@ -30,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 _INT_MAX = jnp.iinfo(jnp.int32).max
+_COL_SENTINEL = -(2 ** 30)  # "no column extracted yet at this value"
 
 _PRECISIONS = {
     "exact": lax.Precision.HIGHEST,
@@ -38,8 +43,61 @@ _PRECISIONS = {
 }
 
 
+def _insert_one(cv, ci, m, am, has, kiota):
+    """Insert candidate (m, am) (B, 1) into the sorted carry after any
+    equal-valued entries (>=, not >): ties keep ascending-index order,
+    matching the stable lax.top_k of the scan path."""
+    pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
+    shift_v = pltpu.roll(cv, 1, 1)
+    shift_i = pltpu.roll(ci, 1, 1)
+    ins_v = jnp.where(kiota < pos, cv, jnp.where(kiota == pos, m, shift_v))
+    ins_i = jnp.where(kiota < pos, ci, jnp.where(kiota == pos, am, shift_i))
+    return jnp.where(has, ins_v, cv), jnp.where(has, ins_i, ci)
+
+
+def _extract_block(s, col, cv, ci, k, kiota):
+    """Merge score block ``s`` (B, BLK; global column ids ``col``) into the
+    sorted carry (cv, ci) — the zero-store extraction described in the
+    module docstring."""
+    m0 = jnp.max(s, axis=1, keepdims=True)
+    a0 = jnp.full(m0.shape, _COL_SENTINEL, jnp.int32)
+
+    def cond(state):
+        m, a, cv, ci = state
+        return jnp.any(m > cv[:, k - 1:k])
+
+    def body(state):
+        m, a, cv, ci = state
+        theta = cv[:, k - 1:k]
+        # Candidate column: lowest col holding the current value, past any
+        # already-extracted tie.
+        am = jnp.min(jnp.where((s == m) & (col > a), col, _INT_MAX),
+                     axis=1, keepdims=True)
+        has = m > theta
+        cv, ci = _insert_one(cv, ci, m, am, has, kiota)
+        # Next value: strictly below m, or an unextracted tie of m.
+        nxt = (s < m) | ((s == m) & (col > am))
+        m_next = jnp.max(jnp.where(nxt, s, NEG_INF), axis=1, keepdims=True)
+        a_next = jnp.where(m_next == m, am,
+                           jnp.full_like(am, _COL_SENTINEL))
+        return m_next, a_next, cv, ci
+
+    _, _, cv, ci = lax.while_loop(cond, body, (m0, a0, cv, ci))
+    return cv, ci
+
+
+def _epilogue(g, aux, mask, metric):
+    if metric == "cosine":
+        s = g * aux[None, :]
+    elif metric == "l2":
+        s = 2.0 * g - aux[None, :]
+    else:
+        s = g
+    return s + mask[None, :]  # -inf on deleted / never-used slots
+
+
 def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
-            cv_ref, ci_ref, s_ref, *, metric, k, block_rows, precision):
+            cv_ref, ci_ref, *, metric, k, block_rows, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -53,62 +111,13 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    aux = aux_ref[0, :]
-    if metric == "cosine":
-        s = g * aux[None, :]
-    elif metric == "l2":
-        s = 2.0 * g - aux[None, :]
-    else:
-        s = g
-    s = s + mask_ref[0, :][None, :]  # -inf on deleted / never-used slots
+    s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric)
 
     base = j * block_rows + offset_ref[0]
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
-    # The block max is carried through the loop, so the continue-check is
-    # O(B) — non-contributing blocks (the overwhelming majority) cost one
-    # max pass and nothing else. One candidate per extraction iteration:
-    # masked argmax + carry insert, pure lane-wise VPU passes (no reshapes —
-    # splitting the lane dim into sublane groups relayouts the whole block
-    # and is far slower than the iterations it saves). Expected total
-    # iterations over the scan: ~k * (1 + ln nblocks) per query tile.
-    def cond(state):
-        m, cv, ci = state
-        return jnp.any(m > cv[:, k - 1:k])
-
-    def insert_one(cv, ci, m, am, has):
-        """Insert candidate (m, am) (B,1) into the sorted carry after any
-        equal-valued entries (>=, not >): ties keep ascending-index order,
-        matching the stable lax.top_k of the scan path."""
-        pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
-        shift_v = pltpu.roll(cv, 1, 1)
-        shift_i = pltpu.roll(ci, 1, 1)
-        ins_v = jnp.where(kiota < pos, cv,
-                          jnp.where(kiota == pos, m, shift_v))
-        ins_i = jnp.where(kiota < pos, ci,
-                          jnp.where(kiota == pos, am, shift_i))
-        cv = jnp.where(has, ins_v, cv)
-        ci = jnp.where(has, ins_i, ci)
-        return cv, ci
-
-    # Scores live in a scratch ref; the while carries only (m, cv, ci).
-    def body(state):
-        m, cv, ci = state
-        s = s_ref[:]
-        theta = cv[:, k - 1:k]
-        am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
-                     keepdims=True)                                 # (B, 1)
-        has = m > theta
-        cv, ci = insert_one(cv, ci, m, am, has)
-        s = jnp.where((col == am) & has, NEG_INF, s)
-        s_ref[:] = s
-        m = jnp.max(s, axis=1, keepdims=True)
-        return m, cv, ci
-
-    s_ref[:] = s
-    m0 = jnp.max(s, axis=1, keepdims=True)
-    _, cv, ci = lax.while_loop(cond, body, (m0, cv_ref[:], ci_ref[:]))
+    cv, ci = _extract_block(s, col, cv_ref[:], ci_ref[:], k, kiota)
     cv_ref[:] = cv
     ci_ref[:] = ci
 
@@ -119,7 +128,7 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
 
 
 def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-               xbuf, abuf, mbuf, s_ref, sems, *, metric, k, block_rows,
+               xbuf, abuf, mbuf, sems, *, metric, k, block_rows,
                nblocks, precision):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
@@ -149,15 +158,6 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
     for d in get_dma(0, 0):
         d.start()
 
-    def insert_one(cv, ci, m, am, has):
-        # Insert after equal entries (>=): tie order matches stable top_k.
-        pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1, keepdims=True)
-        shift_v = pltpu.roll(cv, 1, 1)
-        shift_i = pltpu.roll(ci, 1, 1)
-        ins_v = jnp.where(kiota < pos, cv, jnp.where(kiota == pos, m, shift_v))
-        ins_i = jnp.where(kiota < pos, ci, jnp.where(kiota == pos, am, shift_i))
-        return jnp.where(has, ins_v, cv), jnp.where(has, ins_i, ci)
-
     def block_loop(j, carry):
         cv, ci = carry
         cur = j % 2
@@ -175,42 +175,9 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
             q.astype(xbuf.dtype), xbuf[cur],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
-        aux = abuf[cur][0, :]
-        if metric == "cosine":
-            s = g * aux[None, :]
-        elif metric == "l2":
-            s = 2.0 * g - aux[None, :]
-        else:
-            s = g
-        s = s + mbuf[cur][0, :][None, :]
-
+        s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric)
         col = col_local + (j * block_rows + offset)
-
-        # Scores live in a scratch ref and the loop carries only (m, cv,
-        # ci): the continue-check is O(B) and the (B, BLK) block never
-        # round-trips through while-carry copies — blocks that don't
-        # improve the top-k cost one max pass and nothing else.
-        s_ref[:] = s
-        m0 = jnp.max(s, axis=1, keepdims=True)
-
-        def cond(state):
-            m, cv, ci = state
-            return jnp.any(m > cv[:, k - 1:k])
-
-        def body(state):
-            m, cv, ci = state
-            s = s_ref[:]
-            theta = cv[:, k - 1:k]
-            am = jnp.min(jnp.where(s == m, col, _INT_MAX), axis=1,
-                         keepdims=True)
-            has = m > theta
-            cv, ci = insert_one(cv, ci, m, am, has)
-            s = jnp.where((col == am) & has, NEG_INF, s)
-            s_ref[:] = s
-            return jnp.max(s, axis=1, keepdims=True), cv, ci
-
-        _, cv, ci = lax.while_loop(cond, body, (m0, cv, ci))
-        return cv, ci
+        return _extract_block(s, col, cv, ci, k, kiota)
 
     init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
             jnp.full(oi_ref.shape, -1, dtype=jnp.int32))
@@ -259,7 +226,6 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             pltpu.VMEM((2, block_rows, d), x.dtype),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
-            pltpu.VMEM((b_tile, block_rows), jnp.float32),  # scores
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -319,7 +285,6 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
         scratch_shapes=[
             pltpu.VMEM((b_tile, k), jnp.float32),
             pltpu.VMEM((b_tile, k), jnp.int32),
-            pltpu.VMEM((b_tile, block_rows), jnp.float32),  # scores
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
@@ -330,9 +295,6 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             # Query tiles are independent; row blocks carry the running
             # top-k and must run in order.
             dimension_semantics=("parallel", "arbitrary"),
-            # The multi-extract loop keeps a few (B, BLK) temporaries live;
-            # the default 16 MiB scoped limit is too tight with 3 MiB x
-            # blocks double-buffered.
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
