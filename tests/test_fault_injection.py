@@ -80,3 +80,66 @@ def test_sigkill_mid_bulkinsert(tmp_path, kill_after_batches):
     hits = col.search_similar(np.ones(16, dtype=np.float32), k=1)
     assert hits[0].payload == "post"
     db.close()
+
+
+CHILD_CHUNKED = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["VROD_PLATFORM"] = "cpu"
+    import numpy as np
+    import jax
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    from vrod_tpu.database import Database
+
+    path = sys.argv[1]
+    db = Database.new(path, "chunkdb")
+    col = db.create_collection("k", dim=16, segment_rows=1024)
+    col.WAL_FRAME_ROWS_MAX = 40  # one logical bulk = many WAL frames
+    rng = np.random.default_rng(0)
+    print("READY", flush=True)
+    batch = 0
+    while True:
+        vecs = rng.standard_normal((200, 16)).astype(np.float32)
+        col.bulk_insert(vecs, [f"b{batch}-{i}" for i in range(200)])
+        batch += 1
+        print(f"BATCH {batch}", flush=True)
+""")
+
+
+def test_sigkill_across_chunked_bulk_frames(tmp_path):
+    """A SIGKILL landing between the WAL frames of ONE logical BULKINSERT
+    must replay to a consistent prefix: whole 40-row frames only, payloads
+    aligned with ids (VERDICT r1 item 5: crash across a chunked bulk frame
+    boundary)."""
+    script = tmp_path / "child.py"
+    script.write_text(CHILD_CHUNKED)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, str(script), str(tmp_path)],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        deadline = time.time() + 120
+        ready = False
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("READY"):
+                ready = True
+            if line.startswith("BATCH 2"):
+                break
+        assert ready
+        proc.kill()
+    finally:
+        proc.wait()
+
+    db = Database.load(tmp_path / "chunkdb")
+    col = db.collection("k")
+    # Replay granularity is the 40-row WAL frame, not the 200-row bulk.
+    assert col.count % 40 == 0
+    assert col.count >= 400  # two acked batches
+    # Payloads must line up with their ids across every frame boundary.
+    for rid in (1, 40, 41, 200, 201, col.count):
+        batch, i = divmod(rid - 1, 200)
+        assert col.get(rid).payload == f"b{batch}-{i}"
+    db.close()
