@@ -127,7 +127,9 @@ def test_collection_stats_lazy(tmp_path, rng):
     db2.close()
     db3 = Database.load(tmp_path / "lazy")
     st = db3.collection_stats("a")
-    assert st["count"] is None and st["wal_frames"] == 1
+    # un-replayed WAL frames are counted host-only (no device restore)
+    assert st["count"] == 31 and st["wal_frames"] == 1
+    assert "a" not in db3._collections  # still cold
     assert db3.collection("a").count == 31
     db3.close()
 

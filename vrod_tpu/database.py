@@ -212,13 +212,48 @@ class Database:
         from .wal import Wal as _Wal
         wal = _Wal(cdir / WAL_FILE)
         frames = wal.frame_count
+        live = count
+        if frames:
+            # Exact count without a device restore: replay only the WAL
+            # ops' id effects over the snapshot's id set (host-only; the
+            # set is bounded by the collection size, so cap it).
+            try:
+                live = self._host_only_count(cdir, wal)
+            except Exception:
+                live = None
         wal.close()
         return {
             "name": name, "dim": cfg.dim, "metric": cfg.metric,
             "dtype": cfg.dtype, "shards": cfg.shards,
-            "count": count if frames == 0 and count is not None else None,
+            "count": live,
             "snapshot_count": count, "wal_frames": frames, "loaded": False,
         }
+
+    _HOST_COUNT_MAX_IDS = 2_000_000
+
+    def _host_only_count(self, cdir, wal):
+        import numpy as np
+        from .wal import ops as wal_ops
+        ids = set()
+        ids_path = cdir / "snapshot" / "ids.npy"
+        if ids_path.exists():
+            arr = np.load(ids_path)
+            if arr.size > self._HOST_COUNT_MAX_IDS:
+                raise OverflowError("too large for host-only count")
+            ids.update(arr.tolist())
+        for _lsn, frame in wal.replay():
+            op = wal_ops.decode(frame)
+            if isinstance(op, wal_ops.BulkOp):
+                ids.update(op.record_ids.tolist())
+            elif isinstance(op, (wal_ops.InsertOp, wal_ops.UpdateOp)):
+                ids.add(op.record_id)
+            elif isinstance(op, wal_ops.DeleteOp):
+                ids.discard(op.record_id)
+            elif isinstance(op, wal_ops.BulkDeleteOp):
+                ids.difference_update(op.record_ids.tolist())
+            if len(ids) > self._HOST_COUNT_MAX_IDS:
+                raise OverflowError("too large for host-only count")
+        return len(ids)
 
     def collection(self, name: str) -> Collection:
         if name in self._collections:
