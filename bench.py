@@ -117,12 +117,12 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     return qps, dt / iters, recall, pcts
 
 
-def device_recall_probe(eng, q, k, eps=1e-5):
+def device_recall_probe(eng, q, k, eps=1e-5, margin=None):
     """recall@k of the production search vs an exact-precision full-N
     oracle, computed entirely on device (VERDICT r1: probe the actual
     1M-row scan, not a masked subset)."""
     import numpy as np
-    vals_e, _ = eng.search(q, k, as_numpy=False)
+    vals_e, _ = eng.search(q, k, as_numpy=False, margin=margin)
     vals_o, _ = eng.search(q, k, impl="scan", precision="exact",
                            rescore=False, as_numpy=False)
     lower_better = eng.cfg.metric == "l2"

@@ -25,7 +25,7 @@ RESULTS = Path(__file__).resolve().parent / "kexp_results.jsonl"
 NEG_INF = float("-inf")
 
 
-def make_call(*, k, metric, block_rows, precision_name):
+def make_call(*, k, metric, block_rows, precision_name, tiles=1):
     import jax
     import jax.numpy as jnp
     import jax.experimental.pallas as pl
@@ -36,7 +36,8 @@ def make_call(*, k, metric, block_rows, precision_name):
                  "fast": lax.Precision.DEFAULT}[precision_name]
 
     def kernel(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-               xbuf, abuf, mbuf, sems, *, nblocks):
+               cnt_ref, xbuf, abuf, mbuf, sems, *, nblocks):
+        cnt_ref[0] = 0
         offset = offset_ref[0]
         kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
         q = q_ref[:]
@@ -60,8 +61,6 @@ def make_call(*, k, metric, block_rows, precision_name):
         for d in get_dma(0, 0):
             d.start()
 
-        ov_ref[:] = jnp.full(ov_ref.shape, NEG_INF, jnp.float32)
-        oi_ref[:] = jnp.full(oi_ref.shape, -1, jnp.int32)
         INT_MAX = np.int32(2**31 - 1)
 
         def block_loop(j, carry):
@@ -89,51 +88,86 @@ def make_call(*, k, metric, block_rows, precision_name):
             else:
                 s = g
             s = s + mask[None, :]
-            col = col_local + (j * block_rows + offset)
+            col_full = col_local + (j * block_rows + offset)
 
-            m0 = jnp.max(s, axis=1, keepdims=True)
-            a0 = jnp.full(m0.shape, -2**30, jnp.int32)
+            # Per-batch-tile extraction: each sublane slice of g queries
+            # runs its own while loop, so a late block where only one
+            # query improves costs g-row passes, not B-row passes. Each
+            # tile's carry is its own fori-carry entry (Mosaic lowers
+            # neither sub-sliced ref writes nor dynamic_slice of values).
+            b_all = s.shape[0]
+            g = b_all // tiles
+            new_carry = []
+            for t in range(tiles):
+                st = s[t * g:(t + 1) * g]
+                col = col_full[t * g:(t + 1) * g]
+                # built directly: slicing a narrow-lane (B, k) iota on the
+                # sublane axis trips Mosaic's layout checks
+                kio = lax.broadcasted_iota(jnp.int32, (g, k), 1)
 
-            def cond(state):
-                m, a = state
-                return jnp.any(m > ov_ref[:, k - 1:k])
+                m0 = jnp.max(st, axis=1, keepdims=True)
+                a0 = jnp.full(m0.shape, -2**30, jnp.int32)
 
-            def body(state):
-                m, a = state
-                cv = ov_ref[:]
-                ci = oi_ref[:]
-                theta = cv[:, k - 1:k]
-                am = jnp.min(jnp.where((s == m) & (col > a), col, INT_MAX),
-                             axis=1, keepdims=True)
-                has = m > theta
-                pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1,
-                              keepdims=True)
-                shift_v = pltpu.roll(cv, 1, 1)
-                shift_i = pltpu.roll(ci, 1, 1)
-                ins_v = jnp.where(kiota < pos, cv,
-                                  jnp.where(kiota == pos, m, shift_v))
-                ins_i = jnp.where(kiota < pos, ci,
-                                  jnp.where(kiota == pos, am, shift_i))
-                ov_ref[:] = jnp.where(has, ins_v, cv)
-                oi_ref[:] = jnp.where(has, ins_i, ci)
-                nxt_mask = (s < m) | ((s == m) & (col > am))
-                m_next = jnp.max(jnp.where(nxt_mask, s, NEG_INF),
-                                 axis=1, keepdims=True)
-                a_next = jnp.where(m_next == m, am,
-                                   jnp.full_like(am, -2**30))
-                return m_next, a_next
+                def cond(state):
+                    m, a, cv, ci = state
+                    return jnp.any(m > cv[:, k - 1:k])
 
-            lax.while_loop(cond, body, (m0, a0))
-            return carry
+                def body(state, st=st, col=col, kio=kio):
+                    if os.environ.get("KEXP_COUNT") == "1":
+                        cnt_ref[0] = cnt_ref[0] + 1
+                    m, a, cv, ci = state
+                    theta = cv[:, k - 1:k]
+                    am = jnp.min(
+                        jnp.where((st == m) & (col > a), col, INT_MAX),
+                        axis=1, keepdims=True)
+                    has = m > theta
+                    pos = jnp.sum((cv >= m).astype(jnp.int32), axis=1,
+                                  keepdims=True)
+                    shift_v = pltpu.roll(cv, 1, 1)
+                    shift_i = pltpu.roll(ci, 1, 1)
+                    ins_v = jnp.where(kio < pos, cv,
+                                      jnp.where(kio == pos, m, shift_v))
+                    ins_i = jnp.where(kio < pos, ci,
+                                      jnp.where(kio == pos, am, shift_i))
+                    cv = jnp.where(has, ins_v, cv)
+                    ci = jnp.where(has, ins_i, ci)
+                    nxt_mask = (st < m) | ((st == m) & (col > am))
+                    m_next = jnp.max(jnp.where(nxt_mask, st, NEG_INF),
+                                     axis=1, keepdims=True)
+                    a_next = jnp.where(m_next == m, am,
+                                       jnp.full_like(am, -2**30))
+                    return m_next, a_next, cv, ci
 
-        lax.fori_loop(0, nblocks, block_loop, jnp.zeros((), jnp.int32))
+                if os.environ.get("KEXP_NOWHILE") == "1":
+                    cv_t = jnp.maximum(carry[2 * t], m0)  # keep deps alive
+                    ci_t = carry[2 * t + 1]
+                else:
+                    _, _, cv_t, ci_t = lax.while_loop(
+                        cond, body, (m0, a0, carry[2 * t], carry[2 * t + 1]))
+                new_carry += [cv_t, ci_t]
+            return tuple(new_carry)
+
+        b_all = ov_ref.shape[0]
+        g0 = b_all // tiles
+        init = []
+        for _t in range(tiles):
+            init += [jnp.full((g0, ov_ref.shape[1]), NEG_INF, jnp.float32),
+                     jnp.full((g0, oi_ref.shape[1]), -1, jnp.int32)]
+        final = lax.fori_loop(0, nblocks, block_loop, tuple(init))
+        if tiles == 1:
+            ov_ref[:] = final[0]
+            oi_ref[:] = final[1]
+        else:
+            for t in range(tiles):
+                ov_ref[t * g0:(t + 1) * g0, :] = final[2 * t]
+                oi_ref[t * g0:(t + 1) * g0, :] = final[2 * t + 1]
 
     @jax.jit
     def call(x, aux2d, mask2d, q, offset):
         n, d = x.shape
         b = q.shape[0]
         nblocks = n // block_rows
-        vals, idx = pl.pallas_call(
+        vals, idx, cnt = pl.pallas_call(
             functools.partial(kernel, nblocks=nblocks),
             grid=(1,),
             in_specs=[
@@ -149,10 +183,12 @@ def make_call(*, k, metric, block_rows, precision_name):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((b, k), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((b, k), jnp.float32),
                 jax.ShapeDtypeStruct((b, k), jnp.int32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, block_rows, d), x.dtype),
@@ -171,7 +207,7 @@ def make_call(*, k, metric, block_rows, precision_name):
             ),
             interpret=os.environ.get("KEXP_INTERPRET") == "1",
         )(offset, q, x, aux2d, mask2d)
-        return vals, idx
+        return vals, idx, cnt
 
     return call
 
@@ -187,6 +223,7 @@ def main():
     ap.add_argument("--block-rows", type=int, default=2048)
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--precision", default="fast")
+    ap.add_argument("--tiles", type=int, default=1)
     ap.add_argument("--tag", default="refcarry")
     args = ap.parse_args()
 
@@ -203,15 +240,16 @@ def main():
 
     call = make_call(k=args.kscan, metric="cosine",
                      block_rows=args.block_rows,
-                     precision_name=args.precision)
+                     precision_name=args.precision, tiles=args.tiles)
     t0 = time.time()
-    vals, idx = call(x, aux2d, mask2d, q, offset)
+    vals, idx, cnt = call(x, aux2d, mask2d, q, offset)
     np.asarray(vals)
     compile_s = time.time() - t0
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        vals, idx = call(x, aux2d, mask2d, q, offset)
+        vals, idx, cnt = call(x, aux2d, mask2d, q, offset)
     idx_h = np.asarray(idx)
+    iter_count = int(np.asarray(cnt)[0])
     dt = (time.perf_counter() - t0) / args.iters
 
     # correctness vs production nostore kernel
@@ -223,12 +261,13 @@ def main():
                         precision_name=args.precision)
     match = bool((np.asarray(i2) == idx_h).all())
 
-    rec = {"variant": "nostore_ref", "rows": args.rows, "dim": args.dim,
+    rec = {"variant": f"nostore_ref_t{args.tiles}", "rows": args.rows, "dim": args.dim,
            "batch": args.batch, "k_scan": args.kscan, "dtype": args.dtype,
            "block_rows": args.block_rows, "precision": args.precision,
            "ms_per_batch": round(dt * 1e3, 3),
            "qps": round(args.batch / dt, 1),
            "compile_s": round(compile_s, 1), "matches_base": match,
+           "while_iterations": iter_count,
            "tag": args.tag}
     with open(RESULTS, "a") as f:
         f.write(json.dumps(rec) + "\n")

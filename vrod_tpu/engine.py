@@ -274,7 +274,7 @@ class DeviceEngine:
         return np.asarray(_gather_rows(self.x, slots))
 
     def search(self, queries: np.ndarray, k: int, *, precision=None,
-               impl=None, rescore=None, as_numpy=True):
+               impl=None, rescore=None, as_numpy=True, margin=None):
         """Exact top-k. Returns (values (B, k) f32, slots (B, k) i32) numpy.
 
         ``as_numpy=False`` returns device arrays without forcing a
@@ -299,10 +299,14 @@ class DeviceEngine:
         k = min(k, MAX_K, self.capacity)
         Bp = _bucket(B, BATCH_BUCKETS)
         k_out = _bucket(k, K_BUCKETS)
-        # Candidate margin scales with k: larger k means the rank boundary
-        # sits in a denser score band, so fast-precision ordering jitter
-        # needs more slack for the exact rescore to recover from.
-        margin = max(self.cfg.rescore_margin, k_out // 2) if rescore else 0
+        # Candidate margin: slack for fast-precision ordering jitter that
+        # the exact rescore recovers from. Scales mildly with k (a larger k
+        # puts the rank boundary in a denser score band). An explicit
+        # ``margin=`` overrides the policy (tuning/validation harnesses).
+        if margin is None:
+            margin = max(self.cfg.rescore_margin, k_out // 2) if rescore else 0
+        elif not rescore:
+            margin = 0
         k_scan = min(k_out + margin, self.capacity)
         if Bp != B:
             if isinstance(q, jax.Array):

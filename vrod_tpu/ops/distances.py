@@ -34,9 +34,18 @@ PRECISIONS = {
 
 
 def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision):
-    """Scores of query tile q (B, D) against one row block (BLK, D)."""
+    """Scores of query tile q (B, D) against one row block (BLK, D).
+
+    The user-facing score contract is f32(query) x stored row. At exact
+    precision the stored rows are upcast so no query bits are lost (the
+    oracle definition the rescore path also computes); fast/high paths
+    downcast the query onto the MXU and rely on the rescore margin."""
+    if precision == lax.Precision.HIGHEST:
+        lhs, rhs = q.astype(jnp.float32), x_blk.astype(jnp.float32)
+    else:
+        lhs, rhs = q.astype(x_blk.dtype), x_blk
     g = lax.dot_general(
-        q.astype(x_blk.dtype), x_blk,
+        lhs, rhs,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
