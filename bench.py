@@ -100,7 +100,7 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     pcts = None
     if percentiles:
         samples = []
-        for i in range(30):
+        for i in range(50):
             t1 = time.perf_counter()
             v, ix = eng.search(q, k, as_numpy=False)
             np.asarray(ix[0, :1])  # minimal readback forces completion
@@ -248,7 +248,10 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=None)
-    ap.add_argument("--dtype", default="float32")
+    # bf16 storage is the production default: half the HBM traffic of f32,
+    # recall 1.0 at full scale (exact f32-query rescore; validated by the
+    # on-device oracle each run).
+    ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--impl", default=None)
     ap.add_argument("--precision", default=None)
     ap.add_argument("--workload", default="search",

@@ -107,7 +107,12 @@ def test_multi_query_tile_grid(rng):
 
 
 def test_pick_block_rows():
-    assert pick_block_rows(131072, 768, 4) in (512, 1024)
+    # 2048 is the measured sweet spot at dim 768 (f32 tile = 6 MB <= 8 MB
+    # budget); bf16 also lands on 2048.
+    assert pick_block_rows(131072, 768, 4) == 2048
+    assert pick_block_rows(131072, 768, 2) == 2048
+    # dims too wide for the budget shrink the block
+    assert pick_block_rows(131072, 4096, 4) <= 512
     assert 131072 % pick_block_rows(131072, 768, 4) == 0
     assert pick_block_rows(128, 48, 4) == 128
     assert pick_block_rows(96, 48, 4) == 96 or 96 % pick_block_rows(96, 48, 4) == 0

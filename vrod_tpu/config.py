@@ -58,7 +58,12 @@ class CollectionConfig:
     # returns top-(k+margin), rescore at HIGHEST precision reorders and
     # trims to k. 16 covers the tiny ordering jitter of 1-pass bf16 scans;
     # raise for adversarially tight score distributions.
-    rescore_margin: int = 16
+    # Extra candidates the fast scan keeps beyond k for the exact rescore.
+    # Measured on TPU v5e at 1M x 768 (experiments/recall_margin.py):
+    # fast-precision rank jitter never exceeded 4 positions for k <= 100 in
+    # f32 or bf16, so 8 is a 2x safety factor; the engine also floors the
+    # margin at k_out // 8 for large k.
+    rescore_margin: int = 8
 
     def __post_init__(self) -> None:
         validate_name(self.name, "collection name")

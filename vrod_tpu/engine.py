@@ -304,7 +304,7 @@ class DeviceEngine:
         # puts the rank boundary in a denser score band). An explicit
         # ``margin=`` overrides the policy (tuning/validation harnesses).
         if margin is None:
-            margin = max(self.cfg.rescore_margin, k_out // 2) if rescore else 0
+            margin = max(self.cfg.rescore_margin, k_out // 8) if rescore else 0
         elif not rescore:
             margin = 0
         k_scan = min(k_out + margin, self.capacity)
