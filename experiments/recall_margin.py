@@ -44,21 +44,17 @@ def main():
     eng.ensure_capacity(args.rows)
     xs, vs = row_sharding(eng.mesh), vec_sharding(eng.mesh)
 
+    from vrod_tpu.ops import distances as D
+
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
                        static_argnames=("start", "rows_n"),
                        out_shardings=(xs, vs, vs))
     def fill(x, aux, valid, *, start, rows_n):
         key = jax.random.PRNGKey(start)
-        rows = jax.random.normal(key, (rows_n, args.dim), dtype=x.dtype)
-        sq = jnp.einsum("nd,nd->n", rows, rows,
-                        preferred_element_type=jnp.float32)
-        inv = jnp.where(sq > 0, jax.lax.rsqrt(sq), 0.0)
-        if args.metric == "l2":
-            aux_v = sq
-        elif args.metric == "cosine":
-            aux_v = inv
-        else:
-            aux_v = jnp.zeros_like(sq)
+        rows_f = jax.random.normal(key, (rows_n, args.dim),
+                                   dtype=jnp.float32)
+        rows, aux_v = D.prepare_rows(rows_f, metric=args.metric,
+                                     dtype=x.dtype)
         x = jax.lax.dynamic_update_slice_in_dim(x, rows, start, 0)
         aux = jax.lax.dynamic_update_slice_in_dim(aux, aux_v, start, 0)
         valid = jax.lax.dynamic_update_slice_in_dim(
@@ -80,7 +76,10 @@ def main():
     _ = np.asarray(jnp.sum(q))  # first readback out of the way
 
     for k in (10, 16, 100):
-        for margin in (0, 4, 8, 16, 32, 64):
+        margins = (0, 4, 8, 16, 32, 64)
+        if args.dtype == "int8":
+            margins = (8, 32, 64, 128, 192, 256)
+        for margin in margins:
             recall = device_recall_probe(eng, q, k, margin=margin)
             rec = {"dtype": args.dtype, "metric": args.metric,
                    "rows": args.rows, "k": k, "margin_cfg": margin,

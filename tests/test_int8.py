@@ -1,0 +1,109 @@
+"""int8 quantized-scan collections: exactness vs the stored (quantized)
+representation, pallas/scan agreement, config rules, durability round-trip.
+
+Contract: rows are symmetrically quantized per row at insert; the fast scan
+runs on the integer MXU with a quantized query; the exact rescore scores
+dequantized candidates against the full f32 query. recall@k = 1.0 is with
+respect to the stored representation — the same contract as bf16 storage.
+"""
+
+import numpy as np
+import pytest
+
+from vrod_tpu.config import CollectionConfig, ConfigError
+from vrod_tpu.engine import DeviceEngine
+
+
+def brute_force_on_dequant(eng, q, k, metric):
+    """Oracle over the engine's own dequantized rows (f64)."""
+    n = eng.capacity
+    x = np.asarray(eng.x).astype(np.float64)
+    aux = np.asarray(eng.aux).astype(np.float64)
+    valid = np.asarray(eng.valid)
+    rows = x * aux[:, None]
+    q64 = np.asarray(q, dtype=np.float64)
+    if metric == "cosine":
+        q64 = q64 / np.linalg.norm(q64, axis=1, keepdims=True)
+    s = q64 @ rows.T
+    s[:, ~valid] = -np.inf
+    order = np.argsort(-s, axis=1, kind="stable")
+    return order[:, :k], np.take_along_axis(s, order[:, :k], axis=1)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "dot"])
+def test_int8_search_exact_vs_dequant_oracle(rng, metric):
+    cfg = CollectionConfig(name="q8", dim=32, metric=metric, dtype="int8",
+                           segment_rows=256, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 256
+    vecs = rng.standard_normal((n, 32)).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 9))
+    q = rng.standard_normal((8, 32)).astype(np.float32)
+    vals, idx = eng.search(q, k=10)
+    oi, ov = brute_force_on_dequant(eng, q, 10, metric)
+    for b in range(8):
+        # tie-aware: scores must match the oracle's to fp tolerance
+        np.testing.assert_allclose(vals[b], ov[b], rtol=1e-5, atol=1e-6)
+        assert (idx[b] % 9 != 0).all()
+
+
+def test_int8_sharded_matches_single(rng):
+    cfg1 = CollectionConfig(name="s1", dim=16, metric="cosine", dtype="int8",
+                            segment_rows=64, shards=1)
+    cfg8 = CollectionConfig(name="s8", dim=16, metric="cosine", dtype="int8",
+                            segment_rows=64, shards=8)
+    e1, e8 = DeviceEngine(cfg1), DeviceEngine(cfg8)
+    n = 512
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    for e in (e1, e8):
+        e.ensure_capacity(n)
+        e.write(np.arange(n, dtype=np.uint64), vecs)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    v1, i1 = e1.search(q, k=5)
+    v8, i8 = e8.search(q, k=5)
+    np.testing.assert_allclose(v1, v8, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i8)
+
+
+def test_int8_pallas_interpret_matches_scan(rng):
+    cfg = CollectionConfig(name="pl", dim=128, metric="cosine", dtype="int8",
+                           segment_rows=256, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 1024
+    vecs = rng.standard_normal((n, 128)).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    q = rng.standard_normal((8, 128)).astype(np.float32)
+    vs, is_ = eng.search(q, k=7, impl="scan")
+    vp, ip = eng.search(q, k=7, impl="pallas")
+    np.testing.assert_allclose(vs, vp, rtol=1e-6)
+    np.testing.assert_array_equal(is_, ip)
+
+
+def test_int8_l2_rejected():
+    with pytest.raises(ConfigError):
+        CollectionConfig(name="bad", dim=8, metric="l2", dtype="int8")
+
+
+def test_int8_collection_durability_roundtrip(tmp_path, rng):
+    from vrod_tpu.collection import Collection
+    cfg = CollectionConfig(name="dur", dim=16, metric="cosine", dtype="int8",
+                           segment_rows=64)
+    col = Collection.create(tmp_path / "dur", cfg)
+    vecs = rng.standard_normal((40, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(40)])
+    hits_before = col.search_similar(vecs[3], k=3)
+    col.snapshot()
+    col.insert(rng.standard_normal(16), "tail")
+    col.close()
+    col2 = Collection.load(tmp_path / "dur")
+    assert col2.count == 41
+    hits_after = col2.search_similar(vecs[3], k=3)
+    assert hits_before[0].record_id == hits_after[0].record_id == int(rids[3])
+    # get() returns the dequantized stored row: unit-ish direction of vecs[3]
+    got = col2.get(int(rids[3])).vector
+    cos = float(got @ vecs[3] / (np.linalg.norm(got) * np.linalg.norm(vecs[3])))
+    assert cos > 0.999
+    col2.close()

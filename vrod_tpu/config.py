@@ -20,7 +20,7 @@ from .errors import ConfigError
 VROD_VERSION = "0.1.0"
 
 METRICS = ("cosine", "l2", "dot")
-DTYPES = ("float32", "bfloat16")
+DTYPES = ("float32", "bfloat16", "int8")
 
 _NAME_RE = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]{0,127}$")
 
@@ -71,6 +71,11 @@ class CollectionConfig:
             raise ConfigError(f"Unknown metric {self.metric!r}; expected one of {METRICS}")
         if self.dtype not in DTYPES:
             raise ConfigError(f"Unknown dtype {self.dtype!r}; expected one of {DTYPES}")
+        if self.dtype == "int8" and self.metric == "l2":
+            raise ConfigError(
+                "int8 collections support cosine/dot metrics (the quantized "
+                "scan's dequant epilogue has no |x|^2 term); use "
+                "bfloat16/float32 for l2")
         if self.dim <= 0:
             raise ConfigError(f"dim must be positive, got {self.dim}")
         if self.segment_rows % 8 != 0:

@@ -67,6 +67,12 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     # Pallas TPU kernels run interpreted on CPU meshes (tests / dry runs).
     interpret = mesh.devices.flat[0].platform != "tpu"
 
+    # int8 collections scan with a quantized query on the integer MXU
+    # (per-query scale is rank-invariant and dropped); the exact-precision
+    # scan path and the rescore keep the full f32 query.
+    quantize_q = dtype_name == "int8" and (
+        impl == "pallas" or precision_name != "exact")
+
     def local_topk(x_l, aux_l, valid_l, q):
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
         if impl == "pallas":
@@ -99,7 +105,9 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
 
     def search(x, aux, valid, q):
         qp = D.prepare_queries(q, metric=metric)
-        vals, idx = sm(x, aux, valid, qp)
+        q_scan = D.prepare_queries(q, metric=metric, quantize=True) \
+            if quantize_q else qp
+        vals, idx = sm(x, aux, valid, q_scan)
         if do_rescore:
             vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out, metric=metric)
         else:
@@ -147,6 +155,13 @@ def _erase_rows(valid, slots):
 @jax.jit
 def _gather_rows(x, slots):
     return x[slots].astype(jnp.float32)
+
+
+@jax.jit
+def _gather_rows_dequant(x, aux, slots):
+    """int8 collections: exact-lookup returns the dequantized row (for
+    cosine collections this is the stored normalized direction)."""
+    return x[slots].astype(jnp.float32) * aux[slots][:, None]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -269,8 +284,10 @@ class DeviceEngine:
     # -- reads -------------------------------------------------------------
 
     def gather(self, slots: np.ndarray) -> np.ndarray:
-        """Fetch rows (f32) for exact-lookup SEARCH."""
+        """Fetch rows (f32) for exact-lookup SEARCH (dequantized for int8)."""
         slots = np.asarray(slots, dtype=np.int32)
+        if self.dtype == jnp.int8:
+            return np.asarray(_gather_rows_dequant(self.x, self.aux, slots))
         return np.asarray(_gather_rows(self.x, slots))
 
     def search(self, queries: np.ndarray, k: int, *, precision=None,
@@ -305,6 +322,11 @@ class DeviceEngine:
         # ``margin=`` overrides the policy (tuning/validation harnesses).
         if margin is None:
             margin = max(self.cfg.rescore_margin, k_out // 8) if rescore else 0
+            if self.dtype == jnp.int8 and rescore:
+                # Quantization (rows AND query) adds rank jitter beyond
+                # bf16/f32 fast-precision; measured at 1M x 768 (see
+                # experiments/recall_margin.py --dtype int8).
+                margin = max(margin, 2 * k_out)
         elif not rescore:
             margin = 0
         k_scan = min(k_out + margin, self.capacity)

@@ -40,7 +40,12 @@ def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision):
     precision the stored rows are upcast so no query bits are lost (the
     oracle definition the rescore path also computes); fast/high paths
     downcast the query onto the MXU and rely on the rescore margin."""
-    if precision == lax.Precision.HIGHEST:
+    if x_blk.dtype == jnp.int8:
+        # Quantized collection: integer products are exact in f32 (values
+        # <= 127), so the scan path computes them as f32 on any backend.
+        # The epilogue is always the dequant multiply, whatever the metric.
+        lhs, rhs = q.astype(jnp.float32), x_blk.astype(jnp.float32)
+    elif precision == lax.Precision.HIGHEST:
         lhs, rhs = q.astype(jnp.float32), x_blk.astype(jnp.float32)
     else:
         lhs, rhs = q.astype(x_blk.dtype), x_blk
@@ -50,7 +55,7 @@ def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision):
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    if metric == "cosine":
+    if x_blk.dtype == jnp.int8 or metric == "cosine":
         s = g * aux_blk[None, :]
     elif metric == "l2":
         s = 2.0 * g - aux_blk[None, :]
@@ -120,8 +125,8 @@ def rescore(x, aux, valid, q, cand_idx, *, k: int, metric: str):
         precision=lax.Precision.HIGHEST,
     )
     aux_c = aux[safe_idx]
-    if metric == "cosine":
-        s = g * aux_c
+    if x.dtype == jnp.int8 or metric == "cosine":
+        s = g * aux_c  # int8: aux is the per-row dequant scale
     elif metric == "l2":
         s = 2.0 * g - aux_c
     else:
@@ -150,11 +155,30 @@ def finalize_scores(vals, q, *, metric: str):
 def prepare_rows(vecs, *, metric: str, dtype):
     """Compute (stored_rows, aux) for new vectors on insert.
 
-    cosine: aux = 1/|x| (guarding zero vectors); l2: aux = |x|^2; dot: 0.
-    Rows are stored unmodified (cast to the collection dtype) so exact-lookup
-    SEARCH returns the original embedding.
+    float32/bfloat16: rows stored unmodified (cast) so exact-lookup SEARCH
+    returns the original embedding; aux = 1/|x| (cosine), |x|^2 (l2), 0
+    (dot).
+
+    int8 (quantized scan, cosine/dot only): rows are symmetrically
+    quantized per row — cosine stores round(x/|x| / s) with
+    s = max|x_i/|x||/127, dot stores round(x / s). aux = s, so
+    dequantization is exactly ``stored * aux`` and the score epilogue is
+    the same ``g * aux`` multiply as cosine. The exact rescore dequantizes
+    and scores against the full f32 query, so recall is exact w.r.t. the
+    stored (quantized) representation — the same contract as bf16 storage.
     """
     vecs32 = vecs.astype(jnp.float32)
+    if jnp.dtype(dtype) == jnp.int8:
+        if metric == "cosine":
+            norms = jnp.linalg.norm(vecs32, axis=1, keepdims=True)
+            base = vecs32 / jnp.maximum(norms, 1e-30)
+        else:  # dot (l2 is rejected at config validation)
+            base = vecs32
+        scale = jnp.max(jnp.abs(base), axis=1) / 127.0
+        q8 = jnp.clip(
+            jnp.round(base / jnp.maximum(scale[:, None], 1e-30)),
+            -127, 127).astype(jnp.int8)
+        return q8, scale.astype(jnp.float32)
     if metric == "cosine":
         norms = jnp.linalg.norm(vecs32, axis=1)
         aux = jnp.where(norms > 0, 1.0 / jnp.maximum(norms, 1e-30), 0.0)
@@ -165,10 +189,19 @@ def prepare_rows(vecs, *, metric: str, dtype):
     return vecs32.astype(dtype), aux.astype(jnp.float32)
 
 
-def prepare_queries(q, *, metric: str):
-    """Normalize queries for cosine; pass-through otherwise."""
+def prepare_queries(q, *, metric: str, quantize: bool = False):
+    """Normalize queries for cosine; pass-through otherwise.
+
+    ``quantize=True`` (int8 collections, fast scan path) symmetrically
+    quantizes each query to int8 for the integer MXU. The per-query scale
+    is a positive scalar, so per-query ranking is unaffected and it is
+    simply dropped; the exact rescore uses the full f32 query."""
     q = q.astype(jnp.float32)
     if metric == "cosine":
         norms = jnp.linalg.norm(q, axis=1, keepdims=True)
         q = q / jnp.maximum(norms, 1e-30)
+    if quantize:
+        scale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
+        q = jnp.clip(jnp.round(q / jnp.maximum(scale, 1e-30)),
+                     -127, 127).astype(jnp.int8)
     return q

@@ -86,14 +86,34 @@ def _extract_block(s, col, cv, ci, k, kiota):
     return cv, ci
 
 
-def _epilogue(g, aux, mask, metric):
-    if metric == "cosine":
+def _epilogue(g, aux, mask, metric, quantized=False):
+    if quantized:
+        # int8 scan: g is the integer dot (exact); aux is the per-row
+        # dequant scale. Per-query scale factors are positive and dropped
+        # (rank-invariant); the rescore restores true values.
+        s = g.astype(jnp.float32) * aux[None, :]
+    elif metric == "cosine":
         s = g * aux[None, :]
     elif metric == "l2":
         s = 2.0 * g - aux[None, :]
     else:
         s = g
     return s + mask[None, :]  # -inf on deleted / never-used slots
+
+
+def _block_dot(q, x_blk, precision):
+    """Query-tile x row-block scores on the MXU; int8 collections use the
+    integer MXU path (s8 x s8 -> s32)."""
+    if x_blk.dtype == jnp.int8:
+        return lax.dot_general(
+            q.astype(jnp.int8), x_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    return lax.dot_general(
+        q.astype(x_blk.dtype), x_blk,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision)
 
 
 def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
@@ -105,13 +125,9 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         cv_ref[:] = jnp.full(cv_ref.shape, NEG_INF, dtype=jnp.float32)
         ci_ref[:] = jnp.full(ci_ref.shape, -1, dtype=jnp.int32)
 
-    g = lax.dot_general(
-        q_ref[:].astype(x_ref.dtype), x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
-    s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric)
+    g = _block_dot(q_ref[:], x_ref[:], precision)
+    s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
+                  quantized=x_ref.dtype == jnp.int8)
 
     base = j * block_rows + offset_ref[0]
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
@@ -171,11 +187,9 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
         for d in get_dma(cur, j):
             d.wait()
 
-        g = lax.dot_general(
-            q.astype(xbuf.dtype), xbuf[cur],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision)
-        s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric)
+        g = _block_dot(q, xbuf[cur], precision)
+        s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric,
+                      quantized=xbuf.dtype == jnp.int8)
         col = col_local + (j * block_rows + offset)
         return _extract_block(s, col, cv, ci, k, kiota)
 
