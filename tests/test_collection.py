@@ -177,7 +177,7 @@ def test_snapshot_corruption_detected(tmp_path, rng):
     col = new_col(tmp_path)
     col.bulk_insert(rng.standard_normal((20, 16)).astype(np.float32))
     col.snapshot()
-    vec_file = tmp_path / "c" / "snapshot" / "vectors.npy"
+    vec_file = tmp_path / "c" / "snapshot" / "vectors.bin"
     data = bytearray(vec_file.read_bytes())
     data[-5] ^= 0xFF
     vec_file.write_bytes(bytes(data))

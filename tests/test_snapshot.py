@@ -81,7 +81,7 @@ def test_corrupt_snapshot_falls_back_to_old(tmp_path, rng):
     d = tmp_path / "fb"
     # Keep a valid copy as .old, then corrupt the committed snapshot.
     shutil.copytree(d / SNAPSHOT_DIR, d / (SNAPSHOT_DIR + ".old"))
-    vp = d / SNAPSHOT_DIR / "vectors.npy"
+    vp = d / SNAPSHOT_DIR / "vectors.bin"
     raw = bytearray(vp.read_bytes())
     raw[-3] ^= 0xFF
     vp.write_bytes(bytes(raw))
@@ -96,7 +96,7 @@ def test_corrupt_snapshot_no_fallback_raises(tmp_path, rng):
     col.bulk_insert(rng.standard_normal((4, 16)))
     col.snapshot()
     col.close()
-    vp = tmp_path / "cx" / SNAPSHOT_DIR / "vectors.npy"
+    vp = tmp_path / "cx" / SNAPSHOT_DIR / "vectors.bin"
     raw = bytearray(vp.read_bytes())
     raw[-1] ^= 0x55
     vp.write_bytes(bytes(raw))

@@ -147,6 +147,16 @@ def _write_rows(x, aux, valid, slots, vecs, *, metric):
     return x, aux, valid
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _write_rows_raw(x, aux, valid, slots, rows, auxv):
+    """Scatter already-prepared rows (snapshot restore: the stored
+    representation round-trips bit-exactly, no requantization)."""
+    x = x.at[slots].set(rows.astype(x.dtype), mode="drop")
+    aux = aux.at[slots].set(auxv.astype(aux.dtype), mode="drop")
+    valid = valid.at[slots].set(True, mode="drop")
+    return x, aux, valid
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _erase_rows(valid, slots):
     return valid.at[slots].set(False, mode="drop")
@@ -270,6 +280,24 @@ class DeviceEngine:
                 self.x, self.aux, self.valid, sl,
                 vecs[start:start + self.WRITE_CHUNK_ROWS],
                 metric=self.cfg.metric)
+
+    def write_raw(self, slots: np.ndarray, rows: np.ndarray,
+                  aux: np.ndarray) -> None:
+        """Scatter stored-representation rows + aux (snapshot restore)."""
+        slots = np.asarray(slots, dtype=np.int32)
+        for start in range(0, len(slots), self.WRITE_CHUNK_ROWS):
+            sl = slots[start:start + self.WRITE_CHUNK_ROWS]
+            self.x, self.aux, self.valid = _write_rows_raw(
+                self.x, self.aux, self.valid, sl,
+                rows[start:start + self.WRITE_CHUNK_ROWS],
+                aux[start:start + self.WRITE_CHUNK_ROWS])
+
+    def gather_raw(self, slots: np.ndarray):
+        """Fetch (stored rows, aux) without conversion (snapshot writer)."""
+        slots = np.asarray(slots, dtype=np.int32)
+        rows = self.x[slots]
+        auxv = self.aux[slots]
+        return np.asarray(rows), np.asarray(auxv)
 
     def erase(self, slots: np.ndarray) -> None:
         self.valid = _erase_rows(self.valid, np.asarray(slots, dtype=np.int32))

@@ -102,6 +102,43 @@ class NpyStreamWriter:
         return self._w.close()
 
 
+def storage_dtype(name: str) -> np.dtype:
+    """numpy dtype for a collection storage dtype name (bfloat16 comes from
+    ml_dtypes, which JAX registers with numpy)."""
+    if name == "bfloat16":
+        import ml_dtypes
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(name)
+
+
+class RawStreamWriter:
+    """Stream a flat array of a known dtype in row chunks (used for the
+    stored-representation vectors: bf16/int8 rows round-trip bit-exactly
+    and snapshots shrink 2-4x vs the legacy f32 layout)."""
+
+    def __init__(self, path):
+        self._w = _CrcWriter(path)
+
+    def write_rows(self, arr: np.ndarray) -> None:
+        self._w.write(np.ascontiguousarray(arr).tobytes())
+
+    def close(self) -> int:
+        return self._w.close()
+
+
+def read_raw_rows(path, dtype, row_elems: int, chunk_rows: int = 65536):
+    """Yield (chunk_rows, row_elems) arrays of ``dtype`` from a raw file."""
+    dt = storage_dtype(dtype) if isinstance(dtype, str) else np.dtype(dtype)
+    row_bytes = dt.itemsize * row_elems
+    with open(path, "rb") as f:
+        while True:
+            buf = f.read(row_bytes * chunk_rows)
+            if not buf:
+                break
+            arr = np.frombuffer(buf, dtype=dt)
+            yield arr.reshape(-1, row_elems) if row_elems > 1 else arr
+
+
 class PayloadStreamWriter:
     """Length-prefixed payload stream, order-aligned with ids.npy."""
 
