@@ -260,6 +260,8 @@ def main():
     ap.add_argument("--workload", default="search",
                     choices=["search", "mixed", "batch-sweep", "scaling"])
     ap.add_argument("--shards", type=int, default=1)
+    ap.add_argument("--metric", default="cosine",
+                    choices=["cosine", "l2", "dot"])
     ap.add_argument("--margin", type=int, default=None,
                     help="override rescore candidate margin (k_scan = k_out + margin)")
     args = ap.parse_args()
@@ -324,6 +326,7 @@ def main():
     dim, batch, k = 768, args.batch, args.k
 
     qps, lat, recall, pcts = tpu_qps(n_rows, dim, batch, k, iters,
+                                     metric=args.metric,
                                      dtype=args.dtype, impl=args.impl,
                                      precision=args.precision,
                                      rescore_margin=args.margin,
@@ -332,7 +335,7 @@ def main():
                   subset=min(n_rows, 65536 if args.quick else 131072))
 
     print(json.dumps({
-        "metric": f"exact cosine top-{k} QPS/chip, {n_rows}x{dim}, batch {batch}",
+        "metric": f"exact {args.metric} top-{k} QPS/chip, {n_rows}x{dim}, batch {batch}",
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / cpu, 2),
