@@ -188,7 +188,7 @@ def cpu_qps(n_rows, dim, batch, k, subset, metric="cosine"):
     return batch / dt_scaled
 
 
-def mixed_workload(n_rows, dim, iters):
+def mixed_workload(n_rows, dim, iters, dtype="float32"):
     """BASELINE config 4: mixed insert/delete/search with compaction and a
     WAL-backed restore. Reports aggregate ops/sec."""
     import tempfile
@@ -197,7 +197,8 @@ def mixed_workload(n_rows, dim, iters):
     rng = np.random.default_rng(3)
     with tempfile.TemporaryDirectory() as tmp:
         db = Database.new(tmp, "benchdb", wal_sync=False)
-        col = db.create_collection("m", dim=dim, segment_rows=65536)
+        col = db.create_collection("m", dim=dim, segment_rows=65536,
+                                   dtype=dtype)
         base = rng.standard_normal((n_rows, dim)).astype(np.float32)
         col.bulk_insert(base)
         # Warm up every compiled shape the loop uses (insert 256, delete
@@ -230,9 +231,14 @@ def mixed_workload(n_rows, dim, iters):
                 col.reindex()
                 reindex_s = time.perf_counter() - tr
         dt = time.perf_counter() - t0 - reindex_s
-        # WAL/snapshot restore path
+        # WAL/snapshot restore path. Free the first copy's device arrays
+        # before loading the second: buffer donation is unavailable over
+        # the dev tunnel, so holding both copies would double HBM.
         t1 = time.perf_counter()
         db.close()
+        del col, db
+        import gc
+        gc.collect()
         db2 = Database.load(f"{tmp}/benchdb", wal_sync=False)
         col2 = db2.collection("m")
         restore_s = time.perf_counter() - t1
@@ -308,7 +314,8 @@ def main():
     if args.workload == "mixed":
         n_rows = args.rows or (65536 if args.quick else 262144)
         ops_s, restore_s, count, reindex_s = mixed_workload(
-            n_rows, 768, args.iters or (3 if args.quick else 10))
+            n_rows, 768, args.iters or (3 if args.quick else 10),
+            dtype=args.dtype)
         print(json.dumps({
             "metric": f"mixed insert/delete/search ops/s, base {n_rows}x768",
             "value": round(ops_s, 1),
