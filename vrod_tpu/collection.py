@@ -165,6 +165,8 @@ class Collection:
     def bulk_insert(self, vectors, payloads=None) -> np.ndarray:
         vecs = self._check_dim(vectors)
         n = vecs.shape[0]
+        if n == 0:
+            return np.empty((0,), dtype=np.uint64)
         if payloads is None:
             payloads = [""] * n
         if len(payloads) != n:
