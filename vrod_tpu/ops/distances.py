@@ -119,7 +119,11 @@ def rescore(x, aux, valid, q, cand_idx, *, k: int, metric: str):
     to the scan.
     """
     safe_idx = jnp.maximum(cand_idx, 0)
-    rows = x[safe_idx]                      # (B, k', D)
+    b, kp = safe_idx.shape
+    # Flat take + reshape gathers ~15% faster than x[idx] on TPU (measured,
+    # experiments/kexp4.py).
+    rows = jnp.take(x, safe_idx.reshape(-1), axis=0).reshape(
+        b, kp, x.shape[1])                  # (B, k', D)
     g = jnp.einsum(
         "bkd,bd->bk", rows.astype(jnp.float32), q.astype(jnp.float32),
         precision=lax.Precision.HIGHEST,
