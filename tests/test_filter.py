@@ -1,0 +1,118 @@
+"""Filtered search: id allowlist/denylist masks ANDed into the validity
+bitmap (exact top-k of the filtered subset, oracle-verified).
+
+The reference has no filtering (search is a stub, types.rs:121-132); this
+is a vrod-tpu extension realized TPU-natively: the filter is data (a bool
+mask), not program, so every already-compiled search program is reused.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import numpy_topk_oracle
+from test_search import fill, make_engine
+
+
+@pytest.mark.parametrize("shards", [1, 8])
+def test_engine_within_filter_matches_oracle(shards, rng):
+    eng = make_engine(shards=shards)
+    n, dim, k = 1200, 48, 10
+    vecs = fill(eng, rng, n, dim)
+    allow = rng.choice(n, size=120, replace=False)
+    mask = eng.filter_mask_from_slots(allow, mode="within")
+    q = rng.standard_normal((3, dim)).astype(np.float32)
+    vals, idx = eng.search(q, k, filter_mask=mask)
+    oracle_idx, _ = numpy_topk_oracle(vecs, np.sort(allow), q, k, "cosine")
+    for b in range(3):
+        assert set(idx[b]) == set(oracle_idx[b])
+        assert set(idx[b]) <= set(allow.tolist())
+
+
+def test_engine_exclude_filter_matches_oracle(rng):
+    eng = make_engine()
+    n, dim, k = 900, 48, 15
+    vecs = fill(eng, rng, n, dim)
+    deny = rng.choice(n, size=200, replace=False)
+    mask = eng.filter_mask_from_slots(deny, mode="exclude")
+    q = rng.standard_normal((2, dim)).astype(np.float32)
+    vals, idx = eng.search(q, k, filter_mask=mask)
+    keep = np.setdiff1d(np.arange(n), deny)
+    oracle_idx, _ = numpy_topk_oracle(vecs, keep, q, k, "cosine")
+    for b in range(2):
+        assert set(idx[b]) == set(oracle_idx[b])
+        assert not set(idx[b]) & set(deny.tolist())
+
+
+def test_filter_composes_with_deletes(rng):
+    """A deleted row stays masked even when the allowlist names it."""
+    eng = make_engine()
+    n, dim = 500, 48
+    vecs = fill(eng, rng, n, dim)
+    eng.erase(np.arange(0, n, 2))
+    allow = np.arange(0, 100)  # half of these are deleted
+    mask = eng.filter_mask_from_slots(allow, mode="within")
+    q = rng.standard_normal((2, dim)).astype(np.float32)
+    vals, idx = eng.search(q, 60, filter_mask=mask)
+    live_allowed = np.arange(1, 100, 2)
+    for b in range(2):
+        got = set(idx[b][idx[b] >= 0].tolist())
+        assert got == set(live_allowed.tolist())
+
+
+def test_filter_all_excluded_returns_empty(rng):
+    eng = make_engine()
+    fill(eng, rng, 200, 48)
+    mask = eng.filter_mask_from_slots(np.array([], dtype=np.int64),
+                                      mode="within")
+    q = rng.standard_normal((1, 48)).astype(np.float32)
+    vals, idx = eng.search(q, 5, filter_mask=mask)
+    assert (idx == -1).all()
+
+
+def test_filter_mode_validation(rng):
+    eng = make_engine()
+    with pytest.raises(ValueError, match="filter mode"):
+        eng.filter_mask_from_slots(np.array([0]), mode="nope")
+
+
+def test_collection_within_and_exclude(tmp_db, rng):
+    col = tmp_db.create_collection("f", dim=24, segment_rows=64)
+    vecs = rng.standard_normal((300, 24)).astype(np.float32)
+    rids = col.bulk_insert(vecs, payloads=[f"p{i}" for i in range(300)])
+    q = vecs[7]
+
+    allow = rids[:50]
+    hits = col.search_similar(q, k=5, within_ids=allow)
+    assert {h.record_id for h in hits} <= set(allow.tolist())
+    assert hits[0].record_id == int(rids[7])  # query == stored vector 7
+    assert hits[0].payload == "p7"
+
+    hits_ex = col.search_similar(q, k=5, exclude_ids=[int(rids[7])])
+    assert int(rids[7]) not in {h.record_id for h in hits_ex}
+
+    # unknown ids are ignored; deleted ids can't resurface via within
+    col.delete(int(rids[3]))
+    hits2 = col.search_similar(q, k=50,
+                               within_ids=list(rids[:50]) + [999999])
+    got = {h.record_id for h in hits2}
+    assert int(rids[3]) not in got
+    assert got == set(int(r) for r in rids[:50]) - {int(rids[3])}
+
+    with pytest.raises(ValueError, match="not both"):
+        col.search_similar(q, k=5, within_ids=[1], exclude_ids=[2])
+
+
+def test_cli_searchsimilar_filter(tmp_db, rng):
+    """The SEARCHSIMILAR verb accepts ;within= / ;exclude= options."""
+    from vrod_tpu.commands.builder import CommandBuilder
+    col = tmp_db.create_collection("g", dim=4, segment_rows=64)
+    rids = col.bulk_insert(np.eye(4, dtype=np.float32),
+                           payloads=["a", "b", "c", "d"])
+    cb = CommandBuilder(tmp_db)
+    arg = "1,0,0,0;k=2;exclude=%d" % int(rids[0])
+    out = cb.build("g", "SEARCHSIMILAR", arg).execute()
+    assert str(int(rids[0])) not in out.split()
+    arg = "1,0,0,0;k=2;within=%d,%d" % (int(rids[2]), int(rids[3]))
+    out = cb.build("g", "SEARCHSIMILAR", arg).execute()
+    first_ids = [line.split("\t")[0] for line in out.splitlines()]
+    assert set(first_ids) <= {str(int(rids[2])), str(int(rids[3]))}

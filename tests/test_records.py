@@ -54,15 +54,28 @@ def test_record_file():
 
 
 def test_parse_query():
-    v, k = parse_query("1,2,3")
-    assert k == 10
-    v, k = parse_query("1,2,3;k=25")
+    v, k, within, exclude = parse_query("1,2,3")
+    assert k == 10 and within is None and exclude is None
+    v, k, within, exclude = parse_query("1,2,3;k=25")
     assert k == 25
     np.testing.assert_array_equal(v, [1, 2, 3])
     with pytest.raises(RecordFormatError):
         parse_query("1,2;top=5")
     with pytest.raises(RecordFormatError):
         parse_query("1,2;k=0")
+
+
+def test_parse_query_filters():
+    _, k, within, _ = parse_query("1,2;k=5;within=3,7,11")
+    assert k == 5
+    np.testing.assert_array_equal(within, [3, 7, 11])
+    _, _, within, exclude = parse_query("1,2;exclude=4")
+    assert within is None
+    np.testing.assert_array_equal(exclude, [4])
+    with pytest.raises(RecordFormatError, match="not both"):
+        parse_query("1,2;within=1;exclude=2")
+    with pytest.raises(RecordFormatError, match="id list"):
+        parse_query("1,2;within=abc")
 
 
 def test_adversarial_payload_roundtrip():

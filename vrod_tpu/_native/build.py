@@ -121,6 +121,8 @@ def load_native() -> ctypes.CDLL | None:
     lib.vrod_alloc_id_of.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.vrod_alloc_ids_of.restype = None
     lib.vrod_alloc_ids_of.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p, u64p]
+    lib.vrod_alloc_slots_of.restype = None
+    lib.vrod_alloc_slots_of.argtypes = [ctypes.c_void_p, ctypes.c_uint64, u64p, u64p]
     lib.vrod_alloc_is_live.restype = ctypes.c_int
     lib.vrod_alloc_is_live.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.vrod_alloc_live_slots.restype = ctypes.c_uint64

@@ -422,6 +422,17 @@ extern "C" void vrod_alloc_ids_of(void* h, uint64_t n, const uint64_t* slots,
     out[i] = slots[i] < a->capacity ? a->slot_to_id[slots[i]] : NO_ID;
 }
 
+// Bulk id->slot mapping (filtered search builds slot masks from id lists).
+// Unknown ids map to NO_ID.
+extern "C" void vrod_alloc_slots_of(void* h, uint64_t n, const uint64_t* ids,
+                                    uint64_t* out) {
+  Alloc* a = (Alloc*)h;
+  for (uint64_t i = 0; i < n; i++) {
+    auto it = a->id_to_slot.find(ids[i]);
+    out[i] = it == a->id_to_slot.end() ? NO_ID : it->second;
+  }
+}
+
 extern "C" int vrod_alloc_is_live(void* h, uint64_t slot) {
   Alloc* a = (Alloc*)h;
   return (slot < a->capacity && a->slot_to_id[slot] != NO_ID) ? 1 : 0;

@@ -91,6 +91,15 @@ class _NativeAllocator:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
         return out
 
+    def slots_of(self, ids: np.ndarray) -> np.ndarray:
+        """Bulk id->slot mapping; NO_ID for unknown ids (filtered search)."""
+        ids, idp = self._u64buf(ids)
+        out = np.empty(ids.size, dtype=np.uint64)
+        self._lib.vrod_alloc_slots_of(
+            self._h, ids.size, idp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
+        return out
+
     def is_live(self, slot: int) -> bool:
         return bool(self._lib.vrod_alloc_is_live(self._h, slot))
 
@@ -188,6 +197,10 @@ class _PyAllocator:
     def ids_of(self, slots: np.ndarray) -> np.ndarray:
         return np.array([self._slot_to_id.get(int(s), NO_ID)
                          for s in np.asarray(slots).ravel()], dtype=np.uint64)
+
+    def slots_of(self, ids: np.ndarray) -> np.ndarray:
+        return np.array([self._id_to_slot.get(int(r), NO_ID)
+                         for r in np.asarray(ids).ravel()], dtype=np.uint64)
 
     def is_live(self, slot: int) -> bool:
         return slot in self._slot_to_id

@@ -275,13 +275,22 @@ class Collection:
             vec = self.engine.gather(np.array([slot]))[0]
             return Record(vector=vec, payload=self.payloads.get(record_id, ""))
 
-    def search_similar(self, queries, k: int = 10, **search_kw):
+    def search_similar(self, queries, k: int = 10, *, within_ids=None,
+                       exclude_ids=None, **search_kw):
         """Exact kNN (the reference's SEARCHSIMILAR verb, types.rs:121-132).
 
         Returns a list (one entry per query) of lists of SearchHit, best
         first. Scores: cosine similarity / inner product (higher = closer)
         or squared L2 distance (lower = closer).
+
+        ``within_ids`` restricts results to the given record ids
+        (allowlist); ``exclude_ids`` removes the given ids (denylist).
+        Unknown ids are ignored. Filtering is exact: the device scan masks
+        filtered-out rows the same way it masks deleted slots, so the
+        returned hits are the true top-k of the filtered subset.
         """
+        if within_ids is not None and exclude_ids is not None:
+            raise ValueError("Pass within_ids or exclude_ids, not both")
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         single = np.asarray(queries).ndim == 1
         if q.shape[1] != self.config.dim:
@@ -292,6 +301,17 @@ class Collection:
                            metric=self.config.metric,
                            shards=self.engine.shards):
             with self._rw.read():
+                if within_ids is not None or exclude_ids is not None:
+                    ids = np.asarray(
+                        within_ids if within_ids is not None else exclude_ids,
+                        dtype=np.uint64).reshape(-1)
+                    fslots = self.alloc.slots_of(ids)
+                    fslots = fslots[fslots != NO_ID]
+                    search_kw["filter_mask"] = \
+                        self.engine.filter_mask_from_slots(
+                            fslots.astype(np.int64),
+                            mode="within" if within_ids is not None
+                            else "exclude")
                 vals, slots = self.engine.search(q, k, **search_kw)
                 # Slot->id binding and payload lookup must happen under the
                 # same read lock as the search: a concurrent delete+insert

@@ -204,9 +204,12 @@ class SearchSimilarCommand(Command):
     def execute(self) -> str:
         col = self.db.collection(
             self._require(self.collection_name, "a collection (-c)"))
-        vector, k = parse_query(
-            self._require(self.arg, "a 'v0,v1,...[;k=10]' argument (-a)"))
-        hits = col.search_similar(vector, k)
+        vector, k, within, exclude = parse_query(
+            self._require(
+                self.arg,
+                "a 'v0,v1,...[;k=10][;within=ids|;exclude=ids]' argument (-a)"))
+        hits = col.search_similar(vector, k, within_ids=within,
+                                  exclude_ids=exclude)
         if not hits:
             return "(no results)"
         return "\n".join(

@@ -165,6 +165,13 @@ def _erase_rows(valid, slots):
 
 
 @jax.jit
+def _and_masks(valid, filter_mask):
+    """Filtered search: restrict the scan to ``valid & filter``. Both inputs
+    share the row sharding, so the AND stays on-shard (no collective)."""
+    return jnp.logical_and(valid, filter_mask)
+
+
+@jax.jit
 def _gather_rows(x, slots):
     return x[slots].astype(jnp.float32)
 
@@ -313,6 +320,30 @@ class DeviceEngine:
 
     # -- reads -------------------------------------------------------------
 
+    def filter_mask_from_slots(self, slots: np.ndarray, *,
+                               mode: str = "within"):
+        """Build a device filter mask from slot indices.
+
+        ``within``: True only at ``slots`` (allowlist); ``exclude``: False at
+        ``slots`` (denylist). The mask is data, not program: every batch
+        shape reuses the already-compiled search program — filtering is one
+        fused elementwise AND in front of the same masked scan the delete
+        bitmap already performs (deleted slots stay masked either way).
+        """
+        if mode not in ("within", "exclude"):
+            raise ValueError(f"Unknown filter mode {mode!r}")
+        slots = np.asarray(slots, dtype=np.int64).reshape(-1)
+        base = mode == "exclude"  # allowlist starts False, denylist True
+        vs = vec_sharding(self.mesh)
+
+        @functools.partial(jax.jit, static_argnames=("cap", "base"),
+                           out_shardings=vs)
+        def build(sl, *, cap, base):
+            m = jnp.full((cap,), base, dtype=jnp.bool_)
+            return m.at[sl].set(not base, mode="drop")
+
+        return build(slots, cap=self.capacity, base=base)
+
     def gather(self, slots: np.ndarray) -> np.ndarray:
         """Fetch rows (f32) for exact-lookup SEARCH (dequantized for int8)."""
         slots = np.asarray(slots, dtype=np.int32)
@@ -321,12 +352,18 @@ class DeviceEngine:
         return np.asarray(_gather_rows(self.x, slots))
 
     def search(self, queries: np.ndarray, k: int, *, precision=None,
-               impl=None, rescore=None, as_numpy=True, margin=None):
+               impl=None, rescore=None, as_numpy=True, margin=None,
+               filter_mask=None):
         """Exact top-k. Returns (values (B, k) f32, slots (B, k) i32) numpy.
 
         ``as_numpy=False`` returns device arrays without forcing a
         device->host sync — used by throughput harnesses to pipeline
         batches (each host readback costs a full interconnect round trip).
+
+        ``filter_mask`` (bool (capacity,), from ``filter_mask_from_slots``)
+        restricts the scan to ``valid & filter``: filtered searches run the
+        same compiled program, with masked-out rows scored -inf exactly like
+        deleted slots.
         """
         precision = precision or self.precision
         impl = impl or self.impl
@@ -372,7 +409,9 @@ class DeviceEngine:
             _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
             precision, self.cfg.dtype, self.rows_local, block_rows,
             self.shards, bool(rescore), impl)
-        vals, idx = fn(self.x, self.aux, self.valid, q)
+        valid = self.valid if filter_mask is None \
+            else _and_masks(self.valid, filter_mask)
+        vals, idx = fn(self.x, self.aux, valid, q)
         if not as_numpy:
             return vals[:B, :k], idx[:B, :k]
         return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])

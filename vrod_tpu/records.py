@@ -104,25 +104,49 @@ def parse_record_file(text: str) -> list[Record]:
 
 
 def parse_query(arg: str, default_k: int = 10):
-    """Parse a SEARCHSIMILAR argument: ``v0,v1,...[;k=10]``.
+    """Parse a SEARCHSIMILAR argument:
+    ``v0,v1,...[;k=10][;within=id1,id2,...|;exclude=id1,id2,...]``.
 
-    Returns ``(vector, k)``. The ``k=`` suffix is a vrod-tpu extension; the
-    reference never defined SEARCHSIMILAR's argument (stub at types.rs:121-132).
+    Returns ``(vector, k, within_ids, exclude_ids)`` where the id lists are
+    ``None`` or uint64 arrays. The option suffixes are vrod-tpu extensions;
+    the reference never defined SEARCHSIMILAR's argument (stub at
+    types.rs:121-132). ``within`` restricts the search to the listed record
+    ids, ``exclude`` removes them; at most one of the two may appear.
     """
     arg = arg.strip()
-    vec_part, sep, tail = arg.partition(";")
+    parts = arg.split(";")
+    vec_part, opts = parts[0], [p.strip() for p in parts[1:] if p.strip()]
     k = default_k
-    if sep and tail.strip():
-        tail = tail.strip()
-        if not tail.startswith("k="):
+    within = exclude = None
+    for opt in opts:
+        key, sep, val = opt.partition("=")
+        if not sep:
             raise RecordFormatError(
-                f"Bad SEARCHSIMILAR option {tail!r}; expected 'k=<int>'"
-            )
-        try:
-            k = int(tail[2:])
-        except ValueError as e:
-            raise RecordFormatError(f"Bad k value: {e}") from e
-        if k < 1:
-            raise RecordFormatError("k must be >= 1")
+                f"Bad SEARCHSIMILAR option {opt!r}; expected 'key=value'")
+        if key == "k":
+            try:
+                k = int(val)
+            except ValueError as e:
+                raise RecordFormatError(f"Bad k value: {e}") from e
+            if k < 1:
+                raise RecordFormatError("k must be >= 1")
+        elif key in ("within", "exclude"):
+            try:
+                ids = np.array(
+                    [int(v) for v in val.split(",") if v.strip()],
+                    dtype=np.uint64)
+            except (ValueError, OverflowError) as e:
+                raise RecordFormatError(f"Bad {key} id list: {e}") from e
+            if key == "within":
+                within = ids
+            else:
+                exclude = ids
+        else:
+            raise RecordFormatError(
+                f"Bad SEARCHSIMILAR option {opt!r}; expected "
+                "'k=', 'within=' or 'exclude='")
+    if within is not None and exclude is not None:
+        raise RecordFormatError(
+            "SEARCHSIMILAR accepts within= or exclude=, not both")
     rec = parse_record(vec_part)
-    return rec.vector, k
+    return rec.vector, k, within, exclude
