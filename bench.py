@@ -255,6 +255,8 @@ def main():
                     help="small config for smoke runs")
     ap.add_argument("--rows", type=int, default=None)
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--dim", type=int, default=768,
+                    help="vector dimension (search workload; config 1 uses 128)")
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=None)
     # bf16 storage is the production default: half the HBM traffic of f32,
@@ -330,7 +332,7 @@ def main():
     n_rows = args.rows or (131072 if args.quick else 1_000_000)
     # Enough pipelined batches to amortize per-dispatch overhead.
     iters = args.iters or (5 if args.quick else 40)
-    dim, batch, k = 768, args.batch, args.k
+    dim, batch, k = args.dim, args.batch, args.k
 
     qps, lat, recall, pcts = tpu_qps(n_rows, dim, batch, k, iters,
                                      metric=args.metric,

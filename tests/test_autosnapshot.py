@@ -1,0 +1,73 @@
+"""Auto-snapshot policy: WAL growth past the configured budget triggers a
+background non-blocking snapshot that truncates the covered prefix —
+bounding restart-replay time with no operator action (the reference's
+TruncateWal/checkpoint intent, types.rs:44-54, made automatic)."""
+
+import time
+
+import numpy as np
+
+from vrod_tpu.config import SNAPSHOT_DIR, WAL_FILE
+
+
+def _wait_for(pred, timeout=30.0):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return pred()
+
+
+def test_auto_snapshot_triggers_and_truncates(tmp_db, rng):
+    col = tmp_db.create_collection(
+        "a", dim=32, segment_rows=64, auto_snapshot_wal_bytes=16 * 1024)
+    vecs = rng.standard_normal((64, 32)).astype(np.float32)
+    for i in range(8):  # ~8 x 64 x 32 x 4B = 64 KB of WAL frames
+        col.bulk_insert(vecs)
+    snap = col.path / SNAPSHOT_DIR
+    assert _wait_for(lambda: snap.exists()), "auto snapshot never ran"
+    assert _wait_for(lambda: col.wal.valid_size < 16 * 1024), \
+        "WAL not truncated below budget"
+    assert col.count == 8 * 64
+
+
+def test_auto_snapshot_restore_consistent(tmp_path, rng):
+    from vrod_tpu.database import Database
+    db = Database.new(tmp_path, "adb")
+    col = db.create_collection(
+        "a", dim=16, segment_rows=64, auto_snapshot_wal_bytes=8 * 1024)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs, payloads=[f"p{i}" for i in range(200)])
+    col.delete(int(rids[5]))
+    # Wait until any in-flight auto snapshot settles, then reload.
+    t = col._autosnap_thread
+    if t is not None:
+        t.join(timeout=30)
+    db.close()
+    db2 = Database.load(tmp_path / "adb")
+    col2 = db2.collection("a")
+    assert col2.count == 199
+    hits = col2.search_similar(vecs[7], k=1)
+    assert hits[0].record_id == int(rids[7])
+    assert hits[0].payload == "p7"
+    db2.close()
+
+
+def test_auto_snapshot_disabled_by_default(tmp_db, rng):
+    col = tmp_db.create_collection("b", dim=16, segment_rows=64)
+    col.bulk_insert(rng.standard_normal((300, 16)).astype(np.float32))
+    time.sleep(0.2)
+    assert not (col.path / SNAPSHOT_DIR).exists()
+    assert col.config.auto_snapshot_wal_bytes == 0
+
+
+def test_auto_snapshot_config_roundtrip(tmp_path):
+    from vrod_tpu.database import Database
+    db = Database.new(tmp_path, "cdb")
+    db.create_collection("c", dim=8, segment_rows=64,
+                         auto_snapshot_wal_bytes=12345)
+    db.close()
+    db2 = Database.load(tmp_path / "cdb")
+    assert db2.collection("c").config.auto_snapshot_wal_bytes == 12345
+    db2.close()

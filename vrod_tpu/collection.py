@@ -75,6 +75,9 @@ class Collection:
         # Serializes maintenance (snapshot/reindex); ordinary reads/writes
         # proceed concurrently with a running snapshot.
         self._maint = threading.Lock()
+        # Auto-snapshot policy state (config.auto_snapshot_wal_bytes).
+        self._autosnap_lock = threading.Lock()
+        self._autosnap_thread: threading.Thread | None = None
         # Cap on rows per BULKINSERT WAL frame (~64 MB of vector data): huge
         # ingests write many bounded frames instead of one multi-GB frame.
         self.WAL_FRAME_ROWS_MAX = max(1, (64 << 20) // (config.dim * 4 + 64))
@@ -98,7 +101,14 @@ class Collection:
         return col
 
     def close(self) -> None:
-        self.wal.close()
+        # Let an in-flight auto-snapshot finish (its WAL truncate needs the
+        # fd); a snapshot that races past this join fails cleanly and is
+        # counted in collection.auto_snapshot_failures.
+        t = self._autosnap_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=300)
+        with self._maint:
+            self.wal.close()
 
     # -- invariants --------------------------------------------------------
 
@@ -149,6 +159,37 @@ class Collection:
         """Block until the op at ``lsn`` is durable (shared group fsync)."""
         if self.wal_sync:
             self._commit.sync_upto(lsn)
+        self._maybe_auto_snapshot()
+
+    def _maybe_auto_snapshot(self) -> None:
+        """Kick a background snapshot when the WAL exceeds the configured
+        budget: bounds restart-replay time without blocking the mutation
+        path (the snapshot itself is non-blocking; a brief write lock plans
+        the cut, the gather runs lock-free)."""
+        budget = self.config.auto_snapshot_wal_bytes
+        if budget <= 0 or self.wal.valid_size < budget:
+            return
+        with self._autosnap_lock:
+            t = self._autosnap_thread
+            if (t is not None and t.is_alive()) or self._maint.locked():
+                return  # one snapshot at a time; reindex also counts
+
+            def run():
+                try:
+                    # Re-check under the race: a snapshot that finished
+                    # between the trigger and this thread starting may
+                    # already have truncated the WAL below budget.
+                    if self.wal.valid_size < budget:
+                        return
+                    self.snapshot()
+                    metrics.counters.inc("collection.auto_snapshots")
+                except Exception:
+                    metrics.counters.inc("collection.auto_snapshot_failures")
+
+            self._autosnap_thread = threading.Thread(
+                target=run, daemon=True,
+                name=f"vrod-autosnap-{self.config.name}")
+            self._autosnap_thread.start()
 
     def insert(self, vector, payload: str = "") -> int:
         vecs = self._check_dim(vector)

@@ -57,7 +57,8 @@ class CreateCollectionCommand(Command):
             if not part:
                 continue
             key, _, val = part.partition("=")
-            if key in ("dim", "shards", "segment_rows"):
+            if key in ("dim", "shards", "segment_rows", "rescore_margin",
+                       "auto_snapshot_wal_bytes"):
                 kw[key] = int(val)
             elif key in ("metric", "dtype"):
                 kw[key] = val
@@ -133,7 +134,13 @@ class BulkInsertCommand(Command):
         col = self.db.collection(
             self._require(self.collection_name, "a collection (-c)"))
         path = Path(self._require(self.arg, "a records-file path (-a)"))
-        records = parse_record_file(path.read_text())
+        try:
+            text = path.read_text()
+        except OSError as e:
+            from ..errors import RecordFormatError
+            raise RecordFormatError(
+                f"Cannot read records file {path}: {e}") from e
+        records = parse_record_file(text)
         if not records:
             return "Inserted 0 records"
         vecs = np.stack([r.vector for r in records])

@@ -64,6 +64,11 @@ class CollectionConfig:
     # f32 or bf16, so 8 is a 2x safety factor; the engine also floors the
     # margin at k_out // 8 for large k.
     rescore_margin: int = 8
+    # Auto-snapshot policy: when the collection WAL exceeds this many bytes
+    # after a mutation, a background snapshot runs (non-blocking — searches
+    # and mutations proceed) and truncates the covered WAL prefix. Bounds
+    # restart replay time. 0 disables (snapshot/reindex remain manual).
+    auto_snapshot_wal_bytes: int = 0
 
     def __post_init__(self) -> None:
         validate_name(self.name, "collection name")
@@ -82,6 +87,8 @@ class CollectionConfig:
             raise ConfigError("segment_rows must be a multiple of 8 (TPU sublane tile)")
         if self.shards < 1:
             raise ConfigError("shards must be >= 1")
+        if self.auto_snapshot_wal_bytes < 0:
+            raise ConfigError("auto_snapshot_wal_bytes must be >= 0")
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
