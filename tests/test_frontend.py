@@ -90,3 +90,29 @@ def test_profile_context(tmp_path, col):
         col.search_similar(col._test_vecs[0], k=2)
     # jax.profiler writes a plugins/profile tree
     assert any(metrics_dir.rglob("*.xplane.pb")) or any(metrics_dir.iterdir())
+
+
+def test_batched_filters_grouped_and_isolated(col):
+    """Queries with different filters in one micro-batch window each get
+    their own filter; same-filter queries share one engine call."""
+    import concurrent.futures as cf
+    vec = col._test_vecs[42]
+    with QueryBatcher(col, max_wait_ms=50) as qb:
+        f_plain = qb.submit(vec, k=3)
+        f_within = qb.submit(vec, k=3, within_ids=[10, 11, 12])
+        f_within2 = qb.submit(vec, k=3, within_ids=[12, 11, 10])  # same group
+        f_excl = qb.submit(vec, k=3, exclude_ids=[43])  # record 43 = vecs[42]
+        plain, within, within2, excl = (
+            f_plain.result(30), f_within.result(30), f_within2.result(30),
+            f_excl.result(30))
+    assert plain[0].record_id == 43  # query == stored vector 42 -> id 43
+    assert {h.record_id for h in within} <= {10, 11, 12}
+    assert [h.record_id for h in within] == [h.record_id for h in within2]
+    assert 43 not in {h.record_id for h in excl}
+
+
+def test_batcher_filter_validation(col):
+    with QueryBatcher(col, max_wait_ms=1) as qb:
+        import pytest
+        with pytest.raises(ValueError, match="not both"):
+            qb.submit(col._test_vecs[0], k=2, within_ids=[1], exclude_ids=[2])

@@ -31,19 +31,33 @@ class QueryBatcher:
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
-    def submit(self, vector, k: int = 10) -> Future:
-        """Queue one query; the Future resolves to a list of SearchHit."""
+    def submit(self, vector, k: int = 10, *, within_ids=None,
+               exclude_ids=None) -> Future:
+        """Queue one query; the Future resolves to a list of SearchHit.
+
+        Filtered queries batch with queries carrying the *same* filter
+        (same ids, same mode); distinct filters execute as separate engine
+        calls within the window — a filter is a scan mask, so it is
+        per-call, not per-row-of-the-tile."""
         vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if within_ids is not None and exclude_ids is not None:
+            raise ValueError("Pass within_ids or exclude_ids, not both")
+        fkey = None
+        if within_ids is not None:
+            fkey = ("within", tuple(sorted(int(i) for i in within_ids)))
+        elif exclude_ids is not None:
+            fkey = ("exclude", tuple(sorted(int(i) for i in exclude_ids)))
         fut: Future = Future()
         with self._lock:
             if self._closed:
                 raise RuntimeError("QueryBatcher is closed")
-            self._pending.append((vec, k, fut))
+            self._pending.append((vec, k, fkey, fut))
             self._lock.notify()
         return fut
 
-    def search(self, vector, k: int = 10, timeout: float | None = 30.0):
-        return self.submit(vector, k).result(timeout=timeout)
+    def search(self, vector, k: int = 10, timeout: float | None = 30.0,
+               **filter_kw):
+        return self.submit(vector, k, **filter_kw).result(timeout=timeout)
 
     def close(self) -> None:
         with self._lock:
@@ -85,16 +99,22 @@ class QueryBatcher:
         return time.monotonic()
 
     def _execute(self, batch) -> None:
-        # One engine call per k-group (k is a static compile parameter).
-        groups: dict[int, list[tuple[np.ndarray, Future]]] = {}
-        for vec, k, fut in batch:
-            groups.setdefault(k, []).append((vec, fut))
-        for k, items in groups.items():
+        # One engine call per (k, filter) group: k is a static compile
+        # parameter; a filter is a per-call scan mask.
+        groups: dict[tuple, list[tuple[np.ndarray, Future]]] = {}
+        for vec, k, fkey, fut in batch:
+            groups.setdefault((k, fkey), []).append((vec, fut))
+        for (k, fkey), items in groups.items():
             vecs = np.stack([v for v, _ in items])
+            kw = {}
+            if fkey is not None:
+                mode, ids = fkey
+                kw["within_ids" if mode == "within" else "exclude_ids"] = \
+                    np.array(ids, dtype=np.uint64)
             try:
                 with metrics.timed("frontend.batch", batch=len(items), k=k,
                                    collection=self.collection.config.name):
-                    results = self.collection.search_similar(vecs, k)
+                    results = self.collection.search_similar(vecs, k, **kw)
                 for (_, fut), hits in zip(items, results):
                     fut.set_result(hits)
             except Exception as e:  # propagate to every waiter
