@@ -67,7 +67,9 @@ class Collection:
         # Group commit: concurrent mutations share one fsync before ack
         # instead of paying ~10 ms each (SURVEY §5 checkpoint/resume row).
         self._commit = GroupCommit(self.wal)
-        self.payloads: dict[int, str] = {}
+        from .payload_store import make_payload_store
+        self.payloads = make_payload_store(
+            config.payload_store, self.path / "payloads.db")
         self.next_id = 1
         # Single-writer / multi-reader: mutations donate device buffers, so
         # a concurrent search must never hold the old arrays (SURVEY §5).
@@ -109,6 +111,7 @@ class Collection:
             t.join(timeout=300)
         with self._maint:
             self.wal.close()
+            self.payloads.close()
 
     # -- invariants --------------------------------------------------------
 
@@ -244,8 +247,7 @@ class Collection:
         self._ensure_capacity(len(rids))
         slots = self.alloc.acquire(rids)
         self.engine.write(slots, vecs)
-        for rid, p in zip(rids.tolist(), payloads):
-            self.payloads[rid] = p
+        self.payloads.set_many(rids.tolist(), payloads)
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
     def delete(self, record_id: int) -> None:
@@ -278,8 +280,7 @@ class Collection:
         live = slots[slots != NO_ID]
         if live.size:
             self.engine.erase(live)
-        for rid in rids.tolist():
-            self.payloads.pop(rid, None)
+        self.payloads.delete_many(rids.tolist())
 
     def _apply_delete(self, record_id: int) -> None:
         slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
@@ -361,10 +362,8 @@ class Collection:
                 rids = self.alloc.ids_of(
                     np.where(slots >= 0, slots, 0).astype(np.uint64)
                 ).reshape(slots.shape)
-                payloads = {
-                    int(r): self.payloads.get(int(r), "")
-                    for r in np.unique(rids[rids != NO_ID])
-                }
+                payloads = self.payloads.get_many(
+                    int(r) for r in np.unique(rids[rids != NO_ID]))
         results = []
         for b in range(q.shape[0]):
             hits = []
@@ -456,8 +455,8 @@ class Collection:
             rid_chunk = rids[start:start + chunk]
             with self._rw.read():
                 rows, auxv = self.engine.gather_raw(sl)
-                pls = [self.payloads.get(int(r), "")
-                       for r in rid_chunk.tolist()]
+                pmap = self.payloads.get_many(rid_chunk.tolist())
+                pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
             vw.write_rows(rows)
             aw.write_rows(auxv.astype(np.float32))
             pw.write_many(pls)
@@ -545,8 +544,7 @@ class Collection:
         self._ensure_capacity(len(rids))
         slots = self.alloc.acquire(rids)
         self.engine.write_raw(slots, rows, aux)
-        for rid, p in zip(rids.tolist(), payloads):
-            self.payloads[rid] = p
+        self.payloads.set_many(rids.tolist(), payloads)
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
     def _restore(self) -> None:

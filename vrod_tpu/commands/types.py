@@ -60,7 +60,7 @@ class CreateCollectionCommand(Command):
             if key in ("dim", "shards", "segment_rows", "rescore_margin",
                        "auto_snapshot_wal_bytes"):
                 kw[key] = int(val)
-            elif key in ("metric", "dtype"):
+            elif key in ("metric", "dtype", "payload_store"):
                 kw[key] = val
             else:
                 raise RecordFormatError(f"Unknown CREATE option {key!r}")

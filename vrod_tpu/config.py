@@ -69,6 +69,10 @@ class CollectionConfig:
     # and mutations proceed) and truncates the covered WAL prefix. Bounds
     # restart replay time. 0 disables (snapshot/reindex remain manual).
     auto_snapshot_wal_bytes: int = 0
+    # Live payload view: "memory" (dict; fastest) or "disk" (sqlite-backed;
+    # bounded host RAM for 10M+ records). Durability is the WAL/snapshot
+    # layer's either way — the disk store is a rebuildable cache.
+    payload_store: str = "memory"
 
     def __post_init__(self) -> None:
         validate_name(self.name, "collection name")
@@ -89,6 +93,10 @@ class CollectionConfig:
             raise ConfigError("shards must be >= 1")
         if self.auto_snapshot_wal_bytes < 0:
             raise ConfigError("auto_snapshot_wal_bytes must be >= 0")
+        if self.payload_store not in ("memory", "disk"):
+            raise ConfigError(
+                f"Unknown payload_store {self.payload_store!r}; "
+                "expected 'memory' or 'disk'")
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
