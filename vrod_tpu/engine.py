@@ -164,6 +164,21 @@ def _erase_rows(valid, slots):
     return valid.at[slots].set(False, mode="drop")
 
 
+@functools.lru_cache(maxsize=256)
+def _mask_builder(mesh_key, cap, base):
+    """Jitted filter-mask scatter for one (mesh, capacity, polarity); the
+    slot-array shape is bucketed by the caller, bounding compile count."""
+    mesh = _MESHES[mesh_key]
+    vs = vec_sharding(mesh)
+
+    @functools.partial(jax.jit, out_shardings=vs)
+    def build(sl):
+        m = jnp.full((cap,), base, dtype=jnp.bool_)
+        return m.at[sl].set(not base, mode="drop")
+
+    return build
+
+
 @jax.jit
 def _and_masks(valid, filter_mask):
     """Filtered search: restrict the scan to ``valid & filter``. Both inputs
@@ -329,20 +344,23 @@ class DeviceEngine:
         shape reuses the already-compiled search program — filtering is one
         fused elementwise AND in front of the same masked scan the delete
         bitmap already performs (deleted slots stay masked either way).
+
+        The scatter is compiled once per (mesh, capacity, mode, bucketed
+        slot count): slot lists pad to power-of-two buckets with the
+        out-of-range index ``capacity`` (dropped by the scatter), so
+        arbitrary filter sizes reuse a handful of programs.
         """
         if mode not in ("within", "exclude"):
             raise ValueError(f"Unknown filter mode {mode!r}")
         slots = np.asarray(slots, dtype=np.int64).reshape(-1)
         base = mode == "exclude"  # allowlist starts False, denylist True
-        vs = vec_sharding(self.mesh)
-
-        @functools.partial(jax.jit, static_argnames=("cap", "base"),
-                           out_shardings=vs)
-        def build(sl, *, cap, base):
-            m = jnp.full((cap,), base, dtype=jnp.bool_)
-            return m.at[sl].set(not base, mode="drop")
-
-        return build(slots, cap=self.capacity, base=base)
+        n = max(1, 1 << (int(slots.size) - 1).bit_length()) \
+            if slots.size else 1
+        if n != slots.size:
+            slots = np.concatenate(
+                [slots, np.full(n - slots.size, self.capacity, np.int64)])
+        build = _mask_builder(_mesh_key(self.mesh), self.capacity, base)
+        return build(slots)
 
     def gather(self, slots: np.ndarray) -> np.ndarray:
         """Fetch rows (f32) for exact-lookup SEARCH (dequantized for int8)."""
