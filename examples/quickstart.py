@@ -36,6 +36,14 @@ def main():
                 f"{h.payload} ({h.score:.3f})" for h in hits)
             print(f"  {probe:>8} -> {neighbors}")
 
+        # Filtered search: exact top-k of an id subset (allow/deny lists
+        # become device masks; no recompilation, no throughput cost).
+        fruit_ids = ids[:7]
+        q = hash_embed(["citrus"])[0]
+        hits = col.search_similar(q, k=3, within_ids=fruit_ids)
+        print("  citrus within fruits ->",
+              ", ".join(h.payload for h in hits))
+
         # Mutations + durability round trip.
         col.update(int(ids[0]), hash_embed(["pineapple"])[0], "pineapple")
         col.delete(int(ids[1]))

@@ -71,3 +71,66 @@ def test_auto_snapshot_config_roundtrip(tmp_path):
     db2 = Database.load(tmp_path / "cdb")
     assert db2.collection("c").config.auto_snapshot_wal_bytes == 12345
     db2.close()
+
+
+def test_auto_snapshot_under_concurrent_mutations_and_searches(tmp_path, rng):
+    """Stress: writers + searchers while budget-triggered snapshots fire
+    repeatedly; the final reload must match the surviving live set."""
+    import threading
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sdb", wal_sync=False)
+    col = db.create_collection(
+        "s", dim=16, segment_rows=64, auto_snapshot_wal_bytes=4 * 1024)
+    base = rng.standard_normal((64, 16)).astype(np.float32)
+    live = set(col.bulk_insert(base).tolist())
+    lock = threading.Lock()
+    stop = threading.Event()
+    errors = []
+
+    def writer(seed):
+        r = np.random.default_rng(seed)
+        try:
+            while not stop.is_set():
+                vecs = r.standard_normal((16, 16)).astype(np.float32)
+                ids = col.bulk_insert(vecs)
+                with lock:
+                    live.update(ids.tolist())
+                    victims = [i for i in list(live)[:4]]
+                    for v in victims:
+                        live.discard(v)
+                col.delete_many(np.array(victims, dtype=np.uint64))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def searcher():
+        r = np.random.default_rng(99)
+        try:
+            while not stop.is_set():
+                col.search_similar(
+                    r.standard_normal(16).astype(np.float32), k=5)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(s,)) for s in (1, 2)]
+    threads.append(threading.Thread(target=searcher))
+    for t in threads:
+        t.start()
+    time.sleep(3.0)
+    stop.set()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors, errors
+    t = col._autosnap_thread
+    if t is not None:
+        t.join(timeout=30)
+    expected = set(live)
+    db.close()
+
+    db2 = Database.load(tmp_path / "sdb", wal_sync=False)
+    col2 = db2.collection("s")
+    assert col2.count == len(expected)
+    got = set(int(i) for i in col2.alloc.ids_of(
+        col2.alloc.live_slots()).tolist())
+    assert got == expected
+    db2.close()
