@@ -116,3 +116,38 @@ def test_cli_searchsimilar_filter(tmp_db, rng):
     out = cb.build("g", "SEARCHSIMILAR", arg).execute()
     first_ids = [line.split("\t")[0] for line in out.splitlines()]
     assert set(first_ids) <= {str(int(rids[2])), str(int(rids[3]))}
+
+
+def test_filter_mask_cached_until_mutation(tmp_db, rng):
+    """Repeated same-filter searches reuse the device mask; any mutation
+    (new generation) rebuilds it (slot bindings may have changed)."""
+    col = tmp_db.create_collection("fc", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((50, 8)).astype(np.float32))
+    calls = {"n": 0}
+    orig = col.engine.filter_mask_from_slots
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    col.engine.filter_mask_from_slots = counting
+    q = rng.standard_normal(8).astype(np.float32)
+    col.search_similar(q, k=3, within_ids=rids[:10])
+    col.search_similar(q, k=3, within_ids=rids[:10])
+    assert calls["n"] == 1  # cache hit on the second call
+    col.delete(int(rids[20]))  # bump generation
+    col.search_similar(q, k=3, within_ids=rids[:10])
+    assert calls["n"] == 2  # rebuilt after mutation
+
+
+def test_k_near_capacity_small_collection(rng):
+    """Bucketed k_out must clamp to capacity (k=70 on a 72-slot collection
+    used to crash rescore's top_k with k_out=96 > 72)."""
+    eng = make_engine(segment_rows=72)
+    vecs = fill(eng, rng, 72, 48)
+    q = rng.standard_normal((2, 48)).astype(np.float32)
+    vals, idx = eng.search(q, 70)
+    assert idx.shape == (2, 70)
+    for b in range(2):
+        got = set(idx[b][idx[b] >= 0].tolist())
+        assert len(got) == 70

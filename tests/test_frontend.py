@@ -57,7 +57,12 @@ def test_closed_batcher_rejects(col):
 
 def test_error_propagates(col):
     with QueryBatcher(col, max_wait_ms=1) as qb:
-        fut = qb.submit(np.zeros(7, dtype=np.float32))  # wrong dim
+        # Malformed per-client input fails fast at submit (it must not
+        # poison the packed batch)...
+        with pytest.raises(ValueError):
+            qb.submit(np.zeros(7, dtype=np.float32))  # wrong dim
+        # ...while an execution-time error still propagates via the Future.
+        fut = qb.submit(col._test_vecs[0], k=0)  # engine rejects k < 1
         with pytest.raises(Exception):
             fut.result(30)
 
@@ -116,3 +121,14 @@ def test_batcher_filter_validation(col):
         import pytest
         with pytest.raises(ValueError, match="not both"):
             qb.submit(col._test_vecs[0], k=2, within_ids=[1], exclude_ids=[2])
+
+
+def test_submit_dim_mismatch_raises_and_worker_survives(col):
+    import numpy as np
+    import pytest
+    with QueryBatcher(col, max_wait_ms=1) as qb:
+        with pytest.raises(ValueError, match="dim"):
+            qb.submit(np.zeros(7, np.float32), k=2)
+        # the worker is still alive and serving
+        hits = qb.search(col._test_vecs[11], k=2)
+        assert hits[0].payload == "p11"

@@ -80,3 +80,11 @@ def test_cli_create_payload_store_option(tmp_db):
     from vrod_tpu.errors import ConfigError
     with pytest.raises(ConfigError):
         cb.build(None, "CREATE", "bad;dim=8;payload_store=nope").execute()
+
+
+def test_disk_pop_returns_removed_value(tmp_path):
+    s = DiskPayloadStore(tmp_path / "q.db")
+    s[7] = "seven"
+    assert s.pop(7) == "seven"
+    assert s.pop(7, "gone") == "gone"
+    s.close()

@@ -80,6 +80,13 @@ class Collection:
         # Auto-snapshot policy state (config.auto_snapshot_wal_bytes).
         self._autosnap_lock = threading.Lock()
         self._autosnap_thread: threading.Thread | None = None
+        # Filter-mask cache: repeated searches with the same id filter reuse
+        # the device mask. Entries are stamped with the mutation generation
+        # (id->slot bindings are stable within one generation), so any
+        # mutation or compaction invalidates them implicitly.
+        self._mutgen = 0
+        self._fcache: dict[tuple, tuple[int, object]] = {}
+        self._fcache_lock = threading.Lock()
         # Cap on rows per BULKINSERT WAL frame (~64 MB of vector data): huge
         # ingests write many bounded frames instead of one multi-GB frame.
         self.WAL_FRAME_ROWS_MAX = max(1, (64 << 20) // (config.dim * 4 + 64))
@@ -147,6 +154,7 @@ class Collection:
         is rewound to its pre-append size: the op was never acked, so it
         must not silently materialize on the next replay."""
         pre = self.wal.valid_size
+        self._mutgen += 1  # under the write lock; invalidates filter masks
         lsn = self.wal.append(ops.encode(op), sync=False)
         try:
             apply_fn()
@@ -179,12 +187,15 @@ class Collection:
 
             def run():
                 try:
-                    # Re-check under the race: a snapshot that finished
-                    # between the trigger and this thread starting may
-                    # already have truncated the WAL below budget.
-                    if self.wal.valid_size < budget:
-                        return
-                    self.snapshot()
+                    with self._maint:
+                        # Re-check AFTER acquiring the maintenance lock: a
+                        # snapshot/reindex that was mid-flight at trigger
+                        # time may already have truncated the WAL below
+                        # budget — running another full snapshot then would
+                        # be pure redundant work.
+                        if self.wal.valid_size < budget:
+                            return
+                        self._snapshot_impl()
                     metrics.counters.inc("collection.auto_snapshots")
                 except Exception:
                     metrics.counters.inc("collection.auto_snapshot_failures")
@@ -347,13 +358,8 @@ class Collection:
                     ids = np.asarray(
                         within_ids if within_ids is not None else exclude_ids,
                         dtype=np.uint64).reshape(-1)
-                    fslots = self.alloc.slots_of(ids)
-                    fslots = fslots[fslots != NO_ID]
-                    search_kw["filter_mask"] = \
-                        self.engine.filter_mask_from_slots(
-                            fslots.astype(np.int64),
-                            mode="within" if within_ids is not None
-                            else "exclude")
+                    mode = "within" if within_ids is not None else "exclude"
+                    search_kw["filter_mask"] = self._filter_mask(mode, ids)
                 vals, slots = self.engine.search(q, k, **search_kw)
                 # Slot->id binding and payload lookup must happen under the
                 # same read lock as the search: a concurrent delete+insert
@@ -376,6 +382,31 @@ class Collection:
             results.append(hits)
         return results[0] if single else results
 
+    def _filter_mask(self, mode: str, ids: np.ndarray):
+        """Device filter mask for an id list, cached per mutation
+        generation (called under the read lock, so the id->slot bindings
+        the mask captures are the ones the search observes)."""
+        import hashlib
+        key = (mode,
+               hashlib.blake2b(ids.tobytes(), digest_size=16).digest())
+        gen = self._mutgen
+        with self._fcache_lock:
+            hit = self._fcache.get(key)
+            if hit is not None and hit[0] == gen:
+                return hit[1]
+        fslots = self.alloc.slots_of(ids)
+        fslots = fslots[fslots != NO_ID]
+        mask = self.engine.filter_mask_from_slots(
+            fslots.astype(np.int64), mode=mode)
+        with self._fcache_lock:
+            if len(self._fcache) >= 8:  # tiny bound; stale gens evict first
+                stale = [k2 for k2, v in self._fcache.items()
+                         if v[0] != gen]
+                for k2 in stale or [next(iter(self._fcache))]:
+                    self._fcache.pop(k2, None)
+            self._fcache[key] = (gen, mask)
+        return mask
+
     # -- maintenance -------------------------------------------------------
 
     def reindex(self) -> int:
@@ -388,6 +419,7 @@ class Collection:
                 if src.size:
                     self.engine.move(src, dst)
                     self.alloc.apply_compaction(src, dst)
+                    self._mutgen += 1  # slots rebound: filter masks stale
             # Snapshot makes the live set durable and drops the stale WAL
             # prefix. (Compaction itself is not WAL-logged: slots are a
             # device-layout detail, rebuilt from (id, vector) on restore.)

@@ -400,7 +400,10 @@ class DeviceEngine:
             raise ValueError("k must be >= 1")
         k = min(k, MAX_K, self.capacity)
         Bp = _bucket(B, BATCH_BUCKETS)
-        k_out = _bucket(k, K_BUCKETS)
+        # Clamp the bucketed output width to capacity: rescore's top_k runs
+        # on (B, k_scan<=capacity) candidates, so k_out may never exceed it
+        # (tiny collections with k near capacity crashed otherwise).
+        k_out = min(_bucket(k, K_BUCKETS), self.capacity)
         # Candidate margin: slack for fast-precision ordering jitter that
         # the exact rescore recovers from. Scales mildly with k (a larger k
         # puts the rank boundary in a denser score band). An explicit

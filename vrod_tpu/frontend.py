@@ -40,6 +40,13 @@ class QueryBatcher:
         calls within the window — a filter is a scan mask, so it is
         per-call, not per-row-of-the-tile."""
         vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        # Validate per-client input HERE so one malformed query raises to
+        # its submitter instead of poisoning a packed batch (np.stack over
+        # mixed dims would otherwise kill the worker and hang every Future).
+        dim = self.collection.config.dim
+        if vec.shape[0] != dim:
+            raise ValueError(
+                f"Query dim {vec.shape[0]} != collection dim {dim}")
         if within_ids is not None and exclude_ids is not None:
             raise ValueError("Pass within_ids or exclude_ids, not both")
         fkey = None
@@ -91,7 +98,13 @@ class QueryBatcher:
                     self._lock.wait(timeout=remaining)
                 batch = self._pending[: self.max_batch]
                 del self._pending[: self.max_batch]
-            self._execute(batch)
+            try:
+                self._execute(batch)
+            except Exception as e:  # never let the worker die
+                for item in batch:
+                    fut = item[-1]
+                    if not fut.done():
+                        fut.set_exception(e)
 
     @staticmethod
     def _now() -> float:
@@ -105,13 +118,13 @@ class QueryBatcher:
         for vec, k, fkey, fut in batch:
             groups.setdefault((k, fkey), []).append((vec, fut))
         for (k, fkey), items in groups.items():
-            vecs = np.stack([v for v, _ in items])
-            kw = {}
-            if fkey is not None:
-                mode, ids = fkey
-                kw["within_ids" if mode == "within" else "exclude_ids"] = \
-                    np.array(ids, dtype=np.uint64)
             try:
+                vecs = np.stack([v for v, _ in items])
+                kw = {}
+                if fkey is not None:
+                    mode, ids = fkey
+                    kw["within_ids" if mode == "within"
+                       else "exclude_ids"] = np.array(ids, dtype=np.uint64)
                 with metrics.timed("frontend.batch", batch=len(items), k=k,
                                    collection=self.collection.config.name):
                     results = self.collection.search_similar(vecs, k, **kw)

@@ -57,7 +57,11 @@ class DiskPayloadStore:
 
     def __init__(self, path):
         self._path = Path(path)
-        self._conn = sqlite3.connect(str(path), check_same_thread=False)
+        # Autocommit (isolation_level=None): with journal_mode=OFF an
+        # implicit open transaction would make close()'s rollback undefined
+        # behavior, and the held RESERVED lock would block other readers.
+        self._conn = sqlite3.connect(str(path), check_same_thread=False,
+                                     isolation_level=None)
         self._lock = threading.Lock()
         with self._lock:
             self._conn.execute("PRAGMA journal_mode=OFF")
@@ -66,7 +70,6 @@ class DiskPayloadStore:
                 "CREATE TABLE IF NOT EXISTS payload "
                 "(id INTEGER PRIMARY KEY, p TEXT NOT NULL)")
             self._conn.execute("DELETE FROM payload")
-            self._conn.commit()
 
     # -- dict-compatible surface (collection mutation paths) ---------------
 
@@ -85,9 +88,12 @@ class DiskPayloadStore:
 
     def pop(self, rid: int, default=None):
         with self._lock:
+            row = self._conn.execute(
+                "SELECT p FROM payload WHERE id = ?",
+                (int(rid),)).fetchone()
             self._conn.execute(
                 "DELETE FROM payload WHERE id = ?", (int(rid),))
-        return default
+        return default if row is None else row[0]
 
     def __len__(self) -> int:
         with self._lock:
