@@ -41,6 +41,26 @@ def test_random_ops_match_model(tmp_path, seed):
         got_vec = model[hits[0].record_id][0]
         # (a duplicate vector may legitimately win the tie)
         np.testing.assert_allclose(got_vec, model[rid][0], rtol=1e-5)
+        # filtered search: within a random live subset, the oracle top-1 by
+        # true cosine must match (filters survive slot reuse/compaction)
+        subset = list(model)[:: max(len(model) // 7, 1)]
+        q = model[rid][0]
+        hits = col.search_similar(q, k=1, within_ids=subset)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+
+        def cos(r):
+            v = model[r][0].astype(np.float64)
+            return float(qn @ (v / max(np.linalg.norm(v), 1e-30)))
+
+        assert hits, "within-filter over live ids returned nothing"
+        best = max(cos(r) for r in subset)
+        assert cos(hits[0].record_id) >= best - 1e-5
+        assert hits[0].record_id in set(subset)
+        # exclude filter: the excluded winner must vanish
+        hits_ex = col.search_similar(
+            q, k=1, exclude_ids=[hits[0].record_id])
+        if hits_ex:
+            assert hits_ex[0].record_id != hits[0].record_id
 
     for step in range(120):
         op = rng.integers(0, 100)
