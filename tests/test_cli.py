@@ -112,3 +112,48 @@ def test_generate_embeddings_custom_source(tmp_path, monkeypatch):
     lines = (tmp_path / "alice_embeddings.txt").read_text().splitlines()
     assert [parse_record(l).payload for l in lines] == [
         "zebra", "yak", "xylophone"]
+
+
+def test_shell_mode(tmp_path):
+    """--shell serves many commands over one loaded database."""
+    import io
+    from vrod_tpu.cli import _shell
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sh")
+    script = "\n".join([
+        'create -a "c;dim=4"',
+        '# a comment line',
+        '',
+        'insert -c c -a "1,0,0,0;alpha"',
+        'searchsimilar -c c -a "1,0,0,0;k=1"',
+        'badverb',
+        'insert -c c',          # missing arg -> in-loop error
+        'exit',
+        'insert -c c -a "0,1,0,0;never"',  # after exit: not executed
+    ])
+    out = io.StringIO()
+    rc = _shell(db, stdin=io.StringIO(script), stdout=out)
+    db.close()
+    assert rc == 0
+    text = out.getvalue()
+    assert "Created collection 'c'" in text
+    assert "Inserted record 1" in text
+    assert "1\t1.000000\talpha" in text
+    assert "Error: Unrecognized command: badverb" in text
+    assert text.count("Error:") == 2
+    assert "never" not in text
+
+
+def test_shell_default_collection(tmp_path):
+    import io
+    from vrod_tpu.cli import _shell
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sh2")
+    db.create_collection("d", dim=4, segment_rows=64)
+    out = io.StringIO()
+    _shell(db, default_collection="d",
+           stdin=io.StringIO('insert -a "1,0,0,0;x"\nexit\n'), stdout=out)
+    db.close()
+    assert "Inserted record 1" in out.getvalue()

@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="development utility: embed the first AMOUNT words of "
                         "a sample text and write alice_embeddings.txt "
                         "(reference: src/utils/embeddings.rs)")
+    p.add_argument("--shell", action="store_true",
+                   help="interactive mode: load the database once and read "
+                        "'VERB [-c COLLECTION] [-a ARG]' lines from stdin "
+                        "(amortizes JAX/compile startup across commands)")
     from .config import VROD_VERSION
     p.add_argument("-V", "--version", action="version",
                    version=f"vrod-tpu {VROD_VERSION}")
@@ -74,6 +78,54 @@ def _preprocess(argv):
             out.append(tok)
             i += 1
     return out
+
+
+def _shell(db, default_collection=None, stdin=None, stdout=None) -> int:
+    """Interactive command loop: ``VERB [-c COLLECTION] [-a ARG]`` per line
+    (shlex rules, so quoted args may contain spaces). ``exit``/``quit``/EOF
+    ends the session; errors print and the loop continues."""
+    import shlex
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    interactive = stdin.isatty()
+    builder = CommandBuilder(db)
+    if interactive:
+        print(f"vrod shell — database {db.path} "
+              f"(verbs are case-insensitive; 'exit' to quit)", file=stdout)
+    while True:
+        if interactive:
+            stdout.write("vrod> ")
+            stdout.flush()
+        line = stdin.readline()
+        if not line:
+            return 0
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.lower() in ("exit", "quit"):
+            return 0
+        try:
+            toks = shlex.split(line)
+            verb, collection, arg = toks[0], default_collection, None
+            i = 1
+            while i < len(toks):
+                if toks[i] in ("-c", "--collection") and i + 1 < len(toks):
+                    collection = toks[i + 1]
+                    i += 2
+                elif toks[i] in ("-a", "--command-arg") and i + 1 < len(toks):
+                    arg = toks[i + 1]
+                    i += 2
+                else:
+                    raise VrodError(
+                        f"Unexpected shell token {toks[i]!r}; usage: "
+                        "VERB [-c COLLECTION] [-a ARG]")
+            print(builder.build(collection, verb, arg).execute(),
+                  file=stdout)
+        except VrodError as e:
+            print(f"Error: {e}", file=stdout)
+        except ValueError as e:  # shlex errors (unbalanced quotes)
+            print(f"Error: {e}", file=stdout)
 
 
 def main(argv=None) -> int:
@@ -108,6 +160,13 @@ def main(argv=None) -> int:
             db.close()
             print(f"Initialized database at {Path(args.init_database) / args.init_database_name}")
             return 0
+
+        # Interactive shell: one long-lived Database + compiled programs
+        # serving many commands (the one-shot CLI pays JAX init per verb).
+        if args.shell:
+            db_dir = Path(args.database) if args.database else Path.cwd()
+            with Database.load(db_dir) as db:
+                return _shell(db, default_collection=args.collection)
 
         # Execute path — the reference's intended (dormant) wiring
         # (main.rs:64-74 + builder.rs).
