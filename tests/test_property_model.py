@@ -18,10 +18,16 @@ from vrod_tpu.errors import RecordNotFoundError
 DIM = 12
 
 
-@pytest.mark.parametrize("seed", [7, 42])
-def test_random_ops_match_model(tmp_path, seed):
+@pytest.mark.parametrize("seed,cfg_kw", [
+    (7, {}),
+    (42, {}),
+    # The same op-sequence invariants must hold with the sqlite payload
+    # view and with budget-triggered background snapshots interleaving.
+    (7, {"payload_store": "disk", "auto_snapshot_wal_bytes": 8 * 1024}),
+])
+def test_random_ops_match_model(tmp_path, seed, cfg_kw):
     rng = np.random.default_rng(seed)
-    cfg = CollectionConfig(name="m", dim=DIM, segment_rows=64)
+    cfg = CollectionConfig(name="m", dim=DIM, segment_rows=64, **cfg_kw)
     col = Collection.create(tmp_path / "m", cfg)
     model: dict[int, tuple[np.ndarray, str]] = {}
 
@@ -94,6 +100,12 @@ def test_random_ops_match_model(tmp_path, seed):
         elif op < 94:  # snapshot
             col.snapshot()
         else:  # crash-reload (no close: simulates process death)
+            # In a real crash the auto-snapshot thread dies with the
+            # process; in-process it would keep mutating the old fds while
+            # the new Collection owns the dir — wait it out first.
+            t = col._autosnap_thread
+            if t is not None:
+                t.join(timeout=60)
             col = Collection.load(tmp_path / "m")
         if step % 15 == 0:
             check()
