@@ -36,9 +36,11 @@ from .parallel.mesh import ROWS_AXIS, make_mesh, replicated, row_sharding, vec_s
 # Queries are padded to these batch tiles to bound the number of compiled
 # programs; 8 is the f32 sublane tile, larger tiles feed the MXU better.
 BATCH_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
-# Finer spacing in the 64-128 band: top-100 (BASELINE config 3) buckets to
-# 112 instead of 128, cutting k_scan 144 -> 126 (~1 ms/batch measured).
-K_BUCKETS = (8, 16, 32, 64, 96, 112, 128, 256, 512, 1024)
+# Finer spacing in the 64-128 band: k=100 (the classic rerank size and
+# BASELINE config 3) gets its own bucket — extraction cost is linear in
+# k_scan = k_out + margin, so k_out 128 -> 100 cut the top-100 batch
+# latency ~1.6 ms total across the two bucket refinements.
+K_BUCKETS = (8, 16, 32, 64, 96, 100, 112, 128, 256, 512, 1024)
 MAX_K = 1024
 DEFAULT_SEARCH_BLOCK_ROWS = 8192
 
