@@ -197,8 +197,13 @@ class Collection:
                             return
                         self._snapshot_impl()
                     metrics.counters.inc("collection.auto_snapshots")
-                except Exception:
+                except Exception as e:
                     metrics.counters.inc("collection.auto_snapshot_failures")
+                    import warnings
+                    warnings.warn(
+                        f"Auto-snapshot of collection "
+                        f"{self.config.name!r} failed: {e!r} (durability "
+                        f"unaffected; WAL keeps growing until one succeeds)")
 
             self._autosnap_thread = threading.Thread(
                 target=run, daemon=True,
