@@ -1,0 +1,96 @@
+"""Partial-apply rollback + recovery-completion invariants.
+
+A mutation whose device apply fails must leave the LIVE view exactly at
+the durable (post-WAL-rewind) state: failed inserts release their id
+binding (retries must not wedge), failed updates restore the old record,
+and DB-WAL recovery completes half-created collection directories."""
+
+import numpy as np
+import pytest
+
+
+def _fail_once(obj, attr):
+    """Monkeypatch obj.attr to raise on the first call only."""
+    orig = getattr(obj, attr)
+    state = {"armed": True}
+
+    def wrapper(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected device failure")
+        return orig(*a, **kw)
+
+    setattr(obj, attr, wrapper)
+    return state
+
+
+def test_failed_insert_releases_binding_and_retries(tmp_db, rng):
+    col = tmp_db.create_collection("r", dim=8, segment_rows=64)
+    v = rng.standard_normal(8).astype(np.float32)
+    rid0 = col.insert(v, "ok")
+    _fail_once(col.engine, "write")
+    with pytest.raises(RuntimeError, match="injected"):
+        col.insert(v, "boom")
+    # The failed op is not durable, its binding is gone, and inserts work.
+    rid2 = col.insert(v, "after")
+    assert rid2 > rid0
+    assert col.count == 2
+    assert col.get(rid2).payload == "after"
+    # WAL was rewound: a reload replays only the two acked inserts.
+    import vrod_tpu.collection as C
+    col2 = C.Collection.load(col.path)
+    assert col2.count == 2
+    col2.close()
+
+
+def test_failed_update_restores_old_record(tmp_db, rng):
+    col = tmp_db.create_collection("u", dim=8, segment_rows=64)
+    v_old = rng.standard_normal(8).astype(np.float32)
+    rid = col.insert(v_old, "original")
+    _fail_once(col.engine, "write")
+    v_new = rng.standard_normal(8).astype(np.float32)
+    with pytest.raises(RuntimeError, match="injected"):
+        col.update(rid, v_new, "edited")
+    # Live view must match durable state: the record still exists with its
+    # old vector and payload.
+    rec = col.get(rid)
+    assert rec.payload == "original"
+    np.testing.assert_allclose(rec.vector, v_old, rtol=1e-6)
+    hits = col.search_similar(v_old, k=1)
+    assert hits[0].record_id == rid
+
+
+def test_bulk_insert_invalidates_filter_masks(tmp_db, rng):
+    """bulk_insert must bump the mutation generation: a cached mask from
+    before a capacity-growing bulk insert has the old capacity's shape."""
+    col = tmp_db.create_collection("g", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((60, 8)).astype(np.float32))
+    q = rng.standard_normal(8).astype(np.float32)
+    col.search_similar(q, k=3, within_ids=rids[:10])  # cache a (64,) mask
+    # Grow capacity 64 -> 128 via bulk insert.
+    col.bulk_insert(rng.standard_normal((60, 8)).astype(np.float32))
+    assert col.engine.capacity > 64
+    hits = col.search_similar(q, k=3, within_ids=rids[:10])  # must rebuild
+    assert {h.record_id for h in hits} <= set(rids[:10].tolist())
+
+
+def test_recovery_completes_half_created_collection(tmp_path):
+    """Crash between mkdir and the vr_config write: the DB WAL op carries
+    the config, so recovery must finish the directory, not adopt it."""
+    from vrod_tpu.database import Database
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.wal import ops
+
+    db = Database.new(tmp_path, "hcdb")
+    cfg = CollectionConfig(name="half", dim=8, segment_rows=64)
+    db.wal.append(ops.encode(ops.CreateCollectionOp(cfg.to_json())))
+    (db.path / "collections" / "half").mkdir(parents=True)  # crash here
+    db.close()
+
+    db2 = Database.load(tmp_path / "hcdb")
+    assert "half" in db2.list_collections()
+    col = db2.collection("half")  # must load: vr_config was completed
+    assert col.config.dim == 8
+    col.bulk_insert(np.ones((3, 8), dtype=np.float32))
+    assert col.count == 3
+    db2.close()

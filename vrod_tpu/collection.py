@@ -94,11 +94,24 @@ class Collection:
     # -- lifecycle ---------------------------------------------------------
 
     @classmethod
-    def create(cls, path: Path, config: CollectionConfig, **kw) -> "Collection":
+    def create_on_disk(cls, path: Path, config: CollectionConfig, *,
+                       exist_ok: bool = False) -> Path:
+        """Create just the on-disk artifacts (dir + vr_config + vr_wal) —
+        no device engine. With ``exist_ok`` this idempotently COMPLETES a
+        half-created directory (crash between mkdir and the config write),
+        which is what DB-WAL recovery needs; a plain create refuses an
+        existing directory (the reference's AlreadyExists contract)."""
         path = Path(path)
-        path.mkdir(parents=True, exist_ok=False)
-        write_config(path / CONFIG_FILE, config.to_json())
+        path.mkdir(parents=True, exist_ok=exist_ok)
+        cfg_file = path / CONFIG_FILE
+        if not cfg_file.exists():
+            write_config(cfg_file, config.to_json())
         (path / WAL_FILE).touch()
+        return path
+
+    @classmethod
+    def create(cls, path: Path, config: CollectionConfig, **kw) -> "Collection":
+        cls.create_on_disk(path, config, exist_ok=False)
         return cls(path, config, **kw)
 
     @classmethod
@@ -239,6 +252,10 @@ class Collection:
             # covers them all (group durability before ack).
             chunk = max(1, self.WAL_FRAME_ROWS_MAX)
             pre = self.wal.valid_size
+            # Same protocol as _log_and_apply (bump generation, append,
+            # apply, rewind on failure), inlined to loop over WAL frame
+            # chunks. Keep the two in sync.
+            self._mutgen += 1
             lsn = 0
             try:
                 for start in range(0, n, chunk):
@@ -262,7 +279,20 @@ class Collection:
     def _apply_insert(self, rids: np.ndarray, vecs: np.ndarray, payloads) -> None:
         self._ensure_capacity(len(rids))
         slots = self.alloc.acquire(rids)
-        self.engine.write(slots, vecs)
+        try:
+            self.engine.write(slots, vecs)
+        except BaseException:
+            # Roll the host state back: the WAL frame is about to be
+            # rewound (the op was never acked), so the binding must not
+            # survive either — a stale binding would wedge every retry of
+            # the same record id. Partially-scattered chunks are erased
+            # best-effort (their slots return to the free list regardless).
+            try:
+                self.alloc.release(rids)
+                self.engine.erase(slots.astype(np.int64))
+            except Exception:
+                pass
+            raise
         self.payloads.set_many(rids.tolist(), payloads)
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
@@ -318,9 +348,26 @@ class Collection:
         self._ack(lsn)
 
     def _apply_update(self, record_id: int, vecs: np.ndarray, payload: str) -> None:
+        # Capture the stored representation before the delete so a failed
+        # re-insert can restore the live view: after the WAL rewind the
+        # record durably still exists, and the in-memory state must agree.
+        old_slot = self.alloc.slot_of(record_id)
+        old_rows, old_aux = self.engine.gather_raw(
+            np.array([old_slot], dtype=np.int64))
+        old_payload = self.payloads.get(record_id, "")
         self._apply_delete(record_id)
-        self._apply_insert(
-            np.array([record_id], dtype=np.uint64), vecs, [payload])
+        try:
+            self._apply_insert(
+                np.array([record_id], dtype=np.uint64), vecs, [payload])
+        except BaseException:
+            try:
+                rid_arr = np.array([record_id], dtype=np.uint64)
+                slots = self.alloc.acquire(rid_arr)
+                self.engine.write_raw(slots, old_rows, old_aux)
+                self.payloads[record_id] = old_payload
+            except Exception:
+                pass  # device unusable; restart replay restores the record
+            raise
 
     # -- reads -------------------------------------------------------------
 

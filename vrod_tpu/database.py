@@ -111,10 +111,14 @@ class Database:
             if isinstance(op, ops.CreateCollectionOp):
                 name = op.config_json["name"]
                 cdir = self._collection_dir(name)
-                if not cdir.exists():
-                    Collection.create(
-                        cdir, CollectionConfig.from_json(op.config_json),
-                        devices=self._devices, wal_sync=self._wal_sync).close()
+                # Idempotently COMPLETE the on-disk artifacts: a crash
+                # between mkdir and the vr_config write leaves a directory
+                # that exists but cannot load — the WAL op carries the
+                # config, so recovery finishes the job (no device engine is
+                # needed to lay down three filesystem artifacts).
+                Collection.create_on_disk(
+                    cdir, CollectionConfig.from_json(op.config_json),
+                    exist_ok=True)
                 if name not in self.config.collections:
                     self.config.collections.append(name)
                     changed = True
