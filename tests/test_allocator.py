@@ -114,3 +114,18 @@ def test_property_native_matches_python(rng):
             ap.apply_compaction(sp_src, sp_dst)
         assert an.live_count == ap.live_count == len(live)
         assert an.high_water == ap.high_water
+
+
+def test_acquire_rejects_duplicate_ids_in_batch():
+    """Duplicates WITHIN one acquire batch must raise, not corrupt the
+    slot<->id maps (both implementations)."""
+    import numpy as np
+    import pytest
+    from vrod_tpu.allocator import _PyAllocator, SlotAllocator
+    for alloc in (_PyAllocator(16), SlotAllocator(16)):
+        with pytest.raises(KeyError):
+            alloc.acquire(np.array([7, 7], dtype=np.uint64))
+        # state untouched: the id is bindable afterwards
+        slots = alloc.acquire(np.array([7], dtype=np.uint64))
+        assert alloc.live_count == 1
+        assert alloc.id_of(int(slots[0])) == 7

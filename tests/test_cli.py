@@ -157,3 +157,9 @@ def test_shell_default_collection(tmp_path):
            stdin=io.StringIO('insert -a "1,0,0,0;x"\nexit\n'), stdout=out)
     db.close()
     assert "Inserted record 1" in out.getvalue()
+
+
+def test_negative_generate_embeddings_is_clean_error(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from vrod_tpu.cli import main
+    assert main(["-g", "-3"]) == 1

@@ -107,3 +107,12 @@ def test_missing_args(builder):
 def test_unrecognized_command_object(tmp_db):
     out = T.UnrecognizedCommand(tmp_db).execute()
     assert "no-op" in out
+
+
+def test_create_bad_int_option_is_clean_error(tmp_db):
+    from vrod_tpu.commands.builder import CommandBuilder
+    from vrod_tpu.errors import RecordFormatError
+    import pytest
+    cb = CommandBuilder(tmp_db)
+    with pytest.raises(RecordFormatError, match="dim=.*integer"):
+        cb.build(None, "CREATE", "c;dim=abc").execute()

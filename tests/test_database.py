@@ -193,3 +193,21 @@ def test_multi_collection_database(tmp_path, rng):
         hits = col.search_similar(vecs[7], k=1)
         assert hits[0].record_id == rids[7]
     db2.close()
+
+
+def test_collection_truncate_wal_preserves_acked_records(tmp_path, rng):
+    """TRUNCATEWAL must not destroy acknowledged, un-snapshotted records:
+    it snapshots first, so a restart still sees everything."""
+    from vrod_tpu.database import Database
+    db = Database.new(tmp_path, "twdb")
+    col = db.create_collection("t", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((20, 8)).astype(np.float32),
+                           payloads=[f"p{i}" for i in range(20)])
+    db.truncate_wal("t")
+    assert col.wal.frame_count == 0 or col.wal.valid_size < 1024
+    db.close()
+    db2 = Database.load(tmp_path / "twdb")
+    col2 = db2.collection("t")
+    assert col2.count == 20
+    assert col2.get(int(rids[7])).payload == "p7"
+    db2.close()

@@ -135,3 +135,18 @@ def test_engine_pallas_impl_matches_scan(rng):
         v_s, i_s = eng.search(q, 10, impl="scan")
         v_p, i_p = eng.search(q, 10, impl="pallas")
         np.testing.assert_array_equal(i_s, i_p)
+
+
+def test_fused_topk_pads_nondivisible_rows(rng):
+    """Direct fused_topk callers with n not divisible by any block choice
+    must still scan every row (the tail used to be silently dropped)."""
+    import jax.numpy as jnp
+    from vrod_tpu.ops.pallas_topk import fused_topk
+    n, d = 1001, 32
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    aux = jnp.ones((n,), jnp.float32)
+    valid = jnp.ones((n,), bool)
+    q = x[n - 1:n]  # the LAST row: lives in the would-be-truncated tail
+    vals, idx = fused_topk(x, aux, valid, q, k=1, metric="dot",
+                           interpret=True)
+    assert int(idx[0, 0]) == n - 1

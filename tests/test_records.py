@@ -101,3 +101,8 @@ def test_adversarial_payload_roundtrip():
     # The whole set as one BULKINSERT file body.
     recs = parse_record_file("\n".join(lines))
     assert [r.payload for r in recs] == adversarial
+
+
+def test_parse_record_file_rejects_mixed_dims():
+    with pytest.raises(RecordFormatError, match="line 2.*dim"):
+        parse_record_file("1,2;a\n1,2,3;b\n")

@@ -18,6 +18,7 @@
 #include <string>
 #include <vector>
 #include <unordered_map>
+#include <unordered_set>
 #include <algorithm>
 
 #include <fcntl.h>
@@ -362,8 +363,17 @@ extern "C" long vrod_alloc_acquire(void* h, uint64_t n, const uint64_t* ids,
                                    uint64_t* slots_out) {
   Alloc* a = (Alloc*)h;
   if (a->free_slots.size() + (a->capacity - a->tail) < n) return -1;
-  for (uint64_t i = 0; i < n; i++)
-    if (a->id_to_slot.count(ids[i])) return -2;
+  // Reject collisions with existing bindings AND duplicates within the
+  // batch itself (binding one id to two slots would leak a slot and leave
+  // a ghost row visible to searches).
+  {
+    std::unordered_set<uint64_t> batch;
+    batch.reserve(n);
+    for (uint64_t i = 0; i < n; i++) {
+      if (a->id_to_slot.count(ids[i])) return -2;
+      if (!batch.insert(ids[i]).second) return -2;
+    }
+  }
   for (uint64_t i = 0; i < n; i++) {
     uint64_t slot;
     if (!a->free_slots.empty()) {

@@ -161,9 +161,14 @@ class _PyAllocator:
         ids = np.ascontiguousarray(ids, dtype=np.uint64)
         if self.free_count < ids.size:
             raise MemoryError("Insufficient capacity (grow first)")
+        seen: set[int] = set()
         for rid in ids:
-            if int(rid) in self._id_to_slot:
+            rid = int(rid)
+            # Duplicates WITHIN the batch are as corrupting as collisions
+            # with existing bindings (two slots would map to one id).
+            if rid in self._id_to_slot or rid in seen:
                 raise KeyError("A record id is already bound")
+            seen.add(rid)
         out = np.empty(ids.size, dtype=np.uint64)
         for i, rid in enumerate(ids):
             rid = int(rid)

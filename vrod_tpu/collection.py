@@ -480,11 +480,15 @@ class Collection:
         return int(src.size)
 
     def truncate_wal(self) -> None:
-        """TRUNCATEWAL for this collection (reference: types.rs:44-54)."""
-        with self._rw.write():
-            with self._commit.exclusive():
-                self.wal.truncate()
-            self._commit.mark_synced()
+        """TRUNCATEWAL for this collection (reference: types.rs:44-54).
+
+        Durability-preserving: the live set is snapshotted first, so
+        truncation only drops WAL frames the snapshot already covers — an
+        acknowledged record that was never snapshotted can NOT be lost by
+        this command (a raw truncate would silently destroy it on the next
+        restart)."""
+        with self._maint:
+            self._snapshot_impl()
 
     # -- persistence -------------------------------------------------------
 

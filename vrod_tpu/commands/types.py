@@ -59,7 +59,12 @@ class CreateCollectionCommand(Command):
             key, _, val = part.partition("=")
             if key in ("dim", "shards", "segment_rows", "rescore_margin",
                        "auto_snapshot_wal_bytes"):
-                kw[key] = int(val)
+                try:
+                    kw[key] = int(val)
+                except ValueError as e:
+                    raise RecordFormatError(
+                        f"Bad CREATE option {key}={val!r}: expected an "
+                        f"integer") from e
             elif key in ("metric", "dtype", "payload_store"):
                 kw[key] = val
             else:
@@ -137,7 +142,6 @@ class BulkInsertCommand(Command):
         try:
             text = path.read_text()
         except OSError as e:
-            from ..errors import RecordFormatError
             raise RecordFormatError(
                 f"Cannot read records file {path}: {e}") from e
         records = parse_record_file(text)

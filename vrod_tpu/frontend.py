@@ -26,7 +26,8 @@ class QueryBatcher:
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self._lock = threading.Condition()
-        self._pending: list[tuple[np.ndarray, int, Future]] = []
+        # (vector, k, filter-key-or-None, future)
+        self._pending: list[tuple[np.ndarray, int, tuple | None, Future]] = []
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()

@@ -32,15 +32,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .distances import PRECISIONS as _PRECISIONS
+
 NEG_INF = float("-inf")
 _INT_MAX = jnp.iinfo(jnp.int32).max
 _COL_SENTINEL = -(2 ** 30)  # "no column extracted yet at this value"
-
-_PRECISIONS = {
-    "exact": lax.Precision.HIGHEST,
-    "high": lax.Precision.HIGH,
-    "fast": lax.Precision.DEFAULT,
-}
 
 
 def _insert_one(cv, ci, m, am, has, kiota):
@@ -345,6 +341,15 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
         # Choose the streaming block ourselves when the caller's hint does
         # not divide the row count or exceeds the VMEM double-buffer budget.
         block_rows = pick_block_rows(n, d, x.dtype.itemsize)
+    if n % block_rows != 0:
+        # No power-of-two block divides n (engine callers always pass
+        # segment multiples; direct callers may not): pad with masked rows
+        # rather than silently truncating the tail out of the scan.
+        pad = block_rows - n % block_rows
+        x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
+        aux = jnp.concatenate([aux, jnp.zeros((pad,), aux.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)])
+        n += pad
     b_tile = b if b <= 256 else 256
     while b % b_tile != 0:
         b_tile //= 2

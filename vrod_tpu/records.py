@@ -91,15 +91,24 @@ def format_record(vector: np.ndarray, payload: str = "") -> str:
 
 
 def parse_record_file(text: str) -> list[Record]:
-    """Parse a BULKINSERT payload: one record per non-empty line."""
+    """Parse a BULKINSERT payload: one record per non-empty line. All
+    records must share one vector dimension (the first line sets it)."""
     records = []
+    dim = None
     for i, line in enumerate(text.splitlines()):
         if not line.strip():
             continue
         try:
-            records.append(parse_record(line))
+            rec = parse_record(line)
         except RecordFormatError as e:
             raise RecordFormatError(f"line {i + 1}: {e}") from e
+        if dim is None:
+            dim = rec.vector.shape[0]
+        elif rec.vector.shape[0] != dim:
+            raise RecordFormatError(
+                f"line {i + 1}: vector dim {rec.vector.shape[0]} != "
+                f"dim {dim} of line 1")
+        records.append(rec)
     return records
 
 

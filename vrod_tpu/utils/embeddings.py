@@ -90,6 +90,11 @@ def process_embeddings(n: int, source: str | Path | None = None,
                        output: str | Path = DEFAULT_OUTPUT,
                        embed_fn=None, dim: int = DEFAULT_DIM) -> Path:
     """End-to-end ingest (reference: process_embeddings, :6-20)."""
+    if n < 0:
+        from ..errors import VrodError
+        raise VrodError(
+            f"--generate-embeddings amount must be >= 0, got {n} "
+            f"(a negative slice would silently trim from the tail)")
     src = Path(source) if source else Path(DEFAULT_SOURCE)
     text = src.read_text() if src.exists() else _FALLBACK_TEXT
     words = extract_words(text, n)

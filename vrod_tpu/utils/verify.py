@@ -34,11 +34,18 @@ def verify_recall(collection, queries: np.ndarray, k: int = 10) -> float:
     for tests, CI gates and spot checks, not for 10M-row production sets
     (sample those)."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-    live_slots = collection.alloc.live_slots()
-    if live_slots.size == 0:
-        return 1.0
-    rids = np.array([collection.alloc.id_of(int(s)) for s in live_slots])
-    vecs = collection.engine.gather(live_slots.astype(np.int64))
+    # Capture a consistent (slots, ids, vectors) view under the read lock:
+    # concurrent mutations donate device buffers, so an unlocked gather can
+    # race a scatter. The search below takes its own read lock (the RW lock
+    # is not reader-reentrant), so a mutation BETWEEN the capture and the
+    # search can still yield spurious recall < 1.0 — quiesce mutations when
+    # using this as a gate.
+    with collection._rw.read():
+        live_slots = collection.alloc.live_slots()
+        if live_slots.size == 0:
+            return 1.0
+        rids = collection.alloc.ids_of(live_slots)
+        vecs = collection.engine.gather(live_slots.astype(np.int64))
     oracle_pos = brute_force_oracle(vecs, queries, k, collection.config.metric)
     oracle_ids = rids[oracle_pos]
     results = collection.search_similar(queries, k)
