@@ -10,7 +10,7 @@ import numpy as np
 from vrod_tpu.config import SNAPSHOT_DIR, WAL_FILE
 
 
-def _wait_for(pred, timeout=30.0):
+def _wait_for(pred, timeout=90.0):  # generous: CI boxes under load flake at 30
     t0 = time.time()
     while time.time() - t0 < timeout:
         if pred():

@@ -150,3 +150,81 @@ def test_fused_topk_pads_nondivisible_rows(rng):
     vals, idx = fused_topk(x, aux, valid, q, k=1, metric="dot",
                            interpret=True)
     assert int(idx[0, 0]) == n - 1
+
+
+def test_theta0_warm_start_is_exact(rng):
+    """A sampled sound floor must not change results: indices with and
+    without theta0 are identical (including ties and deletions)."""
+    import jax.numpy as jnp
+    from vrod_tpu.ops import distances as D
+    from vrod_tpu.ops.pallas_topk import fused_topk
+    from jax import lax
+    n, d, b, k = 4096, 32, 16, 24
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    aux = jnp.ones((n,), jnp.float32)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+    q = jnp.asarray(rng.standard_normal((b, d)), dtype=jnp.float32)
+    t0 = D.sampled_threshold(x, aux, valid, q, k=k, metric="dot",
+                             precision=lax.Precision.HIGHEST,
+                             max_fraction=4)
+    base_v, base_i = fused_topk(x, aux, valid, q, k=k, metric="dot",
+                                interpret=True)
+    warm_v, warm_i = fused_topk(x, aux, valid, q, k=k, metric="dot",
+                                interpret=True, theta0=t0)
+    assert (warm_i == base_i).all()
+    assert (warm_v == base_v).all()
+
+
+def test_sampled_threshold_soundness_randomized(rng):
+    """theta0 <= the true k-th best score for every query (the soundness
+    contract), across metrics and deletion patterns."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from vrod_tpu.ops import distances as D
+    for metric in ("dot", "cosine", "l2"):
+        n, d, b, k = 2048, 16, 8, 17
+        x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+        if metric == "cosine":
+            aux = 1.0 / jnp.linalg.norm(x, axis=1)
+        elif metric == "l2":
+            aux = jnp.sum(x * x, axis=1)
+        else:
+            aux = jnp.zeros((n,), jnp.float32)
+        valid = jnp.asarray(rng.random(n) > 0.3)
+        qf = rng.standard_normal((b, d)).astype(np.float32)
+        q = jnp.asarray(qf / np.linalg.norm(qf, axis=1, keepdims=True)
+                        if metric == "cosine" else qf)
+        prec = lax.Precision.HIGHEST
+        t0 = np.asarray(D.sampled_threshold(
+            x, aux, valid, q, k=k, metric=metric, precision=prec,
+            max_fraction=1))
+        s = np.asarray(D.block_scores(q, x, aux, valid, metric=metric,
+                                      precision=prec))
+        kth = np.sort(s, axis=1)[:, -k]
+        assert (t0[:, 0] <= kth + 1e-7).all(), (metric, t0[:, 0], kth)
+
+
+def test_sampled_submax_matches_reference(rng):
+    """The fused group-max pre-pass equals the jnp reference (strided
+    groups of block_rows//128 rows, 128 maxima per block)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from vrod_tpu.ops import distances as D
+    from vrod_tpu.ops.pallas_topk import sampled_submax
+    n, d, b, blk = 1024, 32, 8, 256
+    x = jnp.asarray(rng.standard_normal((n, d)), dtype=jnp.float32)
+    aux = jnp.ones((n,), jnp.float32)
+    valid = jnp.asarray(rng.random(n) > 0.2)
+    q = jnp.asarray(rng.standard_normal((b, d)), dtype=jnp.float32)
+    sub = sampled_submax(x, aux, valid, q, metric="dot", block_rows=blk,
+                         precision_name="exact", interpret=True)
+    s = np.asarray(D.block_scores(q, x, aux, valid, metric="dot",
+                                  precision=lax.Precision.HIGHEST))
+    nblocks = n // blk
+    ref = np.full((b, nblocks * 128), -np.inf, np.float32)
+    for j in range(nblocks):
+        blk_s = s[:, j * blk:(j + 1) * blk].reshape(b, blk // 128, 128)
+        ref[:, j * 128:(j + 1) * 128] = blk_s.max(axis=1)
+    np.testing.assert_array_equal(np.asarray(sub), ref)

@@ -80,10 +80,30 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     def local_topk(x_l, aux_l, valid_l, q):
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
         if impl == "pallas":
+            # Large k: warm-start the extraction loop with a sound sampled
+            # floor (extraction cost is linear in k_scan and dominated by
+            # the cold-carry over-extraction of early blocks). The sub-max
+            # pre-pass is itself a fused Pallas kernel — the XLA version
+            # materializes the (B, n_sample) score matrix and costs more
+            # than it saves (measured, experiments/kexp7.py).
+            theta0 = None
+            n_sample = min(rows_local, max(128 * k_scan * 2,
+                                           rows_local // 8))
+            n_sample = (n_sample // 2048) * 2048
+            import os
+            if os.environ.get("VROD_THETA0", "1") != "0" \
+                    and k_scan >= 64 and n_sample // 16 >= k_scan \
+                    and rows_local >= 4 * n_sample:
+                sub = pallas_topk.sampled_submax(
+                    x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
+                    q, metric=metric, precision_name=precision_name,
+                    interpret=interpret)
+                theta0 = D.threshold_from_submax(sub, k_scan, approx=True)
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
-                precision_name=precision_name, interpret=interpret)
+                precision_name=precision_name, interpret=interpret,
+                theta0=theta0)
         else:
             vals, idx = D.blockwise_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,

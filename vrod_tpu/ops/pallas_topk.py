@@ -51,20 +51,25 @@ def _insert_one(cv, ci, m, am, has, kiota):
     return jnp.where(has, ins_v, cv), jnp.where(has, ins_i, ci)
 
 
-def _extract_block(s, col, cv, ci, k, kiota):
+def _extract_block(s, col, cv, ci, k, kiota, theta0):
     """Merge score block ``s`` (B, BLK; global column ids ``col``) into the
     sorted carry (cv, ci) — the zero-store extraction described in the
-    module docstring."""
+    module docstring.
+
+    ``theta0`` (B, 1) is a SOUND per-query extraction floor (provably <=
+    the true k-th best score, e.g. from a sampled pre-pass): candidates at
+    or below it can never enter the final top-k carry, so skipping them is
+    exact. -inf disables the floor (the classic cold-start behavior)."""
     m0 = jnp.max(s, axis=1, keepdims=True)
     a0 = jnp.full(m0.shape, _COL_SENTINEL, jnp.int32)
 
     def cond(state):
         m, a, cv, ci = state
-        return jnp.any(m > cv[:, k - 1:k])
+        return jnp.any(m > jnp.maximum(cv[:, k - 1:k], theta0))
 
     def body(state):
         m, a, cv, ci = state
-        theta = cv[:, k - 1:k]
+        theta = jnp.maximum(cv[:, k - 1:k], theta0)
         # Candidate column: lowest col holding the current value, past any
         # already-extracted tie.
         am = jnp.min(jnp.where((s == m) & (col > a), col, _INT_MAX),
@@ -112,8 +117,8 @@ def _block_dot(q, x_blk, precision):
         precision=precision)
 
 
-def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
-            cv_ref, ci_ref, *, metric, k, block_rows, precision):
+def _kernel(offset_ref, q_ref, t0_ref, x_ref, aux_ref, mask_ref, ov_ref,
+            oi_ref, cv_ref, ci_ref, *, metric, k, block_rows, precision):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -129,7 +134,8 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
-    cv, ci = _extract_block(s, col, cv_ref[:], ci_ref[:], k, kiota)
+    cv, ci = _extract_block(s, col, cv_ref[:], ci_ref[:], k, kiota,
+                            t0_ref[:])
     cv_ref[:] = cv
     ci_ref[:] = ci
 
@@ -139,8 +145,8 @@ def _kernel(offset_ref, q_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref,
         oi_ref[:] = ci_ref[:]
 
 
-def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-               xbuf, abuf, mbuf, sems, *, metric, k, block_rows,
+def _kernel_db(offset_ref, q_ref, t0_ref, x_hbm, aux_hbm, mask_hbm, ov_ref,
+               oi_ref, xbuf, abuf, mbuf, sems, *, metric, k, block_rows,
                nblocks, precision):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
@@ -149,6 +155,7 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
     offset = offset_ref[0]
     kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
     q = q_ref[:]
+    theta0 = t0_ref[:]
     # Loop-invariant local column ids, hoisted out of the block loop; each
     # block only adds its scalar base.
     col_local = lax.broadcasted_iota(jnp.int32, (q.shape[0], block_rows), 1)
@@ -187,7 +194,7 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
         s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric,
                       quantized=xbuf.dtype == jnp.int8)
         col = col_local + (j * block_rows + offset)
-        return _extract_block(s, col, cv, ci, k, kiota)
+        return _extract_block(s, col, cv, ci, k, kiota, theta0)
 
     init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
             jnp.full(oi_ref.shape, -1, dtype=jnp.int32))
@@ -200,8 +207,8 @@ def _kernel_db(offset_ref, q_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
                      "interpret"))
-def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
-                   b_tile, precision_name, interpret):
+def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
+                   block_rows, b_tile, precision_name, interpret):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
@@ -218,6 +225,8 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
             pl.BlockSpec((b_tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                   # q
+            pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),                   # theta0
             pl.BlockSpec(memory_space=pl.ANY),                    # x (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                    # aux
             pl.BlockSpec(memory_space=pl.ANY),                    # mask
@@ -248,7 +257,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(offset, q, x, aux2d, mask2d)
+    )(offset, q, theta0, x, aux2d, mask2d)
     return vals, idx
 
 
@@ -256,8 +265,8 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
                      "interpret"))
-def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
-                b_tile, precision_name, interpret):
+def _fused_call(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
+                block_rows, b_tile, precision_name, interpret):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
@@ -275,6 +284,8 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
             pl.BlockSpec((b_tile, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                   # q
+            pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),                   # theta0
             pl.BlockSpec((block_rows, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),                   # x
             pl.BlockSpec((1, block_rows), lambda i, j: (0, j),
@@ -308,8 +319,78 @@ def _fused_call(x, aux2d, mask2d, q, offset, *, k, metric, block_rows,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(offset, q, x, aux2d, mask2d)
+    )(offset, q, theta0, x, aux2d, mask2d)
     return vals, idx
+
+
+def _submax_kernel(q_ref, x_ref, aux_ref, mask_ref, o_ref, *, metric,
+                   precision):
+    g = _block_dot(q_ref[:], x_ref[:], precision)
+    s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
+                  quantized=x_ref.dtype == jnp.int8)
+    b, blk = s.shape
+    # 128 group-maxima per block, groups STRIDED by 128 lanes (lane t of
+    # the output is the max over rows {t, t+128, ...} of the block): the
+    # minor 128-lane dim survives the reshape, which Mosaic lowers cleanly
+    # (a minor-dim split does not). Any partition of rows into groups
+    # yields sound element maxima — stride is as good as consecutive.
+    o_ref[:] = jnp.max(s.reshape(b, blk // 128, 128), axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("metric", "block_rows", "precision_name", "interpret"))
+def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
+                   precision_name="fast", interpret=False):
+    """Group-maxima score pre-pass behind ``distances.sampled_threshold``:
+    one streaming Pallas kernel (dot + metric epilogue + grouped max) that
+    never materializes scores. Returns (B, 128 * n // block_rows) f32 —
+    128 maxima per row block over strided (block_rows // 128)-row groups.
+    (The XLA formulation writes the full (B, n) score matrix to HBM and
+    costs more than the warm start saves — measured, kexp7.)"""
+    n, d = x.shape
+    b = q.shape[0]
+    while n % block_rows != 0 and block_rows > 128:
+        block_rows //= 2
+    assert n % block_rows == 0 and block_rows % 128 == 0, (n, block_rows)
+    nblocks = n // block_rows
+    per_blk = 128
+    b_tile = b if b <= 256 else 256
+    while b % b_tile != 0:
+        b_tile //= 2
+    aux2d = aux.reshape(1, n)
+    mask2d = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(
+        _submax_kernel, metric=metric,
+        precision=_PRECISIONS[precision_name])
+    (out,) = (pl.pallas_call(
+        kernel,
+        grid=(b // b_tile, nblocks),
+        in_specs=[
+            pl.BlockSpec((b_tile, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_rows), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b_tile, per_blk), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nblocks * per_blk), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, x, aux2d, mask2d),)
+    return out
 
 
 def pick_block_rows(n: int, d: int, itemsize: int,
@@ -328,11 +409,17 @@ def pick_block_rows(n: int, d: int, itemsize: int,
 
 def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
                index_offset=0, precision_name="high", interpret=False,
-               pipeline="manual"):
+               pipeline="manual", theta0=None):
     """Exact top-k of q (B, D) against x (N, D). Same contract as
     ``distances.blockwise_topk``: returns (values (B,k) f32, indices (B,k)
     i32 in the global slot space via ``index_offset``), empty ranks are
-    (-inf, -1)."""
+    (-inf, -1).
+
+    ``theta0`` (B,) or (B, 1): optional SOUND per-query extraction floor
+    (must be <= the true k-th best score; see
+    ``distances.sampled_threshold``). Exactness is preserved; candidates
+    below the floor just skip the extraction loop — at large k this
+    removes the cold-carry over-extraction of the first blocks."""
     n, d = x.shape
     b = q.shape[0]
     if block_rows is None or n % block_rows != 0 or (
@@ -356,6 +443,10 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     aux2d = aux.reshape(1, n)
     mask2d = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
     offset = jnp.asarray(index_offset, dtype=jnp.int32).reshape(1)
+    if theta0 is None:
+        t0 = jnp.full((b, 1), NEG_INF, dtype=jnp.float32)
+    else:
+        t0 = jnp.asarray(theta0, dtype=jnp.float32).reshape(b, 1)
     # The manual double-buffered variant overlaps the HBM stream with
     # compute; interpret mode lacks real DMA timing, so tests exercise both.
     # Manual HBM->VMEM DMA slices must be 128-lane aligned; odd dims fall
@@ -364,7 +455,7 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
         pipeline = "auto"
     call = _fused_call_db if pipeline == "manual" else _fused_call
     vals, idx = call(
-        x, aux2d, mask2d, q, offset, k=k, metric=metric,
+        x, aux2d, mask2d, q, offset, t0, k=k, metric=metric,
         block_rows=block_rows, b_tile=b_tile,
         precision_name=precision_name, interpret=interpret)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
