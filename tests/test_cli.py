@@ -163,3 +163,11 @@ def test_negative_generate_embeddings_is_clean_error(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     from vrod_tpu.cli import main
     assert main(["-g", "-3"]) == 1
+
+
+def test_generate_embeddings_missing_source_errors(tmp_path):
+    import pytest
+    from vrod_tpu.errors import VrodError
+    from vrod_tpu.utils.embeddings import process_embeddings
+    with pytest.raises(VrodError, match="not found"):
+        process_embeddings(5, source=tmp_path / "nope.txt")

@@ -49,3 +49,22 @@ def test_path_traversal_blocked(tmp_path):
     with pytest.raises(ConfigError):
         Database.new(tmp_path, "../escape")
     db.close()
+
+
+def test_segment_rows_must_be_positive():
+    import pytest
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.errors import ConfigError
+    for bad in (0, -8):
+        with pytest.raises(ConfigError, match="positive multiple"):
+            CollectionConfig(name="x", dim=4, segment_rows=bad)
+
+
+def test_name_rejects_trailing_newline():
+    import pytest
+    from vrod_tpu.config import validate_name
+    from vrod_tpu.errors import ConfigError
+    with pytest.raises(ConfigError):
+        validate_name("mydb\n")
+    with pytest.raises(ConfigError):
+        validate_name("my\ndb")

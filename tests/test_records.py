@@ -106,3 +106,17 @@ def test_adversarial_payload_roundtrip():
 def test_parse_record_file_rejects_mixed_dims():
     with pytest.raises(RecordFormatError, match="line 2.*dim"):
         parse_record_file("1,2;a\n1,2,3;b\n")
+
+
+def test_payload_trailing_whitespace_roundtrip():
+    line = format_record(np.array([1.0, 2.0]), "pad  \t")
+    assert parse_record(line).payload == "pad  \t"
+    # direct INSERT-arg form too
+    assert parse_record("1,2;spaced  ").payload == "spaced  "
+
+
+def test_interior_empty_vector_component_rejected():
+    with pytest.raises(RecordFormatError, match="Empty vector component"):
+        parse_record("1,,2;p")
+    # trailing comma stays tolerated
+    np.testing.assert_array_equal(parse_record("1,2,;p").vector, [1, 2])

@@ -22,13 +22,17 @@ VROD_VERSION = "0.1.0"
 METRICS = ("cosine", "l2", "dot")
 DTYPES = ("float32", "bfloat16", "int8")
 
-_NAME_RE = __import__("re").compile(r"^[A-Za-z0-9][A-Za-z0-9_.-]{0,127}$")
+import re
+
+_NAME_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9_.-]{0,127}")
 
 
 def validate_name(name: str, what: str = "name") -> str:
     """Collection/database names become directory names; reject separators,
-    traversal and other path metacharacters."""
-    if not isinstance(name, str) or not _NAME_RE.match(name) or ".." in name:
+    traversal and other path metacharacters. ``fullmatch``, not match-with-$:
+    '$' matches before a trailing newline, which would let 'name\\n' through
+    and create an unaddressable directory."""
+    if not isinstance(name, str) or not _NAME_RE.fullmatch(name) or ".." in name:
         raise ConfigError(
             f"Invalid {what} {name!r}: use letters, digits, '_', '-', '.' "
             f"(must start alphanumeric, max 128 chars)")
@@ -87,8 +91,10 @@ class CollectionConfig:
                 "bfloat16/float32 for l2")
         if self.dim <= 0:
             raise ConfigError(f"dim must be positive, got {self.dim}")
-        if self.segment_rows % 8 != 0:
-            raise ConfigError("segment_rows must be a multiple of 8 (TPU sublane tile)")
+        if self.segment_rows <= 0 or self.segment_rows % 8 != 0:
+            raise ConfigError(
+                "segment_rows must be a positive multiple of 8 "
+                "(TPU sublane tile)")
         if self.shards < 1:
             raise ConfigError("shards must be >= 1")
         if self.auto_snapshot_wal_bytes < 0:
@@ -136,9 +142,24 @@ class DatabaseConfig:
 
 
 def write_config(path: Path, payload: dict[str, Any]) -> None:
+    """Atomic + durable: the config IS the tensor schema WAL replay needs,
+    so the tmp file is fsynced before the rename (a rename alone can
+    persist while the data blocks do not, leaving an empty vr_config)."""
+    import os
     tmp = path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(payload, indent=2, sort_keys=True) + "\n")
+    with open(tmp, "w") as f:
+        f.write(json.dumps(payload, indent=2, sort_keys=True) + "\n")
+        f.flush()
+        os.fsync(f.fileno())
     tmp.replace(path)
+    try:
+        dfd = os.open(str(path.parent), os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
 
 
 def read_config(path: Path) -> dict[str, Any]:

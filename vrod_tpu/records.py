@@ -61,20 +61,27 @@ def _unescape_payload(s: str) -> str:
 
 def parse_record(line: str) -> Record:
     """Parse ``v0,v1,...;payload``. The payload may itself contain ';';
-    escaped newlines/CRs/backslashes are restored."""
-    line = line.strip()
-    if not line:
+    escaped newlines/CRs/backslashes are restored. Only line terminators
+    are stripped — payload-internal whitespace (including trailing spaces)
+    round-trips exactly, per the escape contract."""
+    line = line.strip("\r\n")
+    if not line.strip():
         raise RecordFormatError("Empty record string")
     vec_part, sep, payload = line.partition(";")
     if not sep:
         # No payload separator: the whole line is the vector, empty payload.
         payload = ""
     payload = _unescape_payload(payload)
+    toks = [t.strip() for t in vec_part.split(",")]
+    # A trailing comma is tolerated ('1,2,'); an INTERIOR empty token
+    # ('1,,2') is a malformed vector, not a lower-dimension one.
+    if toks and toks[-1] == "":
+        toks = toks[:-1]
+    if any(t == "" for t in toks):
+        raise RecordFormatError(
+            f"Empty vector component in record {vec_part!r}")
     try:
-        vector = np.array(
-            [float(tok) for tok in vec_part.split(",") if tok.strip() != ""],
-            dtype=np.float32,
-        )
+        vector = np.array([float(tok) for tok in toks], dtype=np.float32)
     except ValueError as e:
         raise RecordFormatError(f"Bad vector component in record: {e}") from e
     if vector.size == 0:

@@ -96,6 +96,12 @@ def process_embeddings(n: int, source: str | Path | None = None,
             f"--generate-embeddings amount must be >= 0, got {n} "
             f"(a negative slice would silently trim from the tail)")
     src = Path(source) if source else Path(DEFAULT_SOURCE)
+    if source is not None and not src.exists():
+        # The built-in excerpt only substitutes for the DEFAULT source; an
+        # explicitly requested corpus that is missing must error, not
+        # silently embed the wrong text.
+        from ..errors import VrodError
+        raise VrodError(f"Embeddings source file not found: {src}")
     text = src.read_text() if src.exists() else _FALLBACK_TEXT
     words = extract_words(text, n)
     embed = embed_fn or (lambda ws: hash_embed(ws, dim))

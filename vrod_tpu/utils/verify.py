@@ -21,7 +21,10 @@ def brute_force_oracle(vectors: np.ndarray, queries: np.ndarray, k: int,
     elif metric == "dot":
         s = -(q @ v.T)
     elif metric == "l2":
-        s = ((q[:, None, :] - v[None, :, :]) ** 2).sum(-1)
+        # Quadratic expansion: O(Q*N) memory. The naive (Q, N, D) broadcast
+        # would allocate ~61 GB for 10 queries over 1M x 768 f64.
+        s = (np.sum(q * q, axis=1, keepdims=True)
+             - 2.0 * (q @ v.T) + np.sum(v * v, axis=1)[None, :])
     else:
         raise ValueError(f"Unknown metric {metric!r}")
     kk = min(k, v.shape[0])
