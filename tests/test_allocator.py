@@ -129,3 +129,22 @@ def test_acquire_rejects_duplicate_ids_in_batch():
         slots = alloc.acquire(np.array([7], dtype=np.uint64))
         assert alloc.live_count == 1
         assert alloc.id_of(int(slots[0])) == 7
+
+
+def test_shrink_semantics():
+    import numpy as np
+    import pytest
+    from vrod_tpu.allocator import _PyAllocator, SlotAllocator
+    for alloc in (_PyAllocator(64), SlotAllocator(64)):
+        slots = alloc.acquire(np.arange(1, 11, dtype=np.uint64))  # 10 live
+        assert slots.max() < 10
+        alloc.shrink(16)
+        assert alloc.capacity == 16
+        assert alloc.live_count == 10
+        # freed-tail slots are gone from the free list; new acquires fit
+        s2 = alloc.acquire(np.array([99], dtype=np.uint64))
+        assert int(s2[0]) < 16
+        with pytest.raises(ValueError, match="live slots"):
+            alloc.shrink(5)  # would cut live rows
+        with pytest.raises(ValueError, match="must not grow"):
+            alloc.shrink(1024)

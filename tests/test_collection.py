@@ -278,3 +278,33 @@ def test_bulk_insert_chunks_wal_frames(tmp_path, rng):
     assert col2.get(int(rids[255])).payload == "p255"
     assert col2.get(int(rids[100])).payload == "p100"
     col2.close()
+
+
+def test_reindex_reclaims_capacity_after_mass_delete(tmp_db, rng):
+    """REINDEX shrinks device capacity to the live set's segments: the
+    scan pays for CAPACITY (static shapes), so this restores post-delete
+    QPS. Exactness and durability must survive the shrink."""
+    col = tmp_db.create_collection("shrinkme", dim=16, segment_rows=64)
+    vecs = rng.standard_normal((600, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs, payloads=[f"p{i}" for i in range(600)])
+    cap_before = col.engine.capacity
+    assert cap_before >= 600
+    col.delete_many(rids[40:])          # keep 40 live
+    moved = col.reindex()
+    assert col.engine.capacity == 64    # one segment
+    assert col.engine.capacity == col.alloc.capacity
+    assert col.count == 40
+    # exactness after shrink
+    hits = col.search_similar(vecs[7], k=1)
+    assert hits[0].record_id == int(rids[7])
+    assert hits[0].payload == "p7"
+    # inserts regrow cleanly
+    col.bulk_insert(rng.standard_normal((100, 16)).astype(np.float32))
+    assert col.engine.capacity >= 128
+    # durability across restart
+    from vrod_tpu.collection import Collection
+    col2 = Collection.load(col.path)
+    assert col2.count == 140
+    hits = col2.search_similar(vecs[7], k=1)
+    assert hits[0].record_id == int(rids[7])
+    col2.close()

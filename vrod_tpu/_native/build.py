@@ -107,6 +107,8 @@ def load_native() -> ctypes.CDLL | None:
     lib.vrod_alloc_free.argtypes = [ctypes.c_void_p]
     lib.vrod_alloc_grow.restype = ctypes.c_int
     lib.vrod_alloc_grow.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.vrod_alloc_shrink.restype = ctypes.c_int
+    lib.vrod_alloc_shrink.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     for fn in ("vrod_alloc_capacity", "vrod_alloc_live_count",
                "vrod_alloc_free_count", "vrod_alloc_high_water"):
         getattr(lib, fn).restype = ctypes.c_uint64

@@ -344,6 +344,23 @@ extern "C" int vrod_alloc_grow(void* h, uint64_t new_capacity) {
   return 0;
 }
 
+// Shrink after compaction (REINDEX reclaims empty tail segments so the
+// scan stops paying for them). Refuses if any live slot >= new_capacity.
+extern "C" int vrod_alloc_shrink(void* h, uint64_t new_capacity) {
+  Alloc* a = (Alloc*)h;
+  if (new_capacity > a->capacity) return -1;
+  for (uint64_t s = new_capacity; s < a->tail; s++)
+    if (a->slot_to_id[s] != NO_ID) return -2;
+  a->slot_to_id.resize(new_capacity);
+  a->free_slots.erase(
+      std::remove_if(a->free_slots.begin(), a->free_slots.end(),
+                     [&](uint64_t s) { return s >= new_capacity; }),
+      a->free_slots.end());
+  if (a->tail > new_capacity) a->tail = new_capacity;
+  a->capacity = new_capacity;
+  return 0;
+}
+
 extern "C" uint64_t vrod_alloc_capacity(void* h) { return ((Alloc*)h)->capacity; }
 extern "C" uint64_t vrod_alloc_live_count(void* h) {
   return ((Alloc*)h)->id_to_slot.size();

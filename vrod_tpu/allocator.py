@@ -56,6 +56,13 @@ class _NativeAllocator:
         if self._lib.vrod_alloc_grow(self._h, new_capacity) != 0:
             raise ValueError("grow must not shrink capacity")
 
+    def shrink(self, new_capacity: int) -> None:
+        rc = self._lib.vrod_alloc_shrink(self._h, new_capacity)
+        if rc == -1:
+            raise ValueError("shrink must not grow capacity")
+        if rc == -2:
+            raise ValueError("live slots beyond the new capacity")
+
     def acquire(self, ids: np.ndarray) -> np.ndarray:
         ids, idp = self._u64buf(ids)
         out = np.empty(ids.size, dtype=np.uint64)
@@ -155,6 +162,15 @@ class _PyAllocator:
     def grow(self, new_capacity: int) -> None:
         if new_capacity < self._capacity:
             raise ValueError("grow must not shrink capacity")
+        self._capacity = new_capacity
+
+    def shrink(self, new_capacity: int) -> None:
+        if new_capacity > self._capacity:
+            raise ValueError("shrink must not grow capacity")
+        if any(s >= new_capacity for s in self._slot_to_id):
+            raise ValueError("live slots beyond the new capacity")
+        self._free = [s for s in self._free if s < new_capacity]
+        self._tail = min(self._tail, new_capacity)
         self._capacity = new_capacity
 
     def acquire(self, ids: np.ndarray) -> np.ndarray:

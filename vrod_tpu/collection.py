@@ -472,6 +472,19 @@ class Collection:
                     self.engine.move(src, dst)
                     self.alloc.apply_compaction(src, dst)
                     self._mutgen += 1  # slots rebound: filter masks stale
+                # Live rows are now packed into [0, live): reclaim empty
+                # tail segments — search scans CAPACITY (static shapes), so
+                # this is what actually restores QPS after mass deletions.
+                # Allocator first: it REFUSES if any live slot would fall
+                # beyond the new capacity (the engine cut would destroy it).
+                import math as _math
+                unit = self.engine._grow_unit
+                live = self.alloc.live_count
+                new_cap = max(unit, int(_math.ceil(live / unit)) * unit) \
+                    if live else unit
+                if new_cap < self.engine.capacity:
+                    self.alloc.shrink(new_cap)
+                    self.engine.shrink_capacity(live)
             # Snapshot makes the live set durable and drops the stale WAL
             # prefix. (Compaction itself is not WAL-logged: slots are a
             # device-layout detail, rebuilt from (id, vector) on restore.)

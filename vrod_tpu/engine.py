@@ -304,6 +304,30 @@ class DeviceEngine:
         self.capacity = new_cap
         return True
 
+    def shrink_capacity(self, needed_slots: int) -> bool:
+        """Shrink device arrays to the smallest whole-segment capacity that
+        holds ``needed_slots`` (post-compaction: REINDEX packs live rows
+        into [0, live), so empty tail segments can be reclaimed — the scan
+        cost is proportional to CAPACITY, not live count, because shapes
+        are static). True if shrunk (one recompile, like growth)."""
+        new_cap = max(self._grow_unit,
+                      int(math.ceil(needed_slots / self._grow_unit))
+                      * self._grow_unit)
+        if new_cap >= self.capacity:
+            return False
+        xs, vs = row_sharding(self.mesh), vec_sharding(self.mesh)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                           static_argnames=("cap",),
+                           out_shardings=(xs, vs, vs))
+        def cut(x, aux, valid, *, cap):
+            return x[:cap], aux[:cap], valid[:cap]
+
+        self.x, self.aux, self.valid = cut(
+            self.x, self.aux, self.valid, cap=new_cap)
+        self.capacity = new_cap
+        return True
+
     @property
     def rows_local(self) -> int:
         return self.capacity // self.shards
