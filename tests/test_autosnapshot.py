@@ -134,3 +134,29 @@ def test_auto_snapshot_under_concurrent_mutations_and_searches(tmp_path, rng):
         col2.alloc.live_slots()).tolist())
     assert got == expected
     db2.close()
+
+
+def test_auto_compact_reclaims_capacity(tmp_db, rng):
+    """auto_compact_fraction triggers a background REINDEX after mass
+    deletions; capacity shrinks to the live set's segments."""
+    col = tmp_db.create_collection(
+        "ac", dim=16, segment_rows=64, auto_compact_fraction=0.25)
+    vecs = rng.standard_normal((512, 16)).astype(np.float32)
+    rids = col.bulk_insert(vecs)
+    cap = col.engine.capacity
+    assert cap >= 512
+    col.delete_many(rids[30:])  # 30 live of 512+ capacity -> < 25%
+    assert _wait_for(lambda: col.engine.capacity == 64), \
+        f"capacity stayed {col.engine.capacity}"
+    assert col.count == 30
+    hits = col.search_similar(vecs[3], k=1)
+    assert hits[0].record_id == int(rids[3])
+
+
+def test_auto_compact_disabled_by_default(tmp_db, rng):
+    col = tmp_db.create_collection("nc", dim=16, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((512, 16)).astype(np.float32))
+    cap = col.engine.capacity
+    col.delete_many(rids[5:])
+    time.sleep(0.3)
+    assert col.engine.capacity == cap  # only manual reindex shrinks

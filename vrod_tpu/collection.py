@@ -185,38 +185,49 @@ class Collection:
             self._commit.sync_upto(lsn)
         self._maybe_auto_snapshot()
 
+    def _fragmented(self) -> bool:
+        frac = self.config.auto_compact_fraction
+        return (frac > 0
+                and self.engine.capacity > self.engine._grow_unit
+                and self.alloc.live_count < frac * self.engine.capacity)
+
     def _maybe_auto_snapshot(self) -> None:
-        """Kick a background snapshot when the WAL exceeds the configured
-        budget: bounds restart-replay time without blocking the mutation
-        path (the snapshot itself is non-blocking; a brief write lock plans
-        the cut, the gather runs lock-free)."""
+        """Kick background maintenance when a policy budget is crossed:
+        a snapshot when the WAL exceeds ``auto_snapshot_wal_bytes`` (bounds
+        restart-replay time; non-blocking), or a REINDEX when the live set
+        falls under ``auto_compact_fraction`` of capacity (packs rows and
+        reclaims capacity — restores post-delete scan QPS; takes the write
+        lock briefly for the compaction move + shrink)."""
         budget = self.config.auto_snapshot_wal_bytes
-        if budget <= 0 or self.wal.valid_size < budget:
+        want_snap = budget > 0 and self.wal.valid_size >= budget
+        want_compact = self._fragmented()
+        if not (want_snap or want_compact):
             return
         with self._autosnap_lock:
             t = self._autosnap_thread
             if (t is not None and t.is_alive()) or self._maint.locked():
-                return  # one snapshot at a time; reindex also counts
+                return  # one maintenance op at a time
 
             def run():
                 try:
                     with self._maint:
                         # Re-check AFTER acquiring the maintenance lock: a
                         # snapshot/reindex that was mid-flight at trigger
-                        # time may already have truncated the WAL below
-                        # budget — running another full snapshot then would
-                        # be pure redundant work.
-                        if self.wal.valid_size < budget:
-                            return
-                        self._snapshot_impl()
-                    metrics.counters.inc("collection.auto_snapshots")
+                        # time may already have done the work.
+                        if self._fragmented():
+                            self._reindex_impl()
+                            metrics.counters.inc(
+                                "collection.auto_compactions")
+                        elif budget > 0 and self.wal.valid_size >= budget:
+                            self._snapshot_impl()
+                            metrics.counters.inc("collection.auto_snapshots")
                 except Exception as e:
                     metrics.counters.inc("collection.auto_snapshot_failures")
                     import warnings
                     warnings.warn(
-                        f"Auto-snapshot of collection "
+                        f"Auto-maintenance of collection "
                         f"{self.config.name!r} failed: {e!r} (durability "
-                        f"unaffected; WAL keeps growing until one succeeds)")
+                        f"unaffected; will retry after a later mutation)")
 
             self._autosnap_thread = threading.Thread(
                 target=run, daemon=True,
@@ -464,31 +475,35 @@ class Collection:
     def reindex(self) -> int:
         """REINDEX (reference: types.rs:134-144): compact live rows into
         [0, live_count) — device gather/scatter moves planned by the
-        allocator. Returns the number of rows moved."""
+        allocator — then reclaim empty tail capacity and snapshot. Returns
+        the number of rows moved."""
         with self._maint:
-            with self._rw.write():
-                src, dst = self.alloc.plan_compaction()
-                if src.size:
-                    self.engine.move(src, dst)
-                    self.alloc.apply_compaction(src, dst)
-                    self._mutgen += 1  # slots rebound: filter masks stale
-                # Live rows are now packed into [0, live): reclaim empty
-                # tail segments — search scans CAPACITY (static shapes), so
-                # this is what actually restores QPS after mass deletions.
-                # Allocator first: it REFUSES if any live slot would fall
-                # beyond the new capacity (the engine cut would destroy it).
-                import math as _math
-                unit = self.engine._grow_unit
-                live = self.alloc.live_count
-                new_cap = max(unit, int(_math.ceil(live / unit)) * unit) \
-                    if live else unit
-                if new_cap < self.engine.capacity:
-                    self.alloc.shrink(new_cap)
-                    self.engine.shrink_capacity(live)
-            # Snapshot makes the live set durable and drops the stale WAL
-            # prefix. (Compaction itself is not WAL-logged: slots are a
-            # device-layout detail, rebuilt from (id, vector) on restore.)
-            self._snapshot_impl()
+            return self._reindex_impl()
+
+    def _reindex_impl(self) -> int:
+        with self._rw.write():
+            src, dst = self.alloc.plan_compaction()
+            if src.size:
+                self.engine.move(src, dst)
+                self.alloc.apply_compaction(src, dst)
+                self._mutgen += 1  # slots rebound: filter masks stale
+            # Live rows are now packed into [0, live): reclaim empty
+            # tail segments — search scans CAPACITY (static shapes), so
+            # this is what actually restores QPS after mass deletions.
+            # Allocator first: it REFUSES if any live slot would fall
+            # beyond the new capacity (the engine cut would destroy it).
+            import math as _math
+            unit = self.engine._grow_unit
+            live = self.alloc.live_count
+            new_cap = max(unit, int(_math.ceil(live / unit)) * unit) \
+                if live else unit
+            if new_cap < self.engine.capacity:
+                self.alloc.shrink(new_cap)
+                self.engine.shrink_capacity(live)
+        # Snapshot makes the live set durable and drops the stale WAL
+        # prefix. (Compaction itself is not WAL-logged: slots are a
+        # device-layout detail, rebuilt from (id, vector) on restore.)
+        self._snapshot_impl()
         metrics.counters.inc("collection.compactions")
         return int(src.size)
 

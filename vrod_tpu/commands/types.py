@@ -65,6 +65,13 @@ class CreateCollectionCommand(Command):
                     raise RecordFormatError(
                         f"Bad CREATE option {key}={val!r}: expected an "
                         f"integer") from e
+            elif key == "auto_compact_fraction":
+                try:
+                    kw[key] = float(val)
+                except ValueError as e:
+                    raise RecordFormatError(
+                        f"Bad CREATE option {key}={val!r}: expected a "
+                        f"float") from e
             elif key in ("metric", "dtype", "payload_store"):
                 kw[key] = val
             else:

@@ -77,6 +77,11 @@ class CollectionConfig:
     # bounded host RAM for 10M+ records). Durability is the WAL/snapshot
     # layer's either way — the disk store is a rebuildable cache.
     payload_store: str = "memory"
+    # Auto-compact policy: when live_count falls below this fraction of
+    # device capacity after a deletion (and capacity exceeds one grow
+    # unit), a background REINDEX packs live rows, reclaims capacity (the
+    # scan pays for capacity, not live rows) and snapshots. 0 disables.
+    auto_compact_fraction: float = 0.0
 
     def __post_init__(self) -> None:
         validate_name(self.name, "collection name")
@@ -103,6 +108,9 @@ class CollectionConfig:
             raise ConfigError(
                 f"Unknown payload_store {self.payload_store!r}; "
                 "expected 'memory' or 'disk'")
+        if not (0.0 <= self.auto_compact_fraction < 1.0):
+            raise ConfigError(
+                "auto_compact_fraction must be in [0, 1)")
 
     def to_json(self) -> dict[str, Any]:
         d = dataclasses.asdict(self)
