@@ -34,8 +34,7 @@ def main():
     from vrod_tpu.ops import distances as D
     from vrod_tpu.ops.pallas_topk import fused_topk
 
-    x, aux2d, mask2d = fill_device(args.rows, args.dim if hasattr(args, "dim")
-                                   else 768, args.dtype)
+    x, aux2d, mask2d = fill_device(args.rows, 768, args.dtype)
     dim = x.shape[1]
     aux = aux2d.reshape(-1)
     valid = jnp.ones((args.rows,), bool)

@@ -160,3 +160,22 @@ def test_auto_compact_disabled_by_default(tmp_db, rng):
     col.delete_many(rids[5:])
     time.sleep(0.3)
     assert col.engine.capacity == cap  # only manual reindex shrinks
+
+
+def test_auto_compact_no_trigger_when_shrink_impossible(tmp_db, rng):
+    """live just over one segment with a high fraction must NOT loop
+    maintenance forever: the trigger requires that shrinking would
+    actually reclaim a segment."""
+    from vrod_tpu import metrics
+    col = tmp_db.create_collection(
+        "nt", dim=16, segment_rows=64, auto_compact_fraction=0.75)
+    rids = col.bulk_insert(rng.standard_normal((70, 16)).astype(np.float32))
+    assert col.engine.capacity == 128
+    before = metrics.counters.get("collection.auto_compactions")
+    for _ in range(5):
+        col.insert(rng.standard_normal(16).astype(np.float32))
+    t = col._autosnap_thread
+    if t is not None:
+        t.join(timeout=30)
+    assert metrics.counters.get("collection.auto_compactions") == before
+    assert col.engine.capacity == 128

@@ -151,3 +151,17 @@ def test_k_near_capacity_small_collection(rng):
     for b in range(2):
         got = set(idx[b][idx[b] >= 0].tolist())
         assert len(got) == 70
+
+
+def test_filter_mask_survives_capacity_shrink(tmp_db, rng):
+    """Reindex that only SHRINKS (no row moves) must still invalidate
+    cached filter masks — the old mask has the old capacity's shape."""
+    col = tmp_db.create_collection("fs", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((128, 8)).astype(np.float32))
+    q = rng.standard_normal(8).astype(np.float32)
+    col.search_similar(q, k=3, within_ids=rids[:10])  # cache (128,) mask
+    col.delete_many(rids[64:])  # tail segment dies; live already packed
+    col.reindex()
+    assert col.engine.capacity == 64
+    hits = col.search_similar(q, k=3, within_ids=rids[:10])  # must rebuild
+    assert {h.record_id for h in hits} <= set(rids[:10].tolist())

@@ -186,10 +186,15 @@ class Collection:
         self._maybe_auto_snapshot()
 
     def _fragmented(self) -> bool:
+        """True only when compaction would ACTUALLY reclaim a segment: the
+        live-fraction policy alone would re-trigger forever whenever the
+        packed live set still needs the current capacity (e.g. frac=0.75
+        with live just over one segment)."""
         frac = self.config.auto_compact_fraction
+        live = self.alloc.live_count
         return (frac > 0
-                and self.engine.capacity > self.engine._grow_unit
-                and self.alloc.live_count < frac * self.engine.capacity)
+                and live < frac * self.engine.capacity
+                and self.engine.shrink_target(live) < self.engine.capacity)
 
     def _maybe_auto_snapshot(self) -> None:
         """Kick background maintenance when a policy budget is crossed:
@@ -492,14 +497,14 @@ class Collection:
             # this is what actually restores QPS after mass deletions.
             # Allocator first: it REFUSES if any live slot would fall
             # beyond the new capacity (the engine cut would destroy it).
-            import math as _math
-            unit = self.engine._grow_unit
             live = self.alloc.live_count
-            new_cap = max(unit, int(_math.ceil(live / unit)) * unit) \
-                if live else unit
+            new_cap = self.engine.shrink_target(live)
             if new_cap < self.engine.capacity:
                 self.alloc.shrink(new_cap)
                 self.engine.shrink_capacity(live)
+                # Capacity changed: cached filter masks have the old
+                # shape even when no rows moved (src.size == 0).
+                self._mutgen += 1
         # Snapshot makes the live set durable and drops the stale WAL
         # prefix. (Compaction itself is not WAL-logged: slots are a
         # device-layout detail, rebuilt from (id, vector) on restore.)

@@ -63,7 +63,8 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 
 @functools.lru_cache(maxsize=256)
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
-               rows_local, block_rows, shards, do_rescore, impl):
+               rows_local, block_rows, shards, do_rescore, impl,
+               use_theta0=True):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -90,8 +91,11 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             n_sample = min(rows_local, max(128 * k_scan * 2,
                                            rows_local // 8))
             n_sample = (n_sample // 2048) * 2048
-            import os
-            if os.environ.get("VROD_THETA0", "1") != "0" \
+            # Cosine only: its normalized scores admit a rigorous absolute
+            # accumulation-noise margin (see threshold_from_submax); for
+            # dot/l2 the divergence bound is data-magnitude-dependent, so
+            # the floor stays off to keep exactness unconditional.
+            if use_theta0 and metric == "cosine" \
                     and k_scan >= 64 and n_sample // 16 >= k_scan \
                     and rows_local >= 4 * n_sample:
                 sub = pallas_topk.sampled_submax(
@@ -304,15 +308,21 @@ class DeviceEngine:
         self.capacity = new_cap
         return True
 
+    def shrink_target(self, needed_slots: int) -> int:
+        """Smallest whole-segment capacity holding ``needed_slots`` — the
+        single rounding rule shared by shrink_capacity, the collection's
+        allocator shrink, and the auto-compact trigger."""
+        return max(self._grow_unit,
+                   int(math.ceil(needed_slots / self._grow_unit))
+                   * self._grow_unit)
+
     def shrink_capacity(self, needed_slots: int) -> bool:
-        """Shrink device arrays to the smallest whole-segment capacity that
-        holds ``needed_slots`` (post-compaction: REINDEX packs live rows
-        into [0, live), so empty tail segments can be reclaimed — the scan
-        cost is proportional to CAPACITY, not live count, because shapes
-        are static). True if shrunk (one recompile, like growth)."""
-        new_cap = max(self._grow_unit,
-                      int(math.ceil(needed_slots / self._grow_unit))
-                      * self._grow_unit)
+        """Shrink device arrays to ``shrink_target(needed_slots)``
+        (post-compaction: REINDEX packs live rows into [0, live), so empty
+        tail segments can be reclaimed — the scan cost is proportional to
+        CAPACITY, not live count, because shapes are static). True if
+        shrunk (one recompile, like growth)."""
+        new_cap = self.shrink_target(needed_slots)
         if new_cap >= self.capacity:
             return False
         xs, vs = row_sharding(self.mesh), vec_sharding(self.mesh)
@@ -472,10 +482,15 @@ class DeviceEngine:
             else:
                 q = np.concatenate([q, np.zeros((Bp - B, dim), np.float32)])
         block_rows = _pick_block_rows(self.rows_local, self.cfg.segment_rows)
+        # The theta0 kill switch is part of the program-cache key: it is
+        # baked in at trace time, so toggling the env var must reach a
+        # different compiled program, not silently hit the old one.
+        import os
         fn = _search_fn(
             _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
             precision, self.cfg.dtype, self.rows_local, block_rows,
-            self.shards, bool(rescore), impl)
+            self.shards, bool(rescore), impl,
+            os.environ.get("VROD_THETA0", "1") != "0")
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)

@@ -166,7 +166,16 @@ def threshold_from_submax(sub, k: int, *, approx: bool = False):
         kth = lax.approx_max_k(sub, k, recall_target=0.95)[0][:, k - 1:k]
     else:
         kth = lax.top_k(sub, k)[0][:, k - 1:k]
-    t0 = kth - (jnp.abs(kth) * 2e-3 + 1e-20)
+    # Safety margin for accumulation-order divergence between this pass
+    # and the search kernel: bounded by (n-1)·u·Σ|q_i x_i|. For COSINE
+    # (normalized query x unit-direction rows after the aux multiply)
+    # Cauchy-Schwarz gives Σ|terms| <= 1, so an ABSOLUTE 1e-3 margin is a
+    # ~20x overbound of the worst case (768·2^-24 ≈ 4.6e-5) and stays
+    # sound even when the k-th score is near zero — a |kth|-relative
+    # margin alone would not be. For unnormalized metrics the magnitude
+    # bound is data-dependent; callers (the engine) only enable the floor
+    # for cosine.
+    t0 = kth - (jnp.abs(kth) * 1e-3 + 1e-3)
     return jnp.where(jnp.isfinite(t0), t0, NEG_INF).astype(jnp.float32)
 
 
