@@ -32,7 +32,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .distances import PRECISIONS as _PRECISIONS
+from .distances import PRECISIONS
+
+# Mosaic's dot lowering supports DEFAULT and HIGHEST only ("high"'s 3-pass
+# bf16 is an XLA:TPU notion): in the Pallas kernels, "high" rounds UP to
+# HIGHEST — conservative (never less precise than asked) and compilable.
+_PRECISIONS = dict(PRECISIONS, high=PRECISIONS["exact"])
 
 NEG_INF = float("-inf")
 _INT_MAX = jnp.iinfo(jnp.int32).max
