@@ -94,3 +94,36 @@ def test_recovery_completes_half_created_collection(tmp_path):
     col.bulk_insert(np.ones((3, 8), dtype=np.float32))
     assert col.count == 3
     db2.close()
+
+
+def test_replay_update_of_missing_record(tmp_path, rng):
+    """Crash-replay pattern that used to wedge the DB: record updated then
+    deleted, snapshot commits (record absent), crash before the WAL prefix
+    is truncated. Replaying the UpdateOp must not crash on the NO_ID slot;
+    the later DeleteOp converges the state."""
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.wal import ops
+
+    cfg = CollectionConfig(name="m", dim=8, segment_rows=64)
+    col = Collection.create(tmp_path / "m", cfg)
+    v = rng.standard_normal(8).astype(np.float32)
+    rid = col.insert(v, "orig")
+    col.update(rid, v * 2, "edited")
+    col.delete(rid)
+    keep = col.insert(rng.standard_normal(8).astype(np.float32), "keep")
+    col.snapshot()
+    # Simulate the crash: re-append the pre-snapshot frames (as if
+    # truncate_until never happened) — replay must stay idempotent.
+    col.wal.append(ops.encode(ops.UpdateOp(rid, v * 2, "edited")))
+    col.wal.append(ops.encode(ops.DeleteOp(rid)))
+    col.close()
+
+    col2 = Collection.load(tmp_path / "m")
+    assert col2.count == 1
+    assert col2.get(keep).payload == "keep"
+    import pytest
+    from vrod_tpu.errors import RecordNotFoundError
+    with pytest.raises(RecordNotFoundError):
+        col2.get(rid)
+    col2.close()

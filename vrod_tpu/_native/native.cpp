@@ -30,19 +30,23 @@
 // ---------------------------------------------------------------------------
 
 static uint32_t crc_table[256];
-static bool crc_init_done = false;
 
-static void crc_init() {
+static bool crc_init() {
   for (uint32_t i = 0; i < 256; i++) {
     uint32_t c = i;
     for (int k = 0; k < 8; k++) c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
     crc_table[i] = c;
   }
-  crc_init_done = true;
+  return true;
 }
 
+// C++11 magic static: thread-safe one-time init. A plain bool flag was a
+// data race (two threads' first CRC could read a half-built table and
+// stamp a durable frame with a wrong checksum).
+static void crc_ensure() { static const bool done = crc_init(); (void)done; }
+
 extern "C" uint32_t vrod_crc32(const uint8_t* data, uint64_t len) {
-  if (!crc_init_done) crc_init();
+  crc_ensure();
   uint32_t c = 0xFFFFFFFFu;
   for (uint64_t i = 0; i < len; i++) c = crc_table[(c ^ data[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
@@ -52,7 +56,7 @@ extern "C" uint32_t vrod_crc32(const uint8_t* data, uint64_t len) {
 // zlib-compatible incremental continuation.
 static uint32_t frame_crc(uint64_t lsn, uint32_t payload_len,
                           const uint8_t* payload) {
-  if (!crc_init_done) crc_init();
+  crc_ensure();
   uint8_t hdr[12];
   memcpy(hdr, &lsn, 8);
   memcpy(hdr + 8, &payload_len, 4);
@@ -91,6 +95,10 @@ struct Wal {
   uint64_t valid_size = 0;     // byte offset of end of last valid frame
   std::vector<WalFrame> index; // valid frames, in order
   bool scanned = false;
+  // Set when an error path left in-memory state untrustworthy (e.g. the
+  // post-swap rescan in truncate_until failed): appends refuse instead of
+  // overwriting surviving frames at a bogus offset.
+  bool broken = false;
 };
 
 static bool wal_scan(Wal* w) {
@@ -162,9 +170,17 @@ extern "C" void vrod_wal_close(void* h) {
 // Returns the assigned lsn, or 0 on error.
 extern "C" uint64_t vrod_wal_append(void* h, const uint8_t* data, uint32_t len) {
   Wal* w = (Wal*)h;
+  if (w->broken) return 0;
   uint64_t lsn = w->next_lsn;
   uint32_t crc = frame_crc(lsn, len, data);
-  std::vector<uint8_t> frame(WAL_HEADER_SIZE + len);
+  std::vector<uint8_t> frame;
+  try {
+    frame.resize(WAL_HEADER_SIZE + len);
+  } catch (const std::bad_alloc&) {
+    // bad_alloc must not unwind through the C ABI (std::terminate);
+    // 0 is the documented append-failure sentinel.
+    return 0;
+  }
   memcpy(frame.data(), &WAL_MAGIC, 4);
   memcpy(frame.data() + 4, &lsn, 8);
   memcpy(frame.data() + 12, &len, 4);
@@ -237,7 +253,13 @@ extern "C" int vrod_wal_truncate_until(void* h, uint64_t upto_lsn) {
   close(w->fd);
   w->fd = tfd;
   uint64_t saved_next = w->next_lsn;
-  if (!wal_scan(w)) return -1;
+  if (!wal_scan(w)) {
+    // The rescan reset index/valid_size; continuing to append would
+    // overwrite surviving frames at offset 0 with reused LSNs. Poison the
+    // handle: the caller sees the error AND later appends refuse.
+    w->broken = true;
+    return -1;
+  }
   if (w->next_lsn < saved_next) w->next_lsn = saved_next;
   return 0;
 }
@@ -328,10 +350,14 @@ struct Alloc {
 };
 
 extern "C" void* vrod_alloc_new(uint64_t capacity) {
-  Alloc* a = new Alloc();
-  a->capacity = capacity;
-  a->slot_to_id.assign(capacity, NO_ID);
-  return a;
+  try {
+    Alloc* a = new Alloc();
+    a->capacity = capacity;
+    a->slot_to_id.assign(capacity, NO_ID);
+    return a;
+  } catch (const std::bad_alloc&) {
+    return nullptr;  // must not unwind through the C ABI
+  }
 }
 
 extern "C" void vrod_alloc_free(void* h) { delete (Alloc*)h; }
@@ -339,7 +365,11 @@ extern "C" void vrod_alloc_free(void* h) { delete (Alloc*)h; }
 extern "C" int vrod_alloc_grow(void* h, uint64_t new_capacity) {
   Alloc* a = (Alloc*)h;
   if (new_capacity < a->capacity) return -1;
-  a->slot_to_id.resize(new_capacity, NO_ID);
+  try {
+    a->slot_to_id.resize(new_capacity, NO_ID);
+  } catch (const std::bad_alloc&) {
+    return -2;  // host OOM; state unchanged (strong guarantee of resize)
+  }
   a->capacity = new_capacity;
   return 0;
 }

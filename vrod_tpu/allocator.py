@@ -21,7 +21,13 @@ NO_ID = 2**64 - 1
 class _NativeAllocator:
     def __init__(self, capacity: int):
         self._lib = load_native()
+        if self._lib is None:
+            raise RuntimeError(
+                "Native allocator requested but the C++ runtime is "
+                "unavailable (no toolchain or VROD_DISABLE_NATIVE)")
         self._h = self._lib.vrod_alloc_new(capacity)
+        if not self._h:
+            raise MemoryError("Allocator allocation failed (host OOM)")
 
     def __del__(self):
         try:
@@ -53,7 +59,10 @@ class _NativeAllocator:
         return self._lib.vrod_alloc_high_water(self._h)
 
     def grow(self, new_capacity: int) -> None:
-        if self._lib.vrod_alloc_grow(self._h, new_capacity) != 0:
+        rc = self._lib.vrod_alloc_grow(self._h, new_capacity)
+        if rc == -2:
+            raise MemoryError("Allocator grow failed (host OOM)")
+        if rc != 0:
             raise ValueError("grow must not shrink capacity")
 
     def shrink(self, new_capacity: int) -> None:

@@ -744,7 +744,18 @@ class Collection:
             if known.size:
                 self._apply_bulk_delete(known)
         elif isinstance(op, ops.UpdateOp):
-            self._apply_update(op.record_id, op.vector[None, :], op.payload)
+            # Liveness guard like the other ops: a record absent at replay
+            # time (snapshotted post-delete, or the delete frame survived
+            # the truncate cut) makes UPDATE = INSERT of the new value —
+            # a later DeleteOp frame then converges the state. Calling
+            # _apply_update on a missing id would crash on the NO_ID slot.
+            if self.alloc.slot_of(op.record_id) == NO_ID:
+                self._apply_insert(
+                    np.array([op.record_id], dtype=np.uint64),
+                    op.vector[None, :], [op.payload])
+            else:
+                self._apply_update(op.record_id, op.vector[None, :],
+                                   op.payload)
             self.next_id = max(self.next_id, op.record_id + 1)
         else:
             raise TypeError(f"Unexpected op in collection WAL: {op}")

@@ -102,7 +102,12 @@ def encode(op) -> bytes:
         ids = np.ascontiguousarray(op.record_ids, dtype=np.uint64)
         vecs = np.ascontiguousarray(op.vectors, dtype=np.float32)
         n, dim = vecs.shape
-        assert ids.size == n and len(op.payloads) == n
+        if ids.size != n or len(op.payloads) != n:
+            # Not an assert: under python -O a mismatched batch would
+            # silently encode an undecodable (but CRC-valid) frame.
+            raise ValueError(
+                f"BulkOp shape mismatch: {ids.size} ids, {n} vectors, "
+                f"{len(op.payloads)} payloads")
         payload_blob = b"".join(
             struct.pack("<I", len(pb)) + pb
             for pb in (p.encode("utf-8") for p in op.payloads)

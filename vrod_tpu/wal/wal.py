@@ -38,6 +38,10 @@ def _frame_crc(lsn: int, payload: bytes) -> int:
 class _NativeWal:
     def __init__(self, path: Path):
         self._lib = load_native()
+        if self._lib is None:
+            raise WalError(
+                "Native WAL requested but the C++ runtime is unavailable "
+                "(no toolchain or VROD_DISABLE_NATIVE)")
         self._h = self._lib.vrod_wal_open(str(path).encode())
         if not self._h:
             raise WalError(f"Cannot open WAL at {path}")
@@ -200,11 +204,18 @@ class _PyWal:
             self.truncate()
             return
         start = self._index[first_kept][1] - _HEADER.size
-        self._f.seek(start)
-        tail = self._f.read(self._valid_size - start)
         tmp = self.path.with_name(self.path.name + ".tmp")
         with open(tmp, "wb") as tf:
-            tf.write(tail)
+            # Chunked copy (bounded memory, matching the native path): the
+            # surviving tail can be multi-GB after a busy snapshot window.
+            self._f.seek(start)
+            remaining = self._valid_size - start
+            while remaining > 0:
+                chunk = self._f.read(min(remaining, 1 << 20))
+                if not chunk:
+                    raise WalError("Short read while rewriting WAL tail")
+                tf.write(chunk)
+                remaining -= len(chunk)
             tf.flush()
             os.fsync(tf.fileno())
         saved_next = self._next_lsn
@@ -329,11 +340,13 @@ class _GroupCommitExclusive:
 
     def __enter__(self):
         cv = self._gc._cv
-        cv.acquire()
-        while self._gc._leader:  # wait out an in-flight fsync
-            cv.wait()
-        self._gc._leader = True  # block new leaders; we hold no fsync
-        cv.release()
+        # `with cv:` (not manual acquire/release): an exception out of
+        # cv.wait() — e.g. KeyboardInterrupt — must release the lock, or
+        # every future WAL sync deadlocks on it.
+        with cv:
+            while self._gc._leader:  # wait out an in-flight fsync
+                cv.wait()
+            self._gc._leader = True  # block new leaders; we hold no fsync
         return self
 
     def __exit__(self, *exc):
