@@ -29,10 +29,11 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     from vrod_tpu.engine import DeviceEngine
     from vrod_tpu.parallel.mesh import row_sharding, vec_sharding
 
-    cfg_kw = {} if rescore_margin is None else {
-        "rescore_margin": rescore_margin}
+    # --margin is a TRUE override (engine.search margin=), not
+    # cfg.rescore_margin, which the engine floors at k_out//8 (and higher
+    # for int8): small sweep values must actually take effect.
     cfg = CollectionConfig(name="bench", dim=dim, metric=metric, dtype=dtype,
-                           segment_rows=65536, shards=shards, **cfg_kw)
+                           segment_rows=65536, shards=shards)
     eng = DeviceEngine(cfg)
     if impl:
         eng.impl = impl
@@ -50,10 +51,12 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
 
     from vrod_tpu.ops import distances as D
 
+    # `start` stays traced: a static start would recompile the fill per
+    # 1M-row chunk on multi-chunk (4.2M/8.4M/10M) collections.
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
-                       static_argnames=("start", "rows_n"),
+                       static_argnames=("rows_n",),
                        out_shardings=(xs, vs, vs))
-    def fill(x, aux, valid, *, start, rows_n):
+    def fill(x, aux, valid, start, *, rows_n):
         key = jax.random.PRNGKey(start)
         rows_f = jax.random.normal(key, (rows_n, dim), dtype=jnp.float32)
         rows, aux_v = D.prepare_rows(rows_f, metric=metric, dtype=x.dtype)
@@ -65,7 +68,7 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
 
     for start in range(0, n_rows, fill_chunk):
         eng.x, eng.aux, eng.valid = fill(
-            eng.x, eng.aux, eng.valid, start=start,
+            eng.x, eng.aux, eng.valid, start,
             rows_n=min(fill_chunk, n_rows - start))
     jax.block_until_ready(eng.x)
 
@@ -81,9 +84,9 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     # Warm-up: compile + first (slow) host transfer, then a short timed-loop
     # ramp — the first measured loop in a process runs ~2x slow on the dev
     # tunnel regardless of compilation state.
-    vals, idx = eng.search(q, k)
+    vals, idx = eng.search(q, k, margin=rescore_margin)
     for _ in range(5):
-        v_w, i_w = eng.search(q, k, as_numpy=False)
+        v_w, i_w = eng.search(q, k, as_numpy=False, margin=rescore_margin)
     np.asarray(i_w[0, :1])
 
     # Dispatch all batches asynchronously, sync once on the last result:
@@ -91,7 +94,8 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     # whole pipeline without paying one interconnect round trip per batch.
     t0 = time.perf_counter()
     for i in range(iters):
-        vals_d, idx_d = eng.search(q, k, as_numpy=False)
+        vals_d, idx_d = eng.search(q, k, as_numpy=False,
+                                   margin=rescore_margin)
     np.asarray(idx_d)
     dt = time.perf_counter() - t0
     qps = batch * iters / dt
@@ -105,7 +109,7 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
         samples = []
         for i in range(50):
             t1 = time.perf_counter()
-            v, ix = eng.search(q, k, as_numpy=False)
+            v, ix = eng.search(q, k, as_numpy=False, margin=rescore_margin)
             np.asarray(ix[0, :1])  # minimal readback forces completion
             samples.append(time.perf_counter() - t1)
         a = np.array(samples)
@@ -116,7 +120,7 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     # Exactness probe over the FULL collection, on device: the production
     # path's scores vs an exact-precision scan-path oracle for 8 queries;
     # only one scalar crosses the host link. Tie-aware via the eps band.
-    recall = device_recall_probe(eng, q[:8], k)
+    recall = device_recall_probe(eng, q[:8], k, margin=rescore_margin)
     return qps, dt / iters, recall, pcts
 
 
@@ -125,9 +129,16 @@ def device_recall_probe(eng, q, k, eps=1e-5, margin=None):
     oracle, computed entirely on device (VERDICT r1: probe the actual
     1M-row scan, not a masked subset)."""
     import numpy as np
-    vals_e, _ = eng.search(q, k, as_numpy=False, margin=margin)
+    vals_e, idx_e = eng.search(q, k, as_numpy=False, margin=margin)
     vals_o, _ = eng.search(q, k, impl="scan", precision="exact",
                            rescore=False, as_numpy=False)
+    # A failed-masking bug could return one slot k times with valid-looking
+    # scores; per-row index uniqueness closes that blind spot (tiny readback).
+    ih = np.asarray(idx_e)
+    for b in range(ih.shape[0]):
+        live = ih[b][ih[b] >= 0]
+        assert np.unique(live).size == live.size, \
+            f"duplicate slots in top-k row {b}: {ih[b]}" 
     lower_better = eng.cfg.metric == "l2"
     kth = np.asarray(vals_o[:, k - 1:k])
     ve = np.asarray(vals_e)
@@ -139,50 +150,30 @@ def device_recall_probe(eng, q, k, eps=1e-5, margin=None):
     return float(hits.mean())
 
 
-def _recall_probe(eng, x_probe, probe_n, n_rows, q, k, eps=1e-5):
-    """Tie-aware recall@k vs a NumPy f64 oracle over a probe subset.
-
-    Items whose oracle score sits within ``eps`` of the rank-k boundary are
-    interchangeable (different f32 accumulation orders legitimately swap
-    them), so recall counts only the items strictly above the boundary —
-    the standard exactness criterion for floating-point kNN."""
-    import numpy as np
-    # temporarily invalidate rows >= probe_n
-    eng.erase(np.arange(probe_n, n_rows, dtype=np.int64))
-    vals, idx = eng.search(q, k)
-    x64 = x_probe.astype(np.float64)
-    xn = x64 / np.maximum(np.linalg.norm(x64, axis=1, keepdims=True), 1e-300)
-    q64 = np.asarray(q, dtype=np.float64)
-    qn = q64 / np.maximum(np.linalg.norm(q64, axis=1, keepdims=True), 1e-300)
-    s = qn @ xn.T
-    order = np.argsort(-s, axis=1)
-    total, hit = 0, 0
-    for b in range(q.shape[0]):
-        boundary = s[b, order[b, k - 1]]
-        required = set(np.nonzero(s[b] > boundary + eps)[0].tolist())
-        got = set(int(i) for i in idx[b] if i >= 0)
-        assert len(got) == k, "engine returned fewer than k live results"
-        hit += len(got & required)
-        total += len(required)
-    # (no restore needed: the probe runs after all timed measurements)
-    return float(hit / total) if total else 1.0
-
-
 def cpu_qps(n_rows, dim, batch, k, subset, metric="cosine"):
-    """Single-CPU NumPy brute force, measured on `subset` rows and scaled
-    linearly to n_rows (brute-force cost is linear in N)."""
+    """Single-CPU NumPy brute force AT THE REQUESTED METRIC, measured on
+    `subset` rows and scaled linearly to n_rows (brute-force cost is
+    linear in N) — the vs_baseline comparator must run the same workload."""
     rng = np.random.default_rng(0)
     x = rng.standard_normal((subset, dim)).astype(np.float32)
-    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     q = rng.standard_normal((batch, dim)).astype(np.float32)
-    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    # warm-up, then best-of-3 (the single-core baseline is noisy)
-    s = qn[:8] @ xn.T
+    if metric == "cosine":
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+        q = q / np.linalg.norm(q, axis=1, keepdims=True)
+
+    def scan(qq):
+        if metric == "l2":
+            s = (np.sum(qq * qq, axis=1, keepdims=True)
+                 - 2.0 * (qq @ x.T) + np.sum(x * x, axis=1)[None, :])
+            return np.argpartition(s, k, axis=1)[:, :k]
+        s = qq @ x.T  # cosine (pre-normalized) and dot
+        return np.argpartition(-s, k, axis=1)[:, :k]
+
+    scan(q[:8])  # warm-up, then best-of-3 (single-core baseline is noisy)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        s = qn @ xn.T
-        part = np.argpartition(-s, k, axis=1)[:, :k]
+        scan(q)
         best = min(best, time.perf_counter() - t0)
     dt_scaled = best * (n_rows / subset)
     return batch / dt_scaled
@@ -280,10 +271,12 @@ def main():
         iters = args.iters or (3 if args.quick else 10)
         curve = {}
         for b in (1, 16, 64, 256, 1024):
-            qps, lat, _, _ = tpu_qps(n_rows, 768, b, 100, iters,
-                                     dtype=args.dtype, shards=args.shards)
+            qps, lat, recall, _ = tpu_qps(n_rows, 768, b, 100, iters,
+                                          dtype=args.dtype,
+                                          shards=args.shards)
             curve[str(b)] = {"qps": round(qps, 1),
-                             "batch_latency_ms": round(lat * 1e3, 3)}
+                             "batch_latency_ms": round(lat * 1e3, 3),
+                             "recall_full_scan@k": recall}
         best = max(v["qps"] for v in curve.values())
         print(json.dumps({
             "metric": f"exact cosine top-100 QPS/chip, {n_rows}x768, batch sweep",
@@ -300,16 +293,18 @@ def main():
         iters = args.iters or (3 if args.quick else 10)
         curve = {}
         shards_list = [s for s in (1, 2, 4, 8) if s <= n_dev]
+        recall = None
         for s in shards_list:
-            qps, lat, _, _ = tpu_qps(n_rows, 768, args.batch, args.k, iters,
-                                     dtype=args.dtype, shards=s)
+            qps, lat, recall, _ = tpu_qps(n_rows, 768, args.batch, args.k,
+                                          iters, dtype=args.dtype, shards=s)
             curve[str(s)] = round(qps, 1)
         base = curve[str(shards_list[0])]
         print(json.dumps({
             "metric": f"exact cosine top-{args.k} QPS scaling, {n_rows}x768",
             "value": curve[str(shards_list[-1])], "unit": "queries/s",
             "vs_baseline": round(curve[str(shards_list[-1])] / base, 2),
-            "extra": {"qps_by_shards": curve, "devices_available": n_dev},
+            "extra": {"qps_by_shards": curve, "devices_available": n_dev,
+                      "recall_full_scan@k": recall},
         }))
         return
 
@@ -340,7 +335,7 @@ def main():
                                      precision=args.precision,
                                      rescore_margin=args.margin,
                                      percentiles=True)
-    cpu = cpu_qps(n_rows, dim, batch, k,
+    cpu = cpu_qps(n_rows, dim, batch, k, metric=args.metric,
                   subset=min(n_rows, 65536 if args.quick else 131072))
 
     print(json.dumps({

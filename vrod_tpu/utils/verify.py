@@ -31,11 +31,19 @@ def brute_force_oracle(vectors: np.ndarray, queries: np.ndarray, k: int,
     return np.argsort(s, axis=1, kind="stable")[:, :kk]
 
 
-def verify_recall(collection, queries: np.ndarray, k: int = 10) -> float:
+def verify_recall(collection, queries: np.ndarray, k: int = 10,
+                  eps: float = 1e-5) -> float:
     """recall@k of ``collection.search_similar`` vs the NumPy oracle over the
     collection's live records. Gathers all live vectors to host — intended
     for tests, CI gates and spot checks, not for 10M-row production sets
-    (sample those)."""
+    (sample those).
+
+    Tie-aware: items whose f64 oracle score sits within ``eps`` (relative)
+    of the rank-k boundary are interchangeable — different float
+    accumulation orders legitimately swap them — so only items strictly
+    above the band are REQUIRED. Without the band, duplicate vectors or
+    f32-epsilon-close boundary scores would fail a gate asserting 1.0
+    with no bug present."""
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
     # Capture a consistent (slots, ids, vectors) view under the read lock:
     # concurrent mutations donate device buffers, so an unlocked gather can
@@ -49,15 +57,33 @@ def verify_recall(collection, queries: np.ndarray, k: int = 10) -> float:
             return 1.0
         rids = collection.alloc.ids_of(live_slots)
         vecs = collection.engine.gather(live_slots.astype(np.int64))
-    oracle_pos = brute_force_oracle(vecs, queries, k, collection.config.metric)
-    oracle_ids = rids[oracle_pos]
+    metric = collection.config.metric
+    # Recompute full f64 score rows for the tie band (the oracle helper
+    # returns positions only).
+    v = np.asarray(vecs, dtype=np.float64)
+    qv = np.asarray(queries, dtype=np.float64)
+    if metric == "cosine":
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-300)
+        qv = qv / np.maximum(np.linalg.norm(qv, axis=1, keepdims=True),
+                             1e-300)
+        s = qv @ v.T
+    elif metric == "dot":
+        s = qv @ v.T
+    else:  # l2: higher-is-better convention via negation
+        s = -(np.sum(qv * qv, axis=1, keepdims=True)
+              - 2.0 * (qv @ v.T) + np.sum(v * v, axis=1)[None, :])
+    kk = min(k, v.shape[0])
+    order = np.argsort(-s, axis=1, kind="stable")
     results = collection.search_similar(queries, k)
     if queries.shape[0] == 1 and not isinstance(results[0], list):
         results = [results]
     total, hit = 0, 0
     for b in range(queries.shape[0]):
+        boundary = s[b, order[b, kk - 1]]
+        band = eps * max(abs(boundary), 1.0)
+        required_pos = np.nonzero(s[b] > boundary + band)[0]
+        want = set(int(r) for r in rids[required_pos].tolist())
         got = {h.record_id for h in results[b]}
-        want = set(oracle_ids[b].tolist())
         hit += len(got & want)
         total += len(want)
     return hit / total if total else 1.0
