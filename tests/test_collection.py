@@ -308,3 +308,18 @@ def test_reindex_reclaims_capacity_after_mass_delete(tmp_db, rng):
     hits = col2.search_similar(vecs[7], k=1)
     assert hits[0].record_id == int(rids[7])
     col2.close()
+
+
+def test_delete_many_dedupes_and_counts_once(tmp_db, rng):
+    col = tmp_db.create_collection("dd", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((5, 8)).astype(np.float32))
+    n = col.delete_many([int(rids[0]), int(rids[0]), int(rids[1])])
+    assert n == 2
+    assert col.count == 3
+
+
+def test_insert_rejects_multi_row(tmp_db, rng):
+    from vrod_tpu.errors import DimensionMismatchError
+    col = tmp_db.create_collection("mr", dim=8, segment_rows=64)
+    with pytest.raises(DimensionMismatchError, match="single vector"):
+        col.insert(rng.standard_normal((2, 8)).astype(np.float32))

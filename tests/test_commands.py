@@ -116,3 +116,13 @@ def test_create_bad_int_option_is_clean_error(tmp_db):
     cb = CommandBuilder(tmp_db)
     with pytest.raises(RecordFormatError, match="dim=.*integer"):
         cb.build(None, "CREATE", "c;dim=abc").execute()
+
+
+def test_delete_negative_id_clean_error(tmp_db):
+    from vrod_tpu.commands.builder import CommandBuilder
+    from vrod_tpu.errors import RecordFormatError
+    import pytest
+    tmp_db.create_collection("neg", dim=4, segment_rows=64)
+    cb = CommandBuilder(tmp_db)
+    with pytest.raises(RecordFormatError, match="non-negative"):
+        cb.build("neg", "DELETE", "-5,3").execute()

@@ -127,3 +127,46 @@ def test_replay_update_of_missing_record(tmp_path, rng):
     with pytest.raises(RecordNotFoundError):
         col2.get(rid)
     col2.close()
+
+
+def test_failed_payload_set_rolls_back_insert(tmp_db, rng):
+    """Insert whose payload-store write fails must roll back the binding
+    and device row (a bound row without its payload serves wrong data)."""
+    col = tmp_db.create_collection("pp", dim=8, segment_rows=64)
+    v = rng.standard_normal(8).astype(np.float32)
+    col.insert(v, "ok")
+    _fail_once(col.payloads, "set_many")
+    with pytest.raises(RuntimeError, match="injected"):
+        col.insert(v, "boom")
+    rid = col.insert(v, "after")  # binding released: retry works
+    assert col.count == 2
+    assert col.get(rid).payload == "after"
+
+
+def test_failed_create_is_retryable(tmp_path, rng, monkeypatch):
+    """A create that fails mid-engine-init must not poison the name (the
+    durable create op is compensated with a drop)."""
+    from vrod_tpu.database import Database
+    import vrod_tpu.database as dbmod
+    db = Database.new(tmp_path, "crdb")
+    orig = dbmod.Collection.create
+    calls = {"n": 0}
+
+    def flaky(path, config, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected engine OOM")
+        return orig(path, config, **kw)
+
+    monkeypatch.setattr(dbmod.Collection, "create", staticmethod(flaky))
+    with pytest.raises(RuntimeError, match="injected"):
+        db.create_collection("c", dim=8, segment_rows=64)
+    assert "c" not in db.list_collections()
+    col = db.create_collection("c", dim=8, segment_rows=64)  # retry works
+    col.bulk_insert(rng.standard_normal((3, 8)).astype(np.float32))
+    db.close()
+    # restart: the compensated create must NOT resurrect a phantom from
+    # the first (failed) attempt; the second create's records survive.
+    db2 = Database.load(tmp_path / "crdb")
+    assert db2.collection("c").count == 3
+    db2.close()

@@ -239,8 +239,16 @@ class Collection:
                 name=f"vrod-autosnap-{self.config.name}")
             self._autosnap_thread.start()
 
-    def insert(self, vector, payload: str = "") -> int:
+    def _check_one(self, vector) -> np.ndarray:
         vecs = self._check_dim(vector)
+        if vecs.shape[0] != 1:
+            raise DimensionMismatchError(
+                f"Expected a single vector, got {vecs.shape[0]} rows "
+                f"(use bulk_insert for batches)")
+        return vecs
+
+    def insert(self, vector, payload: str = "") -> int:
+        vecs = self._check_one(vector)
         with self._rw.write():
             rid = self.next_id
             lsn = self._log_and_apply(
@@ -297,19 +305,21 @@ class Collection:
         slots = self.alloc.acquire(rids)
         try:
             self.engine.write(slots, vecs)
+            self.payloads.set_many(rids.tolist(), payloads)
         except BaseException:
             # Roll the host state back: the WAL frame is about to be
             # rewound (the op was never acked), so the binding must not
             # survive either — a stale binding would wedge every retry of
-            # the same record id. Partially-scattered chunks are erased
-            # best-effort (their slots return to the free list regardless).
+            # the same record id, and a bound row without its payload
+            # would serve wrong data. Partial effects are undone
+            # best-effort (slots return to the free list regardless).
             try:
                 self.alloc.release(rids)
                 self.engine.erase(slots.astype(np.int64))
+                self.payloads.delete_many(rids.tolist())
             except Exception:
                 pass
             raise
-        self.payloads.set_many(rids.tolist(), payloads)
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
     def delete(self, record_id: int) -> None:
@@ -326,6 +336,10 @@ class Collection:
         skipped; returns the number actually deleted."""
         rids = np.asarray(record_ids, dtype=np.uint64).reshape(-1)
         with self._rw.write():
+            # Dedupe (stable): a duplicated id must not be counted twice
+            # or release a slot that a same-batch duplicate already freed.
+            _, first = np.unique(rids, return_index=True)
+            rids = rids[np.sort(first)]
             known = np.array(
                 [r for r in rids.tolist() if self.alloc.slot_of(r) != NO_ID],
                 dtype=np.uint64)
@@ -342,19 +356,32 @@ class Collection:
         live = slots[slots != NO_ID]
         if live.size:
             self.engine.erase(live)
-        self.payloads.delete_many(rids.tolist())
+        # Payload-store failures are non-fatal here: the store is a
+        # rebuildable cache and a stale entry for a deleted id is never
+        # looked up (lookups go through live ids) — whereas failing the
+        # delete AFTER release+erase would leave the live view diverged
+        # from the durable (rewound) state.
+        try:
+            self.payloads.delete_many(rids.tolist())
+        except Exception as e:
+            import warnings
+            warnings.warn(f"Payload-store delete failed (stale cache "
+                          f"entries remain, harmless): {e!r}")
 
     def _apply_delete(self, record_id: int) -> None:
         slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
         live = slots[slots != NO_ID]
         if live.size:
             self.engine.erase(live)
-        self.payloads.pop(record_id, None)
+        try:  # non-fatal; see _apply_bulk_delete
+            self.payloads.pop(record_id, None)
+        except Exception:
+            pass
 
     def update(self, record_id: int, vector, payload: str = "") -> None:
         """UPDATE = delete + insert under the same record id
         (reference: UpdateCommand stub, types.rs:82-93)."""
-        vecs = self._check_dim(vector)
+        vecs = self._check_one(vector)
         with self._rw.write():
             if self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")

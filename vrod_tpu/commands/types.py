@@ -191,6 +191,11 @@ class DeleteCommand(Command):
             rids = [int(tok) for tok in arg.split(",") if tok.strip()]
         except ValueError as e:
             raise RecordFormatError(f"Bad record id in {self.arg!r}") from e
+        if any(r < 0 for r in rids):
+            # A negative id in a LIST would crash the uint64 conversion
+            # with a raw OverflowError instead of a clean error.
+            raise RecordFormatError(
+                f"Record ids must be non-negative, got {self.arg!r}")
         if len(rids) == 1:
             col.delete(rids[0])
             return f"Deleted record {rids[0]}"

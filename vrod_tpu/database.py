@@ -106,8 +106,19 @@ class Database:
         if self.wal.has_torn_tail:
             self.wal.repair()
         changed = False
+        # Apply only the LAST op per collection name: replaying
+        # intermediate drops destructively (rmtree) would destroy the data
+        # of a LATER create of the same name (create -> compensating drop
+        # -> successful re-create is a normal sequence). Recovery restores
+        # the final state, not the history.
+        last_ops: dict[str, object] = {}
         for _lsn, frame in self.wal.replay():
             op = ops.decode(frame)
+            if isinstance(op, ops.CreateCollectionOp):
+                last_ops[op.config_json["name"]] = op
+            elif isinstance(op, ops.DropCollectionOp):
+                last_ops[op.name] = op
+        for op in last_ops.values():
             if isinstance(op, ops.CreateCollectionOp):
                 name = op.config_json["name"]
                 cdir = self._collection_dir(name)
@@ -168,8 +179,25 @@ class Database:
         # the WAL if we crash in between).
         self.wal.append(ops.encode(ops.CreateCollectionOp(cfg.to_json())),
                         sync=self._wal_sync)
-        col = Collection.create(self._collection_dir(name), cfg,
-                                devices=self._devices, wal_sync=self._wal_sync)
+        try:
+            col = Collection.create(
+                self._collection_dir(name), cfg,
+                devices=self._devices, wal_sync=self._wal_sync)
+        except BaseException:
+            # Compensate the durable create op and remove the partial dir:
+            # otherwise retries in this process hit a misleading
+            # AlreadyExists, and a restart would resurrect a collection
+            # the caller was told failed to create.
+            try:
+                self.wal.append(ops.encode(ops.DropCollectionOp(name)),
+                                sync=self._wal_sync)
+                cdir = self._collection_dir(name)
+                if cdir.exists():
+                    import shutil
+                    shutil.rmtree(cdir)
+            except Exception:
+                pass
+            raise
         self.config.collections.append(name)
         write_config(self.path / CONFIG_FILE, self.config.to_json())
         self._collections[name] = col
@@ -201,31 +229,50 @@ class Database:
 
     def collection_stats(self, name: str) -> dict:
         """Stats without forcing a device restore: already-loaded collections
-        report live state; cold ones report config + snapshot metadata."""
+        report live state; cold ones report config + snapshot metadata.
+
+        Runs under the registry lock: the cold path opens a second WAL
+        handle on the collection's vr_wal, which must never race a
+        concurrent lazy load (the opener clears stale .tmp files and could
+        otherwise break an in-flight truncate_until)."""
         if name in self._collections:
             return self._collections[name].stats()
-        if name not in self.config.collections:
-            raise CollectionNotFoundError(f"No collection named {name!r}")
-        cdir = self._collection_dir(name)
-        cfg = CollectionConfig.from_json(read_config(cdir / CONFIG_FILE))
-        count = None
-        meta_path = cdir / "snapshot" / "meta.json"
-        if meta_path.exists():
+        with self._registry_lock:
+            if name in self._collections:  # loaded while we waited
+                return self._collections[name].stats()
+            if name not in self.config.collections:
+                raise CollectionNotFoundError(f"No collection named {name!r}")
+            cdir = self._collection_dir(name)
+            cfg = CollectionConfig.from_json(read_config(cdir / CONFIG_FILE))
+            # Honor the same snapshot fallbacks restore uses: a crash
+            # mid-swap leaves the data in snapshot.old (or .tmp) — counting
+            # only WAL-tail ids then would report e.g. 3 for a 1M-row
+            # collection.
+            count = None
+            snap_used = None
             import json
-            count = json.loads(meta_path.read_text()).get("count")
-        from .wal import Wal as _Wal
-        wal = _Wal(cdir / WAL_FILE)
-        frames = wal.frame_count
-        live = count
-        if frames:
-            # Exact count without a device restore: replay only the WAL
-            # ops' id effects over the snapshot's id set (host-only; the
-            # set is bounded by the collection size, so cap it).
-            try:
-                live = self._host_only_count(cdir, wal)
-            except Exception:
-                live = None
-        wal.close()
+            for snap in ("snapshot", "snapshot.old", "snapshot.tmp"):
+                meta_path = cdir / snap / "meta.json"
+                if meta_path.exists():
+                    try:
+                        count = json.loads(meta_path.read_text()).get("count")
+                        snap_used = snap
+                        break
+                    except Exception:
+                        continue
+            from .wal import Wal as _Wal
+            wal = _Wal(cdir / WAL_FILE)
+            frames = wal.frame_count
+            live = count
+            if frames:
+                # Exact count without a device restore: replay only the
+                # WAL ops' id effects over the snapshot's id set
+                # (host-only; bounded by _HOST_COUNT_MAX_IDS).
+                try:
+                    live = self._host_only_count(cdir, wal, snap_used)
+                except Exception:
+                    live = None
+            wal.close()
         return {
             "name": name, "dim": cfg.dim, "metric": cfg.metric,
             "dtype": cfg.dtype, "shards": cfg.shards,
@@ -235,26 +282,27 @@ class Database:
 
     _HOST_COUNT_MAX_IDS = 2_000_000
 
-    def _host_only_count(self, cdir, wal):
+    def _host_only_count(self, cdir, wal, snap_dir_name="snapshot"):
         import numpy as np
         from .wal import ops as wal_ops
         ids = set()
-        ids_path = cdir / "snapshot" / "ids.npy"
+        ids_path = cdir / (snap_dir_name or "snapshot") / "ids.npy"
         if ids_path.exists():
             arr = np.load(ids_path)
             if arr.size > self._HOST_COUNT_MAX_IDS:
                 raise OverflowError("too large for host-only count")
             ids.update(arr.tolist())
         for _lsn, frame in wal.replay():
-            op = wal_ops.decode(frame)
-            if isinstance(op, wal_ops.BulkOp):
-                ids.update(op.record_ids.tolist())
-            elif isinstance(op, (wal_ops.InsertOp, wal_ops.UpdateOp)):
-                ids.add(op.record_id)
-            elif isinstance(op, wal_ops.DeleteOp):
-                ids.discard(op.record_id)
-            elif isinstance(op, wal_ops.BulkDeleteOp):
-                ids.difference_update(op.record_ids.tolist())
+            # decode_effect skips vector/payload materialization — a
+            # multi-GB BULK frame costs an id-array view, not a full copy.
+            eff = wal_ops.decode_effect(frame)
+            if eff is None:
+                continue
+            kind, rids = eff
+            if kind == "insert":
+                ids.update(rids.tolist())
+            else:
+                ids.difference_update(rids.tolist())
             if len(ids) > self._HOST_COUNT_MAX_IDS:
                 raise OverflowError("too large for host-only count")
         return len(ids)

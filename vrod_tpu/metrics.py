@@ -68,12 +68,19 @@ class QueryLog:
 
     def emit(self, event: str, **fields) -> None:
         rec = {"ts": time.time(), "event": event, **fields}
-        with self._lock:
-            if self._cb is not None:
-                self._cb(rec)
-            elif self._file is not None:
-                self._file.write(json.dumps(rec) + "\n")
-                self._file.flush()
+        try:
+            with self._lock:
+                if self._cb is not None:
+                    self._cb(rec)
+                elif self._file is not None:
+                    self._file.write(json.dumps(rec) + "\n")
+                    self._file.flush()
+        except Exception as e:
+            # Observability must never fail (or mask) the instrumented
+            # path: a full disk or a throwing user callback drops the
+            # record with a warning, not the search result.
+            import warnings
+            warnings.warn(f"query_log sink failed; record dropped: {e!r}")
 
 
 query_log = QueryLog()

@@ -121,6 +121,30 @@ def encode(op) -> bytes:
     raise TypeError(f"Unknown WAL op {type(op)}")
 
 
+def decode_effect(buf: bytes):
+    """Cheap id-level summary of a collection frame WITHOUT materializing
+    vectors/payloads: returns ("insert"|"delete", uint64 ids array), or
+    None for ops with no id effect. Host-only counting (LISTCOLLECTIONS on
+    a cold collection) replays multi-GB BULK frames; full decode() copies
+    every vector just to read the ids."""
+    if not buf:
+        raise WalCorruptionError("Empty WAL frame")
+    kind = buf[0]
+    if kind in (OP_INSERT, OP_UPDATE):
+        (record_id,) = struct.unpack_from("<Q", buf, 1)
+        return "insert", np.array([record_id], dtype=np.uint64)
+    if kind == OP_DELETE:
+        (record_id,) = struct.unpack_from("<Q", buf, 1)
+        return "delete", np.array([record_id], dtype=np.uint64)
+    if kind == OP_BULK_DELETE:
+        (n,) = struct.unpack_from("<Q", buf, 1)
+        return "delete", np.frombuffer(buf, np.uint64, count=n, offset=9)
+    if kind == OP_BULK:
+        n, _dim = struct.unpack_from("<QI", buf, 1)
+        return "insert", np.frombuffer(buf, np.uint64, count=n, offset=13)
+    return None
+
+
 def decode(buf: bytes):
     if not buf:
         raise WalCorruptionError("Empty WAL frame")
