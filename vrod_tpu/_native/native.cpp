@@ -269,6 +269,14 @@ extern "C" int vrod_wal_truncate_until(void* h, uint64_t upto_lsn) {
 extern "C" int vrod_wal_rewind(void* h, uint64_t size) {
   Wal* w = (Wal*)h;
   if (size > w->valid_size) return -1;
+  // size must land on a frame boundary: a mid-frame cut would leave an
+  // index entry whose payload reads short on replay.
+  if (size != 0 && size != w->valid_size) {
+    bool boundary = false;
+    for (auto& f : w->index)
+      if (f.payload_offset - WAL_HEADER_SIZE == size) { boundary = true; break; }
+    if (!boundary) return -1;
+  }
   if (ftruncate(w->fd, size) != 0) return -1;
   if (fdatasync(w->fd) != 0) return -1;
   while (!w->index.empty() &&

@@ -166,6 +166,7 @@ class Collection:
         If the apply raises (e.g. device OOM during a grow/scatter) the WAL
         is rewound to its pre-append size: the op was never acked, so it
         must not silently materialize on the next replay."""
+        self._require_leader()
         pre = self.wal.valid_size
         self._mutgen += 1  # under the write lock; invalidates filter masks
         lsn = self.wal.append(ops.encode(op), sync=False)
@@ -178,6 +179,18 @@ class Collection:
                 pass  # rewind is best-effort; the original error matters more
             raise
         return lsn
+
+    def _require_leader(self) -> None:
+        """Multi-host discipline, enforced not just documented: host-side
+        truth (WAL, allocator, payloads) is leader-owned — a non-leader
+        rank appending to its own (or worse, a shared) WAL would fork the
+        durable state. Searches are SPMD and run on every rank."""
+        from .parallel import distributed
+        if distributed.is_distributed() and not distributed.is_leader():
+            raise RuntimeError(
+                "Mutations must run on the leader process (rank 0); "
+                "non-leader ranks serve searches and restore from the "
+                "leader's snapshots")
 
     def _ack(self, lsn: int) -> None:
         """Block until the op at ``lsn`` is durable (shared group fsync)."""
@@ -275,10 +288,11 @@ class Collection:
             # granularity). Each chunk is its own op; one fsync at the end
             # covers them all (group durability before ack).
             chunk = max(1, self.WAL_FRAME_ROWS_MAX)
+            # Same protocol as _log_and_apply (leader check, bump
+            # generation, append, apply, rewind on failure), inlined to
+            # loop over WAL frame chunks. Keep the two in sync.
+            self._require_leader()
             pre = self.wal.valid_size
-            # Same protocol as _log_and_apply (bump generation, append,
-            # apply, rewind on failure), inlined to loop over WAL frame
-            # chunks. Keep the two in sync.
             self._mutgen += 1
             lsn = 0
             try:
@@ -597,22 +611,29 @@ class Collection:
         vw = snapio.RawStreamWriter(tmp_dir / "vectors.bin")
         aw = snapio.RawStreamWriter(tmp_dir / "aux.bin")
         pw = snapio.PayloadStreamWriter(tmp_dir / "payloads.bin", n)
-        chunk = self.SNAPSHOT_CHUNK_ROWS
-        for start in range(0, n, chunk):
-            sl = live_slots[start:start + chunk].astype(np.int64)
-            rid_chunk = rids[start:start + chunk]
-            with self._rw.read():
-                rows, auxv = self.engine.gather_raw(sl)
-                pmap = self.payloads.get_many(rid_chunk.tolist())
-                pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
-            vw.write_rows(rows)
-            aw.write_rows(auxv.astype(np.float32))
-            pw.write_many(pls)
-        checksums = {
-            "vectors.bin": vw.close(),
-            "aux.bin": aw.close(),
-            "payloads.bin": pw.close(),
-        }
+        try:
+            chunk = self.SNAPSHOT_CHUNK_ROWS
+            for start in range(0, n, chunk):
+                sl = live_slots[start:start + chunk].astype(np.int64)
+                rid_chunk = rids[start:start + chunk]
+                with self._rw.read():
+                    rows, auxv = self.engine.gather_raw(sl)
+                    pmap = self.payloads.get_many(rid_chunk.tolist())
+                    pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
+                vw.write_rows(rows)
+                aw.write_rows(auxv.astype(np.float32))
+                pw.write_many(pls)
+            checksums = {
+                "vectors.bin": vw.close(),
+                "aux.bin": aw.close(),
+                "payloads.bin": pw.close(),
+            }
+        except BaseException:
+            # A failed attempt must not leak fds: the auto-maintenance
+            # thread retries after every later mutation.
+            for w in (vw, aw, pw):
+                w.abort()
+            raise
         np.save(tmp_dir / "ids.npy", rids.astype(np.uint64))
         snapio.fsync_file(tmp_dir / "ids.npy")
         checksums["ids.npy"] = snapio.crc32_of_file(tmp_dir / "ids.npy")

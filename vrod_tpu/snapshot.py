@@ -3,9 +3,13 @@
 A snapshot directory holds:
 
     ids.npy        uint64 (n,)      record ids, ascending slot order at plan
-    vectors.npy    float32 (n, dim) embedding rows (streamed chunk-at-a-time)
+    vectors.bin    stored-representation rows (f32/bf16/int8), raw
+    aux.bin        float32 (n,)     per-row aux (inv-norm / |x|^2 / scale)
     payloads.bin   length-prefixed UTF-8 payloads, aligned with ids.npy order
-    meta.json      next_id, count, last_lsn, crc32 per file
+    meta.json      next_id, count, last_lsn, storage dtype/dim, crc32 per file
+
+(Round-1 snapshots used vectors.npy + payloads.json; restore still reads
+them, new snapshots always write the layout above.)
 
 Writers stream chunks so a 10M x 768 snapshot never materializes a multi-GB
 host array; CRCs are computed incrementally over the full file bytes, and
@@ -16,7 +20,6 @@ intended checkpoint/resume subsystem (``vr_wal`` + ``Database::load`` todo,
 
 from __future__ import annotations
 
-import io
 import os
 import struct
 import zlib
@@ -28,7 +31,9 @@ PAYLOAD_MAGIC = b"VRPL\x01"
 CRC_CHUNK = 4 << 20
 
 
-def fsync_file(path) -> None:
+def fsync_path(path) -> None:
+    """fsync a file OR directory by path (one shared idiom — portability
+    and error-handling fixes belong in exactly one place)."""
     fd = os.open(str(path), os.O_RDONLY)
     try:
         os.fsync(fd)
@@ -36,12 +41,8 @@ def fsync_file(path) -> None:
         os.close(fd)
 
 
-def fsync_dir(path) -> None:
-    fd = os.open(str(path), os.O_RDONLY)
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
+fsync_file = fsync_path
+fsync_dir = fsync_path
 
 
 def crc32_of_file(path, chunk: int = CRC_CHUNK) -> int:
@@ -57,7 +58,10 @@ def crc32_of_file(path, chunk: int = CRC_CHUNK) -> int:
 
 class _CrcWriter:
     """File writer that folds every byte into a running crc32 and fsyncs on
-    close (snapshot files must be durable before the WAL is truncated)."""
+    close (snapshot files must be durable before the WAL is truncated).
+    Context-manager support aborts cleanly on error (close without fsync),
+    so a failed snapshot attempt does not leak fds — the auto-maintenance
+    thread retries after every later mutation, so leaks would accumulate."""
 
     def __init__(self, path):
         self.path = Path(path)
@@ -74,32 +78,11 @@ class _CrcWriter:
         self._f.close()
         return self.crc & 0xFFFFFFFF
 
-
-class NpyStreamWriter:
-    """Write an .npy of known final shape in row chunks."""
-
-    def __init__(self, path, dtype, shape: tuple):
-        self._w = _CrcWriter(path)
-        hdr = io.BytesIO()
-        np.lib.format.write_array_header_2_0(hdr, {
-            "descr": np.lib.format.dtype_to_descr(np.dtype(dtype)),
-            "fortran_order": False,
-            "shape": tuple(int(s) for s in shape),
-        })
-        self._w.write(hdr.getvalue())
-        self._dtype = np.dtype(dtype)
-        self._shape = tuple(shape)
-        self._rows_written = 0
-
-    def write_rows(self, arr: np.ndarray) -> None:
-        arr = np.ascontiguousarray(arr, dtype=self._dtype)
-        self._w.write(arr.tobytes())
-        self._rows_written += arr.shape[0] if arr.ndim else 0
-
-    def close(self) -> int:
-        assert self._rows_written == self._shape[0], (
-            f"wrote {self._rows_written} rows, header promised {self._shape}")
-        return self._w.close()
+    def abort(self) -> None:
+        try:
+            self._f.close()
+        except Exception:
+            pass
 
 
 def storage_dtype(name: str) -> np.dtype:
@@ -124,6 +107,9 @@ class RawStreamWriter:
 
     def close(self) -> int:
         return self._w.close()
+
+    def abort(self) -> None:
+        self._w.abort()
 
 
 def read_raw_rows(path, dtype, row_elems: int, chunk_rows: int = 65536):
@@ -158,8 +144,17 @@ class PayloadStreamWriter:
         self._written += len(payloads)
 
     def close(self) -> int:
-        assert self._written == self._count
+        if self._written != self._count:
+            # Explicit raise, not assert: under python -O a short stream
+            # would get a valid CRC recorded and only fail at restore —
+            # after the covering WAL prefix was already truncated.
+            raise ValueError(
+                f"Payload stream wrote {self._written} records, header "
+                f"promised {self._count}")
         return self._w.close()
+
+    def abort(self) -> None:
+        self._w.abort()
 
 
 def read_payloads(path, chunk_records: int = 65536,

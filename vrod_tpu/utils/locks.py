@@ -37,8 +37,15 @@ class RWLock:
             try:
                 while self._writer or self._readers:
                     self._cond.wait()
-            finally:
+            except BaseException:
+                # Exceptional exit (e.g. KeyboardInterrupt in wait): the
+                # decrement unblocks readers gated on _writers_waiting, but
+                # they are asleep — without a notify this is a lost wakeup
+                # and every later reader hangs forever.
                 self._writers_waiting -= 1
+                self._cond.notify_all()
+                raise
+            self._writers_waiting -= 1
             self._writer = True
 
     def release_write(self) -> None:

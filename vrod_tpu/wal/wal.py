@@ -141,27 +141,42 @@ class _PyWal:
         self._scan()
 
     def _scan(self) -> None:
+        """Streaming scan: per-frame header read + chunked CRC, bounded
+        memory like the native wal_scan (a one-shot read() loaded multi-GB
+        logs wholesale — and truncate_until's carefully chunked rewrite
+        would immediately re-read its own output in one allocation)."""
         self._index.clear()
         self._valid_size = 0
         self._next_lsn = 1
-        self._f.seek(0)
-        data = self._f.read()
+        self._f.seek(0, 2)
+        file_size = self._f.tell()
         off = 0
-        while off + _HEADER.size <= len(data):
-            magic, lsn, plen, crc = _HEADER.unpack_from(data, off)
+        while off + _HEADER.size <= file_size:
+            self._f.seek(off)
+            hdr = self._f.read(_HEADER.size)
+            if len(hdr) < _HEADER.size:
+                break
+            magic, lsn, plen, crc = _HEADER.unpack(hdr)
             if magic != WAL_MAGIC:
                 break
             end = off + _HEADER.size + plen
-            if end > len(data):
+            if end > file_size:
                 break
-            payload = data[off + _HEADER.size: end]
-            if _frame_crc(lsn, payload) != crc:
+            c = zlib.crc32(_CRC_FIELDS.pack(lsn, plen))
+            remaining = plen
+            while remaining > 0:
+                chunk = self._f.read(min(remaining, 1 << 20))
+                if not chunk:
+                    break
+                c = zlib.crc32(chunk, c)
+                remaining -= len(chunk)
+            if remaining > 0 or (c & 0xFFFFFFFF) != crc:
                 break
             self._index.append((lsn, off + _HEADER.size, plen))
             off = end
             self._valid_size = off
             self._next_lsn = lsn + 1
-        self._file_size = len(data)
+        self._file_size = file_size
 
     def append(self, payload: bytes, sync: bool = False) -> int:
         lsn = self._next_lsn
@@ -231,9 +246,14 @@ class _PyWal:
         self._next_lsn = max(self._next_lsn, saved_next)
 
     def rewind(self, size: int) -> None:
-        """Undo appends past ``size``; next_lsn stays monotonic."""
+        """Undo appends past ``size``; next_lsn stays monotonic. ``size``
+        must be a frame boundary — a mid-frame truncation would leave an
+        index entry whose payload reads short on replay."""
         if size > self._valid_size:
             raise WalError("rewind past valid size")
+        if size not in (0, self._valid_size) and not any(
+                off - _HEADER.size == size for _, off, _ln in self._index):
+            raise WalError(f"rewind target {size} is not a frame boundary")
         self._f.truncate(size)
         self.sync()
         while self._index and self._index[-1][1] - _HEADER.size >= size:
