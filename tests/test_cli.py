@@ -132,17 +132,33 @@ def test_shell_mode(tmp_path):
         'exit',
         'insert -c c -a "0,1,0,0;never"',  # after exit: not executed
     ])
-    out = io.StringIO()
-    rc = _shell(db, stdin=io.StringIO(script), stdout=out)
+    out, err = io.StringIO(), io.StringIO()
+    rc = _shell(db, stdin=io.StringIO(script), stdout=out, stderr=err)
     db.close()
-    assert rc == 0
-    text = out.getvalue()
+    # Scripted (non-tty) use: failures surface in the exit code, and error
+    # text goes to stderr so it never interleaves with command output.
+    assert rc == 1
+    text, errtext = out.getvalue(), err.getvalue()
     assert "Created collection 'c'" in text
     assert "Inserted record 1" in text
     assert "1\t1.000000\talpha" in text
-    assert "Error: Unrecognized command: badverb" in text
-    assert text.count("Error:") == 2
+    assert "Error:" not in text
+    assert "Error: Unrecognized command: badverb" in errtext
+    assert errtext.count("Error:") == 2
     assert "never" not in text
+
+
+def test_shell_clean_script_exits_zero(tmp_path):
+    import io
+    from vrod_tpu.cli import _shell
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sh3")
+    out, err = io.StringIO(), io.StringIO()
+    rc = _shell(db, stdin=io.StringIO('create -a "c;dim=4"\nexit\n'),
+                stdout=out, stderr=err)
+    db.close()
+    assert rc == 0 and err.getvalue() == ""
 
 
 def test_shell_default_collection(tmp_path):
@@ -171,3 +187,49 @@ def test_generate_embeddings_missing_source_errors(tmp_path):
     from vrod_tpu.utils.embeddings import process_embeddings
     with pytest.raises(VrodError, match="not found"):
         process_embeddings(5, source=tmp_path / "nope.txt")
+
+
+def test_pluggable_embed_fn_roundtrip(tmp_path, monkeypatch):
+    """A real embedding model plugs in where the reference's fastembed
+    model sat (embeddings.rs:7): inject a non-hash embed_fn, then ingest
+    its output file into a collection and search it. The hash embedder is
+    only the no-egress default; any callable words -> (n, dim) works."""
+    import numpy as np
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "alice_in_wonderland.txt").write_text("alpha beta gamma")
+    from vrod_tpu.utils.embeddings import process_embeddings
+
+    def toy_model(words):  # deterministic stand-in for an ONNX model
+        out = np.zeros((len(words), 6), dtype=np.float32)
+        for i, _w in enumerate(words):
+            out[i, i % 6] = 1.0
+            out[i, (i + 1) % 6] = 0.5
+        return out
+
+    out_path = process_embeddings(3, embed_fn=toy_model, dim=6)
+    assert main(["-i", str(tmp_path), "-n", "edb"]) == 0
+    d = str(tmp_path / "edb")
+    assert main(["-d", d, "-e", "create", "-a", "c;dim=6"]) == 0
+    assert main(["-d", d, "-e", "bulkinsert", "-c", "c",
+                 "-a", str(out_path)]) == 0
+    # The nearest neighbor of word 0's own embedding is word 0.
+    q = ",".join(str(x) for x in toy_model(["alpha"])[0])
+    assert main(["-d", d, "-e", "searchsimilar", "-c", "c",
+                 "-a", f"{q};k=1"]) == 0
+
+
+def test_shell_errors_do_not_stop_loop(tmp_path):
+    """After an error the shell keeps serving commands (reference shells
+    never die on a bad verb)."""
+    import io
+    from vrod_tpu.cli import _shell
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sh4")
+    out, err = io.StringIO(), io.StringIO()
+    rc = _shell(db, stdin=io.StringIO(
+        'nope\ncreate -a "c;dim=4"\ninsert -c c -a "1,0,0,0;ok"\n'),
+        stdout=out, stderr=err)
+    db.close()
+    assert rc == 1  # the bad verb failed the script
+    assert "Inserted record 1" in out.getvalue()

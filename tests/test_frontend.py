@@ -132,3 +132,20 @@ def test_submit_dim_mismatch_raises_and_worker_survives(col):
         # the worker is still alive and serving
         hits = qb.search(col._test_vecs[11], k=2)
         assert hits[0].payload == "p11"
+
+
+def test_submit_rejects_misshaped_queries(tmp_db, rng):
+    """A (2, dim/2) matrix or a (dim, 1) column has the right total size
+    but must be rejected, not silently flattened and searched."""
+    import pytest
+    from vrod_tpu.frontend import QueryBatcher
+
+    col = tmp_db.create_collection("shape", dim=8, segment_rows=64)
+    col.bulk_insert(rng.standard_normal((4, 8)).astype(np.float32))
+    with QueryBatcher(col) as qb:
+        with pytest.raises(ValueError, match="1-D"):
+            qb.submit(np.zeros((2, 4), dtype=np.float32))
+        with pytest.raises(ValueError, match="1-D"):
+            qb.submit(np.zeros((8, 1), dtype=np.float32))
+        hits = qb.search(np.zeros(8, dtype=np.float32), k=2)
+        assert len(hits) == 2

@@ -66,17 +66,17 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_global_mesh_search(tmp_path):
+def _run_two_ranks(tmp_path, worker_src, extra_args=()):
     port = _free_port()
     script = tmp_path / "worker.py"
-    script.write_text(WORKER)
+    script.write_text(worker_src)
     env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()
            or k not in ("PYTHONPATH", "JAX_PLATFORMS")}
     env.pop("PYTHONPATH", None)
     env["PYTHONPATH"] = str(REPO)
     env.pop("JAX_PLATFORMS", None)
     procs = [subprocess.Popen(
-        [sys.executable, str(script), str(i), str(port)],
+        [sys.executable, str(script), str(i), str(port), *extra_args],
         env=env, cwd=REPO, stdout=subprocess.PIPE,
         stderr=subprocess.STDOUT, text=True) for i in range(2)]
     outs = []
@@ -86,3 +86,94 @@ def test_two_process_global_mesh_search(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
         assert f"RANK{i}_OK" in out
+
+
+def test_two_process_global_mesh_search(tmp_path):
+    _run_two_ranks(tmp_path, WORKER)
+
+
+# Collection-level mutation on the global mesh: mutations are COLLECTIVE
+# (every rank calls the same mutation with identical arguments — the device
+# scatter is one SPMD program); rank 0 alone owns WAL durability. Snapshot/
+# reindex fail fast (device rows are not fully addressable from one host).
+MUTATION_WORKER = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    workdir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["VROD_PLATFORM"] = "cpu"
+    os.environ["VROD_COORDINATOR"] = f"localhost:{port}"
+    os.environ["VROD_NUM_PROCESSES"] = "2"
+    os.environ["VROD_PROCESS_ID"] = str(pid)
+
+    import numpy as np
+    from vrod_tpu.parallel import distributed
+    distributed.initialize()
+
+    import jax
+    assert len(jax.devices()) == 8
+
+    from pathlib import Path
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+
+    # Per-rank paths: the follower's WAL stays empty (rank 0 owns
+    # durability); live state is the global-mesh device arrays.
+    cfg = CollectionConfig(name="mh", dim=32, metric="cosine",
+                           segment_rows=64, shards=8)
+    col = Collection.create(Path(workdir) / f"rank{pid}" / "mh", cfg,
+                            devices=distributed.global_devices())
+    assert col.engine.multiprocess
+
+    rng = np.random.default_rng(11)  # identical mutation stream (SPMD)
+    vecs = rng.standard_normal((300, cfg.dim)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(300)])
+    col.delete_many(rids[:50])
+    one = rng.standard_normal(cfg.dim).astype(np.float32)
+    one_id = col.insert(one, "single")
+    col.update(int(rids[60]), vecs[70] * 0.5, "updated")
+    col.delete(int(rids[55]))
+
+    # Exactness vs a host oracle of the surviving set, on BOTH ranks.
+    def norm(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+    live = {int(r): vecs[i] for i, r in enumerate(rids)}
+    for r in rids[:50]:
+        live.pop(int(r), None)
+    live.pop(int(rids[55]), None)
+    live[int(rids[60])] = vecs[70] * 0.5
+    live[one_id] = one
+    assert col.count == len(live)
+
+    q = vecs[100:104]
+    oracle_ids = []
+    keys = np.array(sorted(live))
+    mat = norm(np.stack([live[int(k)] for k in keys]))
+    for qi in norm(q):
+        oracle_ids.append(keys[np.argsort(-(mat @ qi))[:5]])
+    for hits, want in zip(col.search_similar(q, k=5), oracle_ids):
+        got = [h.record_id for h in hits]
+        assert got == [int(w) for w in want], (pid, got, want)
+    assert col.search_similar(one, k=1)[0].payload == "single"
+
+    # Durability ownership: leader logs, follower does not.
+    if pid == 0:
+        assert col.wal.frame_count > 0
+    else:
+        assert col.wal.frame_count == 0
+
+    # Maintenance fails fast instead of stalling the mesh.
+    for op in (col.snapshot, col.reindex, col.truncate_wal):
+        try:
+            op()
+            raise AssertionError(f"{op.__name__} should have failed fast")
+        except RuntimeError as e:
+            assert "process-spanning" in str(e), e
+    print(f"RANK{pid}_OK", flush=True)
+""")
+
+
+def test_two_process_global_mesh_mutations(tmp_path):
+    _run_two_ranks(tmp_path, MUTATION_WORKER, extra_args=(str(tmp_path),))

@@ -88,3 +88,33 @@ def test_disk_pop_returns_removed_value(tmp_path):
     assert s.pop(7) == "seven"
     assert s.pop(7, "gone") == "gone"
     s.close()
+
+
+def test_disk_store_recovers_from_corrupt_file(tmp_path):
+    """journal/synchronous are OFF, so a crash can corrupt payloads.db.
+    The store is a rebuildable cache: opening over a corrupt file must
+    discard it and start empty, not wedge collection load forever."""
+    p = tmp_path / "p.db"
+    p.write_bytes(b"definitely not a sqlite database" * 64)
+    s = DiskPayloadStore(p)
+    assert len(s) == 0
+    s[1] = "alive"
+    assert s.get(1) == "alive"
+    s.close()
+
+
+def test_disk_store_recovers_from_corrupt_header_with_valid_magic(tmp_path):
+    """Corruption that keeps the 16-byte sqlite magic but breaks the
+    schema page surfaces on the first statement, not connect()."""
+    p = tmp_path / "p.db"
+    s = DiskPayloadStore(p)
+    s.set_many([1, 2], ["a", "b"])
+    s.close()
+    raw = bytearray(p.read_bytes())
+    raw[100:] = b"\xff" * (len(raw) - 100)  # keep header magic, trash pages
+    p.write_bytes(bytes(raw))
+    s2 = DiskPayloadStore(p)
+    assert len(s2) == 0
+    s2[3] = "c"
+    assert s2.get(3) == "c"
+    s2.close()

@@ -170,3 +170,59 @@ def test_failed_create_is_retryable(tmp_path, rng, monkeypatch):
     db2 = Database.load(tmp_path / "crdb")
     assert db2.collection("c").count == 3
     db2.close()
+
+
+def test_failed_delete_erase_keeps_binding(tmp_db, rng):
+    """Delete whose device erase fails must leave the binding intact: the
+    WAL is rewound (the record durably exists), so the live view must
+    still serve it — and a retry must work."""
+    col = tmp_db.create_collection("dd", dim=8, segment_rows=64)
+    v = rng.standard_normal(8).astype(np.float32)
+    rid = col.insert(v, "keep")
+    _fail_once(col.engine, "erase")
+    with pytest.raises(RuntimeError, match="injected"):
+        col.delete(rid)
+    assert col.count == 1
+    assert col.get(rid).payload == "keep"
+    assert col.search_similar(v, k=1)[0].record_id == rid
+    col.delete(rid)  # retry succeeds
+    assert col.count == 0
+
+
+def test_failed_bulk_delete_erase_keeps_bindings(tmp_db, rng):
+    col = tmp_db.create_collection("bd", dim=8, segment_rows=64)
+    rids = col.bulk_insert(rng.standard_normal((5, 8)).astype(np.float32),
+                           [f"p{i}" for i in range(5)])
+    _fail_once(col.engine, "erase")
+    with pytest.raises(RuntimeError, match="injected"):
+        col.delete_many(rids[:3])
+    assert col.count == 5
+    for r in rids.tolist():
+        col.get(r)  # every binding still resolves
+    assert col.delete_many(rids[:3]) == 3  # retry succeeds
+    assert col.count == 2
+
+
+def test_create_race_preserves_foreign_dir(tmp_path, monkeypatch):
+    """TOCTOU guard: if the collection dir appears between the registry
+    check and mkdir (an external actor), create must not delete it and
+    must not leave create/drop ops in the DB WAL."""
+    from vrod_tpu.database import Database
+    import vrod_tpu.database as dbmod
+    from vrod_tpu.errors import CollectionExistsError
+
+    db = Database.new(tmp_path, "race")
+    cdir = db.path / "collections" / "c"
+
+    def foreign_then_fail(path, config, **kw):
+        cdir.mkdir(parents=True)  # external actor wins the race
+        (cdir / "sentinel").write_text("foreign data")
+        raise FileExistsError(str(cdir))
+
+    monkeypatch.setattr(dbmod.Collection, "create",
+                        staticmethod(foreign_then_fail))
+    with pytest.raises(CollectionExistsError):
+        db.create_collection("c", dim=8, segment_rows=64)
+    assert (cdir / "sentinel").read_text() == "foreign data"
+    assert db.wal.frame_count == 0  # create op rewound; no drop logged
+    db.close()

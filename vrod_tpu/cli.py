@@ -80,16 +80,22 @@ def _preprocess(argv):
     return out
 
 
-def _shell(db, default_collection=None, stdin=None, stdout=None) -> int:
+def _shell(db, default_collection=None, stdin=None, stdout=None,
+           stderr=None) -> int:
     """Interactive command loop: ``VERB [-c COLLECTION] [-a ARG]`` per line
     (shlex rules, so quoted args may contain spaces). ``exit``/``quit``/EOF
-    ends the session; errors print and the loop continues."""
+    ends the session; errors print to stderr and the loop continues.
+    Scripted use (piped stdin) exits 1 if any command failed, so pipelines
+    can detect failures; interactively the exit code stays 0 (errors were
+    already seen and handled at the prompt)."""
     import shlex
 
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
+    stderr = stderr if stderr is not None else sys.stderr
     interactive = stdin.isatty()
     builder = CommandBuilder(db)
+    failed = False
     if interactive:
         print(f"vrod shell — database {db.path} "
               f"(verbs are case-insensitive; 'exit' to quit)", file=stdout)
@@ -99,12 +105,12 @@ def _shell(db, default_collection=None, stdin=None, stdout=None) -> int:
             stdout.flush()
         line = stdin.readline()
         if not line:
-            return 0
+            break
         line = line.strip()
         if not line or line.startswith("#"):
             continue
         if line.lower() in ("exit", "quit"):
-            return 0
+            break
         try:
             toks = shlex.split(line)
             verb, collection, arg = toks[0], default_collection, None
@@ -122,10 +128,10 @@ def _shell(db, default_collection=None, stdin=None, stdout=None) -> int:
                         "VERB [-c COLLECTION] [-a ARG]")
             print(builder.build(collection, verb, arg).execute(),
                   file=stdout)
-        except VrodError as e:
-            print(f"Error: {e}", file=stdout)
-        except ValueError as e:  # shlex errors (unbalanced quotes)
-            print(f"Error: {e}", file=stdout)
+        except (VrodError, ValueError) as e:  # ValueError: shlex errors
+            print(f"Error: {e}", file=stderr)
+            failed = True
+    return 1 if (failed and not interactive) else 0
 
 
 def main(argv=None) -> int:

@@ -165,10 +165,19 @@ class Collection:
 
         If the apply raises (e.g. device OOM during a grow/scatter) the WAL
         is rewound to its pre-append size: the op was never acked, so it
-        must not silently materialize on the next replay."""
-        self._require_leader()
-        pre = self.wal.valid_size
+        must not silently materialize on the next replay.
+
+        On a process-spanning mesh, mutations are COLLECTIVE: the device
+        scatter is one SPMD program, so every rank must call the same
+        mutation with identical arguments in the same order. Rank 0 alone
+        owns WAL durability; follower ranks apply the op to their (device +
+        host-live) state without logging — appending to a second WAL would
+        fork the durable truth."""
         self._mutgen += 1  # under the write lock; invalidates filter masks
+        if not self._owns_wal():
+            apply_fn()
+            return 0
+        pre = self.wal.valid_size
         lsn = self.wal.append(ops.encode(op), sync=False)
         try:
             apply_fn()
@@ -180,23 +189,33 @@ class Collection:
             raise
         return lsn
 
-    def _require_leader(self) -> None:
-        """Multi-host discipline, enforced not just documented: host-side
-        truth (WAL, allocator, payloads) is leader-owned — a non-leader
-        rank appending to its own (or worse, a shared) WAL would fork the
-        durable state. Searches are SPMD and run on every rank."""
+    def _owns_wal(self) -> bool:
+        """True when this process owns durable host truth: always on a
+        single-process mesh; rank 0 (the leader) on a process-spanning
+        mesh (``parallel/distributed.py`` leader model)."""
+        if not self.engine.multiprocess:
+            return True
         from .parallel import distributed
-        if distributed.is_distributed() and not distributed.is_leader():
-            raise RuntimeError(
-                "Mutations must run on the leader process (rank 0); "
-                "non-leader ranks serve searches and restore from the "
-                "leader's snapshots")
+        return distributed.is_leader()
 
     def _ack(self, lsn: int) -> None:
-        """Block until the op at ``lsn`` is durable (shared group fsync)."""
-        if self.wal_sync:
+        """Block until the op at ``lsn`` is durable (shared group fsync).
+        Follower ranks have nothing to sync (lsn 0, no WAL append)."""
+        if self.wal_sync and lsn:
             self._commit.sync_upto(lsn)
         self._maybe_auto_snapshot()
+
+    def _check_single_process(self, what: str) -> None:
+        """Fail fast instead of deadlocking: snapshot/reindex gather device
+        rows to ONE host, but on a process-spanning mesh the collection
+        arrays are not fully addressable from any single process — the
+        gather would stall waiting for ranks that never dispatched it."""
+        if self.engine.multiprocess:
+            raise RuntimeError(
+                f"{what} is not supported on a process-spanning mesh: "
+                "device rows are not fully addressable from one process. "
+                "Persist durability on the leader with a single-process "
+                "mesh, then distribute the snapshot files to all ranks.")
 
     def _fragmented(self) -> bool:
         """True only when compaction would ACTUALLY reclaim a segment: the
@@ -216,6 +235,12 @@ class Collection:
         falls under ``auto_compact_fraction`` of capacity (packs rows and
         reclaims capacity — restores post-delete scan QPS; takes the write
         lock briefly for the compaction move + shrink)."""
+        if self.engine.multiprocess:
+            # Background maintenance dispatches collective device programs;
+            # firing asynchronously on ONE rank would deadlock the mesh.
+            # Multi-host maintenance must be invoked explicitly and
+            # collectively (and snapshot/reindex fail fast there anyway).
+            return
         budget = self.config.auto_snapshot_wal_bytes
         want_snap = budget > 0 and self.wal.valid_size >= budget
         want_compact = self._fragmented()
@@ -288,28 +313,30 @@ class Collection:
             # granularity). Each chunk is its own op; one fsync at the end
             # covers them all (group durability before ack).
             chunk = max(1, self.WAL_FRAME_ROWS_MAX)
-            # Same protocol as _log_and_apply (leader check, bump
+            # Same protocol as _log_and_apply (WAL-ownership check, bump
             # generation, append, apply, rewind on failure), inlined to
             # loop over WAL frame chunks. Keep the two in sync.
-            self._require_leader()
-            pre = self.wal.valid_size
             self._mutgen += 1
             lsn = 0
-            try:
-                for start in range(0, n, chunk):
-                    end = min(start + chunk, n)
-                    lsn = self.wal.append(
-                        ops.encode(ops.BulkOp(
-                            rids[start:end], vecs[start:end],
-                            list(payloads[start:end]))),
-                        sync=False)
+            if not self._owns_wal():
                 self._apply_insert(rids, vecs, payloads)
-            except BaseException:
+            else:
+                pre = self.wal.valid_size
                 try:
-                    self.wal.rewind(pre)
-                except Exception:
-                    pass
-                raise
+                    for start in range(0, n, chunk):
+                        end = min(start + chunk, n)
+                        lsn = self.wal.append(
+                            ops.encode(ops.BulkOp(
+                                rids[start:end], vecs[start:end],
+                                list(payloads[start:end]))),
+                            sync=False)
+                    self._apply_insert(rids, vecs, payloads)
+                except BaseException:
+                    try:
+                        self.wal.rewind(pre)
+                    except Exception:
+                        pass
+                    raise
         self._ack(lsn)
         metrics.counters.inc("collection.inserts", n)
         return rids
@@ -366,10 +393,15 @@ class Collection:
         return int(known.size)
 
     def _apply_bulk_delete(self, rids: np.ndarray) -> None:
-        slots = self.alloc.release(rids)
+        # Device first, host binding second: if the erase dispatch raises,
+        # the WAL is rewound AND the allocator still holds the binding, so
+        # live state matches durable state (releasing first would leave a
+        # still-valid device row with no binding until restart).
+        slots = self.alloc.slots_of(rids)
         live = slots[slots != NO_ID]
         if live.size:
-            self.engine.erase(live)
+            self.engine.erase(live.astype(np.int64))
+        self.alloc.release(rids)
         # Payload-store failures are non-fatal here: the store is a
         # rebuildable cache and a stale entry for a deleted id is never
         # looked up (lookups go through live ids) — whereas failing the
@@ -383,10 +415,11 @@ class Collection:
                           f"entries remain, harmless): {e!r}")
 
     def _apply_delete(self, record_id: int) -> None:
-        slots = self.alloc.release(np.array([record_id], dtype=np.uint64))
-        live = slots[slots != NO_ID]
-        if live.size:
-            self.engine.erase(live)
+        # Same device-first ordering as _apply_bulk_delete.
+        slot = self.alloc.slot_of(record_id)
+        if slot != NO_ID:
+            self.engine.erase(np.array([slot], dtype=np.int64))
+        self.alloc.release(np.array([record_id], dtype=np.uint64))
         try:  # non-fatal; see _apply_bulk_delete
             self.payloads.pop(record_id, None)
         except Exception:
@@ -527,6 +560,7 @@ class Collection:
             return self._reindex_impl()
 
     def _reindex_impl(self) -> int:
+        self._check_single_process("reindex")
         with self._rw.write():
             src, dst = self.alloc.plan_compaction()
             if src.size:
@@ -586,6 +620,7 @@ class Collection:
             return self._snapshot_impl()
 
     def _snapshot_impl(self) -> Path:
+        self._check_single_process("snapshot")
         snap_dir = self.path / SNAPSHOT_DIR
         old_dir = self.path / (SNAPSHOT_DIR + ".old")
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")

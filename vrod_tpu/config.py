@@ -89,11 +89,12 @@ class CollectionConfig:
             raise ConfigError(f"Unknown metric {self.metric!r}; expected one of {METRICS}")
         if self.dtype not in DTYPES:
             raise ConfigError(f"Unknown dtype {self.dtype!r}; expected one of {DTYPES}")
-        if self.dtype == "int8" and self.metric == "l2":
+        if self.dtype == "int8" and self.metric == "l2" and self.dim > 1040:
+            # |q8|^2 <= dim * 127^2 must stay exactly representable in f32
+            # (< 2^24) for the on-the-fly |x_hat|^2 epilogue to be exact.
             raise ConfigError(
-                "int8 collections support cosine/dot metrics (the quantized "
-                "scan's dequant epilogue has no |x|^2 term); use "
-                "bfloat16/float32 for l2")
+                "int8 + l2 supports dim <= 1040 (exact f32 norm "
+                "reconstruction); use bfloat16/float32 for larger dims")
         if self.dim <= 0:
             raise ConfigError(f"dim must be positive, got {self.dim}")
         if self.segment_rows <= 0 or self.segment_rows % 8 != 0:

@@ -177,20 +177,30 @@ class Database:
                                **cfg_kw)
         # WAL first, then filesystem, then registry config (recovery replays
         # the WAL if we crash in between).
+        pre = self.wal.valid_size
         self.wal.append(ops.encode(ops.CreateCollectionOp(cfg.to_json())),
                         sync=self._wal_sync)
         try:
             col = Collection.create(
                 self._collection_dir(name), cfg,
                 devices=self._devices, wal_sync=self._wal_sync)
-        except BaseException:
-            # Compensate the durable create op and remove the partial dir:
-            # otherwise retries in this process hit a misleading
-            # AlreadyExists, and a restart would resurrect a collection
-            # the caller was told failed to create.
+        except FileExistsError:
+            # The directory appeared between the exists() check and mkdir
+            # (an external actor — in-process creates are registry-locked).
+            # This call created nothing, so it must delete nothing: rewind
+            # the un-acked create op and report the conflict.
             try:
-                self.wal.append(ops.encode(ops.DropCollectionOp(name)),
-                                sync=self._wal_sync)
+                self.wal.rewind(pre)
+            except Exception:
+                pass
+            raise CollectionExistsError(
+                f"Collection {name!r} already exists")
+        except BaseException:
+            # The create op was never acked: rewind it (a restart must not
+            # resurrect a collection the caller was told failed to create)
+            # and remove the partial artifacts this call laid down.
+            try:
+                self.wal.rewind(pre)
                 cdir = self._collection_dir(name)
                 if cdir.exists():
                     import shutil
@@ -280,7 +290,10 @@ class Database:
             "snapshot_count": count, "wal_frames": frames, "loaded": False,
         }
 
-    _HOST_COUNT_MAX_IDS = 2_000_000
+    # Host-only exact counts replay id sets only (~8 B/id + set overhead):
+    # 20M ids is ~a few hundred MB transiently — covers the 10M-row
+    # collections the engine itself supports, with 2x headroom.
+    _HOST_COUNT_MAX_IDS = 20_000_000
 
     def _host_only_count(self, cdir, wal, snap_dir_name="snapshot"):
         import numpy as np

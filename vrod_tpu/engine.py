@@ -74,8 +74,10 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
 
     # int8 collections scan with a quantized query on the integer MXU
     # (per-query scale is rank-invariant and dropped); the exact-precision
-    # scan path and the rescore keep the full f32 query.
-    quantize_q = dtype_name == "int8" and (
+    # scan path and the rescore keep the full f32 query. NOT for l2: the
+    # query scale multiplies only the cross term of 2*q.x_hat - |x_hat|^2,
+    # so dropping it would reorder candidates.
+    quantize_q = dtype_name == "int8" and metric != "l2" and (
         impl == "pallas" or precision_name != "exact")
 
     def local_topk(x_l, aux_l, valid_l, q):
@@ -270,6 +272,12 @@ class DeviceEngine:
             mesh = make_mesh(shards, avail)
         self.mesh = mesh
         self.shards = self.mesh.devices.size
+        # True when the mesh's devices span OS processes (multi-host DCN):
+        # every jit dispatch over the collection arrays is then a collective
+        # program that ALL processes must execute, and device->host reads
+        # are not fully addressable from any single process.
+        self.multiprocess = len(
+            {d.process_index for d in self.mesh.devices.flat}) > 1
         self.dtype = jnp.dtype(cfg.dtype)
         # Capacity granularity: whole segments, evenly divided over shards.
         self._grow_unit = cfg.segment_rows * self.shards
@@ -283,6 +291,12 @@ class DeviceEngine:
         on_tpu = self.mesh.devices.flat[0].platform == "tpu"
         self.precision = "fast" if on_tpu else "high"
         self.impl = "pallas" if on_tpu else "scan"
+        if self.dtype == jnp.int8 and cfg.metric == "l2":
+            # The fused kernel's int8 epilogue has no |x_hat|^2 term; the
+            # scan path reconstructs it on the fly (XLA fuses the
+            # square-reduce into the block loop). Still streams int8 from
+            # HBM — the capacity benefit is retained.
+            self.impl = "scan"
         self.rescore = True
 
     # -- capacity ----------------------------------------------------------

@@ -40,14 +40,17 @@ class QueryBatcher:
         (same ids, same mode); distinct filters execute as separate engine
         calls within the window — a filter is a scan mask, so it is
         per-call, not per-row-of-the-tile."""
-        vec = np.asarray(vector, dtype=np.float32).reshape(-1)
+        vec = np.asarray(vector, dtype=np.float32)
         # Validate per-client input HERE so one malformed query raises to
         # its submitter instead of poisoning a packed batch (np.stack over
         # mixed dims would otherwise kill the worker and hang every Future).
+        # Shape must be exactly (dim,) — a (2, dim/2) matrix or a (dim, 1)
+        # column would flatten to the right size and silently search wrong.
         dim = self.collection.config.dim
-        if vec.shape[0] != dim:
+        if vec.ndim != 1 or vec.shape[0] != dim:
             raise ValueError(
-                f"Query dim {vec.shape[0]} != collection dim {dim}")
+                f"Query must be a 1-D vector of dim {dim}, "
+                f"got shape {vec.shape}")
         if within_ids is not None and exclude_ids is not None:
             raise ValueError("Pass within_ids or exclude_ids, not both")
         fkey = None

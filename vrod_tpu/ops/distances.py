@@ -55,7 +55,17 @@ def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision):
         preferred_element_type=jnp.float32,
         precision=precision,
     )
-    if x_blk.dtype == jnp.int8 or metric == "cosine":
+    if x_blk.dtype == jnp.int8:
+        if metric == "l2":
+            # Stored rep x_hat = aux * row. |x_hat|^2 = aux^2 * sum(row^2),
+            # computed on the fly: sum(row^2) <= dim * 127^2 < 2^24 is
+            # EXACT in f32 (config caps dim at 1040), and the O(BLK*D)
+            # square-reduce is ~1/B of the matmul cost.
+            n2 = jnp.sum(rhs * rhs, axis=1) * (aux_blk * aux_blk)
+            s = 2.0 * (g * aux_blk[None, :]) - n2[None, :]
+        else:  # cosine / dot: one dequant multiply
+            s = g * aux_blk[None, :]
+    elif metric == "cosine":
         s = g * aux_blk[None, :]
     elif metric == "l2":
         s = 2.0 * g - aux_blk[None, :]
@@ -198,8 +208,16 @@ def rescore(x, aux, valid, q, cand_idx, *, k: int, metric: str):
         precision=lax.Precision.HIGHEST,
     )
     aux_c = aux[safe_idx]
-    if x.dtype == jnp.int8 or metric == "cosine":
-        s = g * aux_c  # int8: aux is the per-row dequant scale
+    if x.dtype == jnp.int8:
+        if metric == "l2":
+            # Same |x_hat|^2 reconstruction as block_scores (exact in f32).
+            n2 = jnp.sum(rows.astype(jnp.float32) ** 2, axis=2) \
+                * (aux_c * aux_c)
+            s = 2.0 * (g * aux_c) - n2
+        else:
+            s = g * aux_c  # aux is the per-row dequant scale
+    elif metric == "cosine":
+        s = g * aux_c
     elif metric == "l2":
         s = 2.0 * g - aux_c
     else:
@@ -232,20 +250,21 @@ def prepare_rows(vecs, *, metric: str, dtype):
     returns the original embedding; aux = 1/|x| (cosine), |x|^2 (l2), 0
     (dot).
 
-    int8 (quantized scan, cosine/dot only): rows are symmetrically
-    quantized per row — cosine stores round(x/|x| / s) with
-    s = max|x_i/|x||/127, dot stores round(x / s). aux = s, so
-    dequantization is exactly ``stored * aux`` and the score epilogue is
-    the same ``g * aux`` multiply as cosine. The exact rescore dequantizes
-    and scores against the full f32 query, so recall is exact w.r.t. the
-    stored (quantized) representation — the same contract as bf16 storage.
+    int8 (quantized scan): rows are symmetrically quantized per row —
+    cosine stores round(x/|x| / s) with s = max|x_i/|x||/127, dot and l2
+    store round(x / s). aux = s, so dequantization is exactly
+    ``stored * aux``; the score epilogue is ``g * aux`` for cosine/dot and
+    reconstructs |x_hat|^2 = aux^2 * sum(row^2) on the fly for l2 (exact
+    in f32 for dim <= 1040). The exact rescore dequantizes and scores
+    against the full f32 query, so recall is exact w.r.t. the stored
+    (quantized) representation — the same contract as bf16 storage.
     """
     vecs32 = vecs.astype(jnp.float32)
     if jnp.dtype(dtype) == jnp.int8:
         if metric == "cosine":
             norms = jnp.linalg.norm(vecs32, axis=1, keepdims=True)
             base = vecs32 / jnp.maximum(norms, 1e-30)
-        else:  # dot (l2 is rejected at config validation)
+        else:  # dot / l2
             base = vecs32
         scale = jnp.max(jnp.abs(base), axis=1) / 127.0
         q8 = jnp.clip(

@@ -425,6 +425,10 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     ``distances.sampled_threshold``). Exactness is preserved; candidates
     below the floor just skip the extraction loop — at large k this
     removes the cold-carry over-extraction of the first blocks."""
+    if x.dtype == jnp.int8 and metric == "l2":
+        raise NotImplementedError(
+            "int8 + l2 runs on the scan path (the fused kernel's int8 "
+            "epilogue has no |x_hat|^2 term); the engine routes it there")
     n, d = x.shape
     b = q.shape[0]
     if block_rows is None or n % block_rows != 0 or (

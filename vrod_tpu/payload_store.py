@@ -57,12 +57,30 @@ class DiskPayloadStore:
 
     def __init__(self, path):
         self._path = Path(path)
+        self._lock = threading.Lock()
+        try:
+            self._open()
+        except sqlite3.DatabaseError:
+            # With journal/synchronous OFF a crash can corrupt payloads.db
+            # itself. The store is a rebuildable cache (restore repopulates
+            # it from snapshot + WAL), so a corrupt file must never wedge
+            # collection load: discard it and start fresh.
+            try:
+                self._conn.close()
+            except Exception:
+                pass
+            self._path.unlink(missing_ok=True)
+            # sqlite sidecar files from a corrupted crash state
+            for suffix in ("-journal", "-wal", "-shm"):
+                Path(str(self._path) + suffix).unlink(missing_ok=True)
+            self._open()
+
+    def _open(self) -> None:
         # Autocommit (isolation_level=None): with journal_mode=OFF an
         # implicit open transaction would make close()'s rollback undefined
         # behavior, and the held RESERVED lock would block other readers.
-        self._conn = sqlite3.connect(str(path), check_same_thread=False,
+        self._conn = sqlite3.connect(str(self._path), check_same_thread=False,
                                      isolation_level=None)
-        self._lock = threading.Lock()
         with self._lock:
             self._conn.execute("PRAGMA journal_mode=OFF")
             self._conn.execute("PRAGMA synchronous=OFF")

@@ -22,7 +22,7 @@ OP_DELETE = 2
 OP_UPDATE = 3
 OP_CREATE_COLLECTION = 4
 OP_DROP_COLLECTION = 5
-OP_CHECKPOINT = 6
+# op kind 6 is reserved (was an unused CHECKPOINT placeholder)
 OP_BULK = 7
 OP_BULK_DELETE = 8
 
