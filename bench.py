@@ -250,10 +250,13 @@ def main():
                     help="vector dimension (search workload; config 1 uses 128)")
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--iters", type=int, default=None)
-    # bf16 storage is the production default: half the HBM traffic of f32,
-    # recall 1.0 at full scale (exact f32-query rescore; validated by the
-    # on-device oracle each run).
-    ap.add_argument("--dtype", default="bfloat16")
+    # int8 storage is the headline default (round 3): same
+    # exact-vs-stored-representation contract as bf16 (exact f32-query
+    # rescore of dequantized candidates; the on-device oracle re-verifies
+    # recall every run), measured +15% QPS over bf16 at top-16 AND top-100
+    # in the same session, with 2x the per-chip capacity — and recall 1.0
+    # held at 10M x 768 with the margin-12 policy. bf16/f32 via --dtype.
+    ap.add_argument("--dtype", default="int8")
     ap.add_argument("--impl", default=None)
     ap.add_argument("--precision", default=None)
     ap.add_argument("--workload", default="search",

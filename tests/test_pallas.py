@@ -228,3 +228,92 @@ def test_sampled_submax_matches_reference(rng):
         blk_s = s[:, j * blk:(j + 1) * blk].reshape(b, blk // 128, 128)
         ref[:, j * 128:(j + 1) * 128] = blk_s.max(axis=1)
     np.testing.assert_array_equal(np.asarray(sub), ref)
+
+
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_dot_l2_floor_sound_and_exact(rng, metric, dtype):
+    """The engine's dot/l2 floor recipe (sampled_submax +
+    accumulation_margin + threshold_from_submax): theta0 <= the true k-th
+    best score, and warm-started results are bit-identical — including
+    adversarial norm spreads (some rows 100x larger)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from vrod_tpu.ops import distances as D
+    from vrod_tpu.ops.pallas_topk import fused_topk, sampled_submax
+
+    n, d, b, k = 4096, 32, 8, 64
+    xf = rng.standard_normal((n, d)).astype(np.float32)
+    xf[rng.integers(0, n, 64)] *= 100.0  # adversarial magnitude spread
+    rows, aux = D.prepare_rows(jnp.asarray(xf), metric=metric, dtype=dtype)
+    valid = jnp.asarray(rng.random(n) > 0.2)
+    q = jnp.asarray(rng.standard_normal((b, d)) * 3, dtype=jnp.float32)
+
+    n_sample = 2048
+    sub = sampled_submax(rows[:n_sample], aux[:n_sample], valid[:n_sample],
+                         q, metric=metric, precision_name="fast",
+                         interpret=True)
+    extra = D.accumulation_margin(q, aux, valid, metric=metric, dim=d)
+    t0 = D.threshold_from_submax(sub, k, approx=False, extra=extra)
+
+    # Soundness: floor <= exact k-th best score of the FULL set.
+    s = np.asarray(D.block_scores(q, rows, aux, valid, metric=metric,
+                                  precision=lax.Precision.HIGHEST))
+    kth = np.sort(s, axis=1)[:, -k]
+    assert (np.asarray(t0)[:, 0] <= kth + 1e-7).all(), (metric, dtype)
+
+    # Bit-identical warm start at the production fast precision.
+    base_v, base_i = fused_topk(rows, aux, valid, q, k=k, metric=metric,
+                                precision_name="fast", interpret=True)
+    warm_v, warm_i = fused_topk(rows, aux, valid, q, k=k, metric=metric,
+                                precision_name="fast", interpret=True,
+                                theta0=t0)
+    assert (warm_i == base_i).all()
+    assert (warm_v == base_v).all()
+
+
+def test_dot_aux_lane_stores_norm2(rng):
+    """prepare_rows for dot now fills aux with |x|^2 (the floor's norm
+    bound); the dot epilogue must keep ignoring it."""
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
+    from vrod_tpu.ops import distances as D
+    x = rng.standard_normal((16, 8)).astype(np.float32)
+    rows, aux = D.prepare_rows(jnp.asarray(x), metric="dot", dtype="float32")
+    np.testing.assert_allclose(np.asarray(aux), (x ** 2).sum(1), rtol=1e-6)
+    q = jnp.asarray(x[:2])
+    s = D.block_scores(q, rows, aux, jnp.ones(16, bool), metric="dot",
+                       precision=lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(s), x[:2] @ x.T, rtol=1e-5)
+
+
+def test_legacy_dot_snapshot_aux_recomputed(tmp_path, rng):
+    """Round <= 2 dot snapshots persisted aux = 0; restore must rebuild
+    |x|^2 so the sampled floor's norm bound stays sound."""
+    import numpy as np
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+
+    cfg = CollectionConfig(name="ld", dim=8, metric="dot", segment_rows=64)
+    col = Collection.create(tmp_path / "ld", cfg)
+    vecs = rng.standard_normal((10, 8)).astype(np.float32)
+    col.bulk_insert(vecs)
+    col.snapshot()
+    col.close()
+    # Rewrite the snapshot aux file with zeros (legacy format).
+    import json
+    snap = tmp_path / "ld" / "snapshot"
+    from vrod_tpu import snapshot as snapio
+    w = snapio.RawStreamWriter(snap / "aux.bin")
+    w.write_rows(np.zeros(10, np.float32))
+    crc = w.close()
+    meta = json.loads((snap / "meta.json").read_text())
+    meta["crc32"]["aux.bin"] = crc
+    (snap / "meta.json").write_text(json.dumps(meta))
+
+    col2 = Collection.load(tmp_path / "ld")
+    aux = np.asarray(col2.engine.aux)[:10]
+    np.testing.assert_allclose(aux, (vecs ** 2).sum(1), rtol=1e-5)
+    col2.close()

@@ -745,6 +745,12 @@ class Collection:
 
     def _apply_insert_raw(self, rids, rows, aux, payloads) -> None:
         """Insert rows already in the stored representation (restore)."""
+        if (self.config.metric == "dot" and self.config.dtype != "int8"
+                and len(rids) and float(np.max(aux)) == 0.0):
+            # Legacy (round <= 2) dot snapshots stored aux = 0; the lane
+            # now carries |x|^2 (feeds the sampled floor's norm bound) —
+            # recompute for this chunk. New snapshots round-trip as-is.
+            aux = (np.asarray(rows, dtype=np.float32) ** 2).sum(axis=1)
         self._ensure_capacity(len(rids))
         slots = self.alloc.acquire(rids)
         self.engine.write_raw(slots, rows, aux)

@@ -64,7 +64,7 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 @functools.lru_cache(maxsize=256)
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                rows_local, block_rows, shards, do_rescore, impl,
-               use_theta0=True):
+               use_theta0=True, theta0_margin=1e-3, theta0_frac=8):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -91,20 +91,29 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
             n_sample = min(rows_local, max(128 * k_scan * 2,
-                                           rows_local // 8))
+                                           rows_local // theta0_frac))
             n_sample = (n_sample // 2048) * 2048
-            # Cosine only: its normalized scores admit a rigorous absolute
-            # accumulation-noise margin (see threshold_from_submax); for
-            # dot/l2 the divergence bound is data-magnitude-dependent, so
-            # the floor stays off to keep exactness unconditional.
-            if use_theta0 and metric == "cosine" \
+            # Cosine's normalized scores admit a rigorous ABSOLUTE
+            # accumulation-noise margin; dot/l2 get a per-query
+            # Cauchy-Schwarz bound from |q| and the valid-masked max row
+            # norm (aux stores |x|^2 for both — see accumulation_margin).
+            # int8 keeps the floor cosine-only: its dot/l2 aux lane holds
+            # the dequant scale, not a norm.
+            floor_ok = metric == "cosine" or dtype_name != "int8"
+            if use_theta0 and floor_ok \
                     and k_scan >= 64 and n_sample // 16 >= k_scan \
-                    and rows_local >= 4 * n_sample:
+                    and rows_local >= min(theta0_frac, 4) * n_sample:
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
                     interpret=interpret)
-                theta0 = D.threshold_from_submax(sub, k_scan, approx=True)
+                extra = None
+                if metric != "cosine":
+                    extra = D.accumulation_margin(
+                        q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
+                theta0 = D.threshold_from_submax(
+                    sub, k_scan, approx=True, margin_abs=theta0_margin,
+                    extra=extra)
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
@@ -454,7 +463,7 @@ class DeviceEngine:
         deleted slots.
         """
         precision = precision or self.precision
-        impl = impl or self.impl
+        impl_arg = impl
         rescore = self.rescore if rescore is None else rescore
         if isinstance(queries, jax.Array):
             # Pre-staged device queries: no host round trip, pad on device.
@@ -470,6 +479,16 @@ class DeviceEngine:
             raise ValueError("k must be >= 1")
         k = min(k, MAX_K, self.capacity)
         Bp = _bucket(B, BATCH_BUCKETS)
+        impl = impl_arg or self.impl
+        if (impl_arg is None and impl == "pallas" and Bp <= 8
+                and self.capacity * self.cfg.dim
+                * self.dtype.itemsize <= (32 << 20)):
+            # Small-batch, small-collection searches dodge the kernel's
+            # ~1 ms Mosaic while-entry: the XLA scan path measured faster
+            # at B <= 8 up to ~32 MB of rows (kexp10: 2.58 vs 2.75 ms at
+            # 100k x 128 batch 1 — beats one CPU core at 3.49 ms), while
+            # the fused kernel wins 3x+ at 1M x 768.
+            impl = "scan"
         # Clamp the bucketed output width to capacity: rescore's top_k runs
         # on (B, k_scan<=capacity) candidates, so k_out may never exceed it
         # (tiny collections with k near capacity crashed otherwise).
@@ -479,14 +498,20 @@ class DeviceEngine:
         # puts the rank boundary in a denser score band). An explicit
         # ``margin=`` overrides the policy (tuning/validation harnesses).
         if margin is None:
-            margin = max(self.cfg.rescore_margin, k_out // 8) if rescore else 0
+            # bf16/f32 fast-precision rank jitter measured <= 4 ranks for
+            # k <= 100 at 1M x 768 on v5e (experiments/recall_margin.py,
+            # re-confirmed by kexp8: margin 4 held recall 1.0), so the
+            # default 8 is 2x safety with no k-scaling tax in the measured
+            # band; keep the k/8 floor only beyond it (k > 128 unmeasured).
+            margin = max(self.cfg.rescore_margin,
+                         k_out // 8 if k_out > 128 else 0) if rescore else 0
             if self.dtype == jnp.int8 and rescore:
                 # Quantization (rows AND query) adds rank jitter beyond
-                # bf16/f32 fast-precision. Measured at 1M x 768 on v5e
-                # (experiments/recall_margin.py --dtype int8): margin 8 was
-                # already exact for k <= 100; keep 2-4x safety. The bench's
+                # bf16/f32: kexp8 measured margin 6 MISSING occasionally at
+                # k=100 (recall 0.9975-0.99875) while margin 8 held 1.0 —
+                # default 12 is 1.5x the proven-safe value. The bench's
                 # on-device probe re-verifies recall on every run.
-                margin = max(margin, 16, k_out // 4)
+                margin = max(margin, 12, k_out // 4 if k_out > 128 else 0)
         elif not rescore:
             margin = 0
         k_scan = min(k_out + margin, self.capacity)
@@ -504,7 +529,9 @@ class DeviceEngine:
             _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
             precision, self.cfg.dtype, self.rows_local, block_rows,
             self.shards, bool(rescore), impl,
-            os.environ.get("VROD_THETA0", "1") != "0")
+            os.environ.get("VROD_THETA0", "1") != "0",
+            float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
+            int(os.environ.get("VROD_THETA0_FRAC", "8")))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)

@@ -160,7 +160,27 @@ def sampled_threshold(x, aux, valid, q, *, k: int, metric: str, precision,
     return threshold_from_submax(sub, k)
 
 
-def threshold_from_submax(sub, k: int, *, approx: bool = False):
+def accumulation_margin(q, aux, valid, *, metric: str, dim: int,
+                        safety: float = 20.0):
+    """Per-query upper bound on fast-scan accumulation-order divergence for
+    UNNORMALIZED metrics, making the sampled floor sound for dot/l2.
+
+    Cauchy-Schwarz: |sum q_i x_i| error <= dim * 2^-24 * |q| * |x| across
+    f32-accumulated reorderings; l2's ``2g - aux`` doubles the g term (aux
+    is the identical f32 constant on both sides). max|x| comes from the
+    VALID-masked aux lane, which stores |x|^2 for BOTH dot and l2 rows
+    (dot's epilogue ignores aux, so the lane was free). ``safety`` matches
+    the ~20x overbound the cosine absolute margin carries. Returns (B, 1).
+    """
+    m2 = jnp.max(jnp.where(valid, aux, 0.0))
+    mnorm = jnp.sqrt(jnp.maximum(m2, 0.0))
+    qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+    per_dot = safety * dim * (2.0 ** -24) * qn * mnorm
+    return per_dot * (2.0 if metric == "l2" else 1.0)
+
+
+def threshold_from_submax(sub, k: int, *, approx: bool = False,
+                          margin_abs: float = 1e-3, extra=None):
     """Turn (B, nsub) sub-block score maxima into a sound k-th-best floor
     (see ``sampled_threshold``); -inf disables where nsub < k.
 
@@ -183,9 +203,13 @@ def threshold_from_submax(sub, k: int, *, approx: bool = False):
     # ~20x overbound of the worst case (768·2^-24 ≈ 4.6e-5) and stays
     # sound even when the k-th score is near zero — a |kth|-relative
     # margin alone would not be. For unnormalized metrics the magnitude
-    # bound is data-dependent; callers (the engine) only enable the floor
-    # for cosine.
-    t0 = kth - (jnp.abs(kth) * 1e-3 + 1e-3)
+    # bound is data-dependent; callers pass it via ``extra``
+    # (``accumulation_margin``) for dot/l2. ``margin_abs`` tunes the
+    # absolute term (default 1e-3 is the conservative ~20x overbound;
+    # 2e-4 is still ~4x).
+    t0 = kth - (jnp.abs(kth) * 1e-3 + margin_abs)
+    if extra is not None:
+        t0 = t0 - extra
     return jnp.where(jnp.isfinite(t0), t0, NEG_INF).astype(jnp.float32)
 
 
@@ -274,10 +298,11 @@ def prepare_rows(vecs, *, metric: str, dtype):
     if metric == "cosine":
         norms = jnp.linalg.norm(vecs32, axis=1)
         aux = jnp.where(norms > 0, 1.0 / jnp.maximum(norms, 1e-30), 0.0)
-    elif metric == "l2":
-        aux = jnp.sum(vecs32 * vecs32, axis=1)
     else:
-        aux = jnp.zeros(vecs32.shape[0], dtype=jnp.float32)
+        # l2 needs |x|^2 in the epilogue; dot's epilogue ignores aux, so
+        # the lane stores |x|^2 there too — it feeds the sampled floor's
+        # accumulation_margin (max row norm) at zero extra storage.
+        aux = jnp.sum(vecs32 * vecs32, axis=1)
     return vecs32.astype(dtype), aux.astype(jnp.float32)
 
 
