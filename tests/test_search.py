@@ -175,3 +175,34 @@ def test_batch_bucketing():
     assert _bucket(8, BATCH_BUCKETS) == 8
     assert _bucket(9, BATCH_BUCKETS) == 16
     assert _bucket(5000, BATCH_BUCKETS) == 8192
+
+
+def test_verify_recall_quiesced_under_mutation(tmp_db, rng):
+    """quiesce=True holds the write lock across capture + search, so a
+    hammering concurrent mutator can never produce a spurious miss — the
+    gate mode asserts exactly 1.0 (VERDICT r2 weak item 6)."""
+    import threading
+    from vrod_tpu.utils.verify import verify_recall
+
+    col = tmp_db.create_collection("vq", dim=16, segment_rows=64)
+    vecs = rng.standard_normal((80, 16)).astype(np.float32)
+    col.bulk_insert(vecs)
+    stop = threading.Event()
+
+    def mutate():
+        i = 0
+        while not stop.is_set():
+            rid = col.insert(
+                rng.standard_normal(16).astype(np.float32), f"m{i}")
+            col.delete(rid)
+            i += 1
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    try:
+        for _ in range(10):
+            q = rng.standard_normal((4, 16)).astype(np.float32)
+            assert verify_recall(col, q, k=10, quiesce=True) == 1.0
+    finally:
+        stop.set()
+        t.join()

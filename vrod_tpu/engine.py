@@ -64,7 +64,8 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 @functools.lru_cache(maxsize=256)
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                rows_local, block_rows, shards, do_rescore, impl,
-               use_theta0=True, theta0_margin=1e-3, theta0_frac=8):
+               use_theta0=True, theta0_margin=1e-3, theta0_frac=8,
+               theta0_method="approx"):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -113,7 +114,9 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                         q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
                 theta0 = D.threshold_from_submax(
                     sub, k_scan, approx=True, margin_abs=theta0_margin,
-                    extra=extra)
+                    extra=extra,
+                    method="minmax" if theta0_method == "minmax"
+                    else "topk")
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
@@ -531,7 +534,8 @@ class DeviceEngine:
             self.shards, bool(rescore), impl,
             os.environ.get("VROD_THETA0", "1") != "0",
             float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
-            int(os.environ.get("VROD_THETA0_FRAC", "8")))
+            int(os.environ.get("VROD_THETA0_FRAC", "8")),
+            os.environ.get("VROD_THETA0_METHOD", "approx"))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)

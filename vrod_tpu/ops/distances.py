@@ -180,7 +180,8 @@ def accumulation_margin(q, aux, valid, *, metric: str, dim: int,
 
 
 def threshold_from_submax(sub, k: int, *, approx: bool = False,
-                          margin_abs: float = 1e-3, extra=None):
+                          margin_abs: float = 1e-3, extra=None,
+                          method: str = "topk"):
     """Turn (B, nsub) sub-block score maxima into a sound k-th-best floor
     (see ``sampled_threshold``); -inf disables where nsub < k.
 
@@ -188,11 +189,21 @@ def threshold_from_submax(sub, k: int, *, approx: bool = False,
     reduction — measured ~5x cheaper than exact top_k at nsub 8192). Still
     SOUND: the values it returns are true elements, so its k-th value has
     k distinct elements >= it; missing a few true top-k items only makes
-    the floor slightly looser, never unsafe."""
+    the floor slightly looser, never unsafe.
+
+    ``method="minmax"`` replaces the top-k entirely with reductions:
+    partition the sub-maxima into k groups, take each group's max, then
+    the min over groups — k distinct true elements >= that min, so it is
+    a sound (slightly looser) k-th floor at ~1/20 the cost."""
     b = sub.shape[0]
     if sub.shape[1] < k:
         return jnp.full((b, 1), NEG_INF, dtype=jnp.float32)
-    if approx:
+    if method == "minmax":
+        g = sub.shape[1] // k
+        kth = jnp.min(
+            jnp.max(sub[:, :g * k].reshape(b, k, g), axis=2),
+            axis=1, keepdims=True)
+    elif approx:
         kth = lax.approx_max_k(sub, k, recall_target=0.95)[0][:, k - 1:k]
     else:
         kth = lax.top_k(sub, k)[0][:, k - 1:k]

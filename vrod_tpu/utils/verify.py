@@ -32,11 +32,19 @@ def brute_force_oracle(vectors: np.ndarray, queries: np.ndarray, k: int,
 
 
 def verify_recall(collection, queries: np.ndarray, k: int = 10,
-                  eps: float = 1e-5) -> float:
-    """recall@k of ``collection.search_similar`` vs the NumPy oracle over the
-    collection's live records. Gathers all live vectors to host — intended
+                  eps: float = 1e-5, quiesce: bool = False) -> float:
+    """recall@k of the collection's production search vs the NumPy oracle
+    over its live records. Gathers all live vectors to host — intended
     for tests, CI gates and spot checks, not for 10M-row production sets
     (sample those).
+
+    ``quiesce=True`` holds the collection WRITE lock across the capture
+    AND the search, so no mutation can interleave — the mode to use as a
+    CI gate or production canary asserting exactly 1.0 (mutations block
+    for the duration). The default mode captures under a read lock and
+    searches under a separate read lock (the RW lock is not
+    reader-reentrant), so a mutation BETWEEN the two can yield spurious
+    recall < 1.0 — fine for spot checks on quiet collections.
 
     Tie-aware: items whose f64 oracle score sits within ``eps`` (relative)
     of the rank-k boundary are interchangeable — different float
@@ -44,19 +52,29 @@ def verify_recall(collection, queries: np.ndarray, k: int = 10,
     above the band are REQUIRED. Without the band, duplicate vectors or
     f32-epsilon-close boundary scores would fail a gate asserting 1.0
     with no bug present."""
+    from ..allocator import NO_ID
+
     queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
-    # Capture a consistent (slots, ids, vectors) view under the read lock:
-    # concurrent mutations donate device buffers, so an unlocked gather can
-    # race a scatter. The search below takes its own read lock (the RW lock
-    # is not reader-reentrant), so a mutation BETWEEN the capture and the
-    # search can still yield spurious recall < 1.0 — quiesce mutations when
-    # using this as a gate.
-    with collection._rw.read():
+    got_sets = None
+    lock = collection._rw.write() if quiesce else collection._rw.read()
+    with lock:
         live_slots = collection.alloc.live_slots()
         if live_slots.size == 0:
             return 1.0
         rids = collection.alloc.ids_of(live_slots)
         vecs = collection.engine.gather(live_slots.astype(np.int64))
+        if quiesce:
+            # Search under the SAME lock (engine direct — search_similar
+            # would try to re-acquire the non-reentrant RW lock).
+            _, slots = collection.engine.search(queries, k)
+            ids = collection.alloc.ids_of(
+                np.where(slots >= 0, slots, 0).astype(np.uint64)
+            ).reshape(slots.shape)
+            got_sets = [
+                {int(i) for s, i in zip(slots[b], ids[b])
+                 if s >= 0 and i != NO_ID}
+                for b in range(slots.shape[0])
+            ]
     metric = collection.config.metric
     # Recompute full f64 score rows for the tie band (the oracle helper
     # returns positions only).
@@ -74,16 +92,18 @@ def verify_recall(collection, queries: np.ndarray, k: int = 10,
               - 2.0 * (qv @ v.T) + np.sum(v * v, axis=1)[None, :])
     kk = min(k, v.shape[0])
     order = np.argsort(-s, axis=1, kind="stable")
-    results = collection.search_similar(queries, k)
-    if queries.shape[0] == 1 and not isinstance(results[0], list):
-        results = [results]
+    if got_sets is None:
+        results = collection.search_similar(queries, k)
+        if queries.shape[0] == 1 and not isinstance(results[0], list):
+            results = [results]
+        got_sets = [{h.record_id for h in results[b]}
+                    for b in range(queries.shape[0])]
     total, hit = 0, 0
     for b in range(queries.shape[0]):
         boundary = s[b, order[b, kk - 1]]
         band = eps * max(abs(boundary), 1.0)
         required_pos = np.nonzero(s[b] > boundary + band)[0]
         want = set(int(r) for r in rids[required_pos].tolist())
-        got = {h.record_id for h in results[b]}
-        hit += len(got & want)
+        hit += len(got_sets[b] & want)
         total += len(want)
     return hit / total if total else 1.0
