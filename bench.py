@@ -261,7 +261,9 @@ def main():
     # recall every run), measured +15% QPS over bf16 at top-16 AND top-100
     # in the same session, with 2x the per-chip capacity — and recall 1.0
     # held at 10M x 768 with the margin-12 policy. bf16/f32 via --dtype.
-    ap.add_argument("--dtype", default="int8")
+    # (Resolved after parsing: the int8 default falls back to bfloat16
+    # where int8+l2 is unsupported, dim > 1040.)
+    ap.add_argument("--dtype", default=None)
     ap.add_argument("--impl", default=None)
     ap.add_argument("--precision", default=None)
     ap.add_argument("--workload", default="search",
@@ -272,6 +274,9 @@ def main():
     ap.add_argument("--margin", type=int, default=None,
                     help="override rescore candidate margin (k_scan = k_out + margin)")
     args = ap.parse_args()
+    if args.dtype is None:
+        args.dtype = ("bfloat16" if args.metric == "l2" and args.dim > 1040
+                      else "int8")
 
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.

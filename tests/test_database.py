@@ -239,3 +239,24 @@ def test_cold_count_beyond_2m_ids(tmp_path):
     # snapshot ids + the WAL-replayed insert (id 1): exact, not None.
     assert st["count"] == ids.size + 1
     db2.close()
+
+
+def test_cold_count_reinsert_after_delete(tmp_path):
+    """Host-only counting is order-sensitive: insert -> delete -> reinsert
+    of the same id must count once (the numpy last-event-wins path)."""
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "rr")
+    col = db.create_collection("c", dim=4, segment_rows=64)
+    v = np.ones(4, dtype=np.float32)
+    rid = col.insert(v, "a")
+    col.delete(rid)
+    col.insert(v, "b")      # new id
+    col.delete_many([2])    # delete it again
+    col.insert(v, "c")
+    db.close()
+
+    db2 = Database.load(tmp_path / "rr")
+    assert db2.collection_stats("c")["count"] == 1
+    assert db2.collection("c").count == 1
+    db2.close()

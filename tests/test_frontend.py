@@ -149,3 +149,7 @@ def test_submit_rejects_misshaped_queries(tmp_db, rng):
             qb.submit(np.zeros((8, 1), dtype=np.float32))
         hits = qb.search(np.zeros(8, dtype=np.float32), k=2)
         assert len(hits) == 2
+        # (1, dim) — the common single-text embedding-library shape — is
+        # unambiguous and accepted.
+        hits = qb.search(np.zeros((1, 8), dtype=np.float32), k=2)
+        assert len(hits) == 2

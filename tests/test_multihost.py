@@ -177,3 +177,75 @@ MUTATION_WORKER = textwrap.dedent("""
 
 def test_two_process_global_mesh_mutations(tmp_path):
     _run_two_ranks(tmp_path, MUTATION_WORKER, extra_args=(str(tmp_path),))
+
+
+# Collective restore: identical snapshot+WAL copies on every rank load
+# fine (replay is the same SPMD sequence); a diverged rank fails fast on
+# EVERY rank instead of deadlocking the mesh mid-replay.
+LOAD_WORKER = textwrap.dedent("""
+    import os, shutil, sys, time
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    workdir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["VROD_PLATFORM"] = "cpu"
+    os.environ["VROD_COORDINATOR"] = f"localhost:{port}"
+    os.environ["VROD_NUM_PROCESSES"] = "2"
+    os.environ["VROD_PROCESS_ID"] = str(pid)
+
+    import numpy as np
+    from vrod_tpu.parallel import distributed
+    distributed.initialize()
+    import jax
+    # Touch the backend NOW: topology exchange blocks until every rank
+    # publishes, and rank 1 otherwise waits on the marker first.
+    assert len(jax.devices()) == 8
+    from pathlib import Path
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.wal import Wal, ops
+
+    base = Path(workdir)
+    src = base / "src" / "mh"
+    marker = base / "src_ready"
+    mine = base / f"rank{pid}" / "mh"
+    cfg = CollectionConfig(name="mh", dim=16, metric="cosine",
+                           segment_rows=64, shards=8)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((20, 16)).astype(np.float32)
+    if pid == 0:
+        col = Collection.create(src, cfg, devices=jax.local_devices()[:1])
+        col.bulk_insert(vecs, [f"p{i}" for i in range(20)])
+        col.close()
+        marker.touch()
+    else:
+        for _ in range(600):
+            if marker.exists():
+                break
+            time.sleep(0.1)
+        assert marker.exists()
+    shutil.copytree(src, mine)
+
+    # Identical copies: collective load + search works on both ranks.
+    col = Collection.load(mine, devices=distributed.global_devices())
+    assert col.engine.multiprocess and col.count == 20
+    assert col.search_similar(vecs[5], k=1)[0].record_id == 6
+    col.close()
+
+    # Diverge rank 1's WAL (one extra frame) -> BOTH ranks fail fast.
+    if pid == 1:
+        w = Wal(mine / "vr_wal")
+        w.append(ops.encode(ops.DeleteOp(1)))
+        w.close()
+    try:
+        Collection.load(mine, devices=distributed.global_devices())
+        raise AssertionError("diverged load should have failed fast")
+    except RuntimeError as e:
+        assert "byte-identical" in str(e), e
+    print(f"RANK{pid}_OK", flush=True)
+""")
+
+
+def test_two_process_collective_load(tmp_path):
+    _run_two_ranks(tmp_path, LOAD_WORKER, extra_args=(str(tmp_path),))

@@ -205,6 +205,38 @@ class Collection:
             self._commit.sync_upto(lsn)
         self._maybe_auto_snapshot()
 
+    def _check_ranks_identical(self) -> None:
+        """Restore on a process-spanning mesh replays WAL frames whose
+        device scatters are collective SPMD programs: every rank must
+        dispatch the SAME sequence, which requires byte-identical durable
+        state on all ranks (the documented contract: distribute the
+        leader's snapshot + WAL to every rank before a collective load).
+        A rank with a diverged WAL — e.g. reusing the follower's own
+        (empty) directory from a previous serving session — would
+        deadlock the mesh mid-replay, so verify the fingerprints agree
+        up front with one tiny all-gather and fail fast on every rank."""
+        if not self.engine.multiprocess:
+            return
+        import zlib
+        import jax
+        from jax.experimental import multihost_utils
+        meta_crc = 0
+        for snap in ("snapshot", "snapshot.old", "snapshot.tmp"):
+            p = self.path / snap / "meta.json"
+            if p.exists():
+                meta_crc = zlib.crc32(p.read_bytes())
+                break
+        fp = np.array([self.wal.valid_size, self.wal.frame_count, meta_crc],
+                      dtype=np.int64)
+        all_fp = np.asarray(multihost_utils.process_allgather(fp))
+        if not (all_fp == all_fp[0]).all():
+            raise RuntimeError(
+                "Collection restore on a process-spanning mesh requires "
+                "byte-identical snapshot + WAL state on every rank "
+                f"(fingerprints {all_fp.tolist()} by rank, this rank "
+                f"{jax.process_index()}): copy the leader's collection "
+                "directory to all ranks, then load collectively")
+
     def _check_single_process(self, what: str) -> None:
         """Fail fast instead of deadlocking: snapshot/reindex gather device
         rows to ONE host, but on a process-spanning mesh the collection
@@ -507,9 +539,7 @@ class Collection:
                 # same read lock as the search: a concurrent delete+insert
                 # reusing a freed slot (or a compaction) would otherwise
                 # rebind slots between the device scan and the id mapping.
-                rids = self.alloc.ids_of(
-                    np.where(slots >= 0, slots, 0).astype(np.uint64)
-                ).reshape(slots.shape)
+                rids = self.slot_ids(slots)
                 payloads = self.payloads.get_many(
                     int(r) for r in np.unique(rids[rids != NO_ID]))
         results = []
@@ -523,6 +553,15 @@ class Collection:
                                       payloads.get(rid, "")))
             results.append(hits)
         return results[0] if single else results
+
+    def slot_ids(self, slots: np.ndarray) -> np.ndarray:
+        """Bulk slot->record-id mapping for engine search output: rows with
+        the -1 'no result' sentinel map through slot 0 and must be filtered
+        by callers via ``(slot >= 0) & (id != NO_ID)``. Call under the same
+        lock that covered the search (slot bindings are per-generation)."""
+        return self.alloc.ids_of(
+            np.where(slots >= 0, slots, 0).astype(np.uint64)
+        ).reshape(slots.shape)
 
     def _filter_mask(self, mode: str, ids: np.ndarray):
         """Device filter mask for an id list, cached per mutation
@@ -758,6 +797,7 @@ class Collection:
         self.next_id = max(self.next_id, int(rids.max()) + 1)
 
     def _restore(self) -> None:
+        self._check_ranks_identical()
         snap_dir, meta = self._pick_snapshot()
         if snap_dir is not None:
             from . import snapshot as snapio

@@ -298,13 +298,17 @@ class Database:
     def _host_only_count(self, cdir, wal, snap_dir_name="snapshot"):
         import numpy as np
         from .wal import ops as wal_ops
-        ids = set()
+        # Event-stream formulation in numpy: a CPython int set at 10-20M
+        # ids costs ~1.5-2 GB transiently; uint64 event arrays + one
+        # stable argsort (last event per id wins) stay in the low
+        # hundreds of MB at the same scale.
+        id_chunks, kind_chunks, total = [], [], 0
         ids_path = cdir / (snap_dir_name or "snapshot") / "ids.npy"
         if ids_path.exists():
-            arr = np.load(ids_path)
-            if arr.size > self._HOST_COUNT_MAX_IDS:
-                raise OverflowError("too large for host-only count")
-            ids.update(arr.tolist())
+            arr = np.load(ids_path).astype(np.uint64, copy=False).ravel()
+            id_chunks.append(arr)
+            kind_chunks.append(np.ones(arr.size, dtype=np.bool_))
+            total += arr.size
         for _lsn, frame in wal.replay():
             # decode_effect skips vector/payload materialization — a
             # multi-GB BULK frame costs an id-array view, not a full copy.
@@ -312,13 +316,26 @@ class Database:
             if eff is None:
                 continue
             kind, rids = eff
-            if kind == "insert":
-                ids.update(rids.tolist())
-            else:
-                ids.difference_update(rids.tolist())
-            if len(ids) > self._HOST_COUNT_MAX_IDS:
+            rids = np.ascontiguousarray(rids, dtype=np.uint64).ravel()
+            id_chunks.append(rids)
+            kind_chunks.append(
+                np.full(rids.size, kind == "insert", dtype=np.bool_))
+            total += rids.size
+            # Raw-event cap bounds memory even under heavy churn (events
+            # can exceed unique ids).
+            if total > 4 * self._HOST_COUNT_MAX_IDS:
                 raise OverflowError("too large for host-only count")
-        return len(ids)
+        if not id_chunks:
+            return 0
+        all_ids = np.concatenate(id_chunks)
+        all_kind = np.concatenate(kind_chunks)
+        order = np.argsort(all_ids, kind="stable")  # by id, then sequence
+        sid = all_ids[order]
+        last = np.ones(sid.size, dtype=np.bool_)
+        last[:-1] = sid[1:] != sid[:-1]
+        if int(last.sum()) > self._HOST_COUNT_MAX_IDS:
+            raise OverflowError("too large for host-only count")
+        return int(all_kind[order][last].sum())
 
     def collection(self, name: str) -> Collection:
         if name in self._collections:

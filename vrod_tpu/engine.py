@@ -65,7 +65,7 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                rows_local, block_rows, shards, do_rescore, impl,
                use_theta0=True, theta0_margin=1e-3, theta0_frac=8,
-               theta0_method="approx"):
+               theta0_method="approx", theta0_blk=2048):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -107,7 +107,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
-                    interpret=interpret)
+                    block_rows=theta0_blk, interpret=interpret)
                 extra = None
                 if metric != "cosine":
                     extra = D.accumulation_margin(
@@ -504,17 +504,17 @@ class DeviceEngine:
             # bf16/f32 fast-precision rank jitter measured <= 4 ranks for
             # k <= 100 at 1M x 768 on v5e (experiments/recall_margin.py,
             # re-confirmed by kexp8: margin 4 held recall 1.0), so the
-            # default 8 is 2x safety with no k-scaling tax in the measured
-            # band; keep the k/8 floor only beyond it (k > 128 unmeasured).
+            # default 8 is 2x safety with no k-scaling tax in the MEASURED
+            # band (k_out <= 100); the k/8 floor stays beyond it.
             margin = max(self.cfg.rescore_margin,
-                         k_out // 8 if k_out > 128 else 0) if rescore else 0
+                         k_out // 8 if k_out > 100 else 0) if rescore else 0
             if self.dtype == jnp.int8 and rescore:
                 # Quantization (rows AND query) adds rank jitter beyond
                 # bf16/f32: kexp8 measured margin 6 MISSING occasionally at
                 # k=100 (recall 0.9975-0.99875) while margin 8 held 1.0 —
                 # default 12 is 1.5x the proven-safe value. The bench's
                 # on-device probe re-verifies recall on every run.
-                margin = max(margin, 12, k_out // 4 if k_out > 128 else 0)
+                margin = max(margin, 12, k_out // 4 if k_out > 100 else 0)
         elif not rescore:
             margin = 0
         k_scan = min(k_out + margin, self.capacity)
@@ -535,7 +535,8 @@ class DeviceEngine:
             os.environ.get("VROD_THETA0", "1") != "0",
             float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
             int(os.environ.get("VROD_THETA0_FRAC", "8")),
-            os.environ.get("VROD_THETA0_METHOD", "approx"))
+            os.environ.get("VROD_THETA0_METHOD", "approx"),
+            int(os.environ.get("VROD_THETA0_BLK", "2048")))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)

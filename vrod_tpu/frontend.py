@@ -44,9 +44,13 @@ class QueryBatcher:
         # Validate per-client input HERE so one malformed query raises to
         # its submitter instead of poisoning a packed batch (np.stack over
         # mixed dims would otherwise kill the worker and hang every Future).
-        # Shape must be exactly (dim,) — a (2, dim/2) matrix or a (dim, 1)
-        # column would flatten to the right size and silently search wrong.
+        # Shape must be (dim,) — or the unambiguous (1, dim) row that
+        # embedding libraries return for a single text. A (2, dim/2)
+        # matrix or a (dim, 1) column would flatten to the right size and
+        # silently search wrong, so those stay rejected.
         dim = self.collection.config.dim
+        if vec.ndim == 2 and vec.shape == (1, dim):
+            vec = vec[0]
         if vec.ndim != 1 or vec.shape[0] != dim:
             raise ValueError(
                 f"Query must be a 1-D vector of dim {dim}, "

@@ -67,9 +67,7 @@ def verify_recall(collection, queries: np.ndarray, k: int = 10,
             # Search under the SAME lock (engine direct — search_similar
             # would try to re-acquire the non-reentrant RW lock).
             _, slots = collection.engine.search(queries, k)
-            ids = collection.alloc.ids_of(
-                np.where(slots >= 0, slots, 0).astype(np.uint64)
-            ).reshape(slots.shape)
+            ids = collection.slot_ids(slots)
             got_sets = [
                 {int(i) for s, i in zip(slots[b], ids[b])
                  if s >= 0 and i != NO_ID}
