@@ -93,7 +93,9 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             theta0 = None
             n_sample = min(rows_local, max(128 * k_scan * 2,
                                            rows_local // theta0_frac))
-            n_sample = (n_sample // 2048) * 2048
+            # Round to whole pre-pass blocks (sampled_submax would halve
+            # its block size on a non-divisible sample).
+            n_sample = (n_sample // theta0_blk) * theta0_blk
             # Cosine's normalized scores admit a rigorous ABSOLUTE
             # accumulation-noise margin; dot/l2 get a per-query
             # Cauchy-Schwarz bound from |q| and the valid-masked max row
@@ -101,8 +103,12 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # int8 keeps the floor cosine-only: its dot/l2 aux lane holds
             # the dequant scale, not a norm.
             floor_ok = metric == "cosine" or dtype_name != "int8"
+            # nsub = 128 maxima per pre-pass block: the k-th sub-max is
+            # only a sound k-th floor when there are at least k_scan
+            # sub-maxima (with margin: 2x).
+            nsub = (n_sample // theta0_blk) * 128
             if use_theta0 and floor_ok \
-                    and k_scan >= 64 and n_sample // 16 >= k_scan \
+                    and k_scan >= 64 and nsub >= 2 * k_scan \
                     and rows_local >= min(theta0_frac, 4) * n_sample:
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
@@ -536,7 +542,10 @@ class DeviceEngine:
             float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
             int(os.environ.get("VROD_THETA0_FRAC", "8")),
             os.environ.get("VROD_THETA0_METHOD", "approx"),
-            int(os.environ.get("VROD_THETA0_BLK", "2048")))
+            # 8192-row pre-pass blocks (64-row strided groups): 4x fewer
+            # sub-maxima halve the approx_max_k cost; measured +1-2% at
+            # top-100 with recall 1.0 (soundness is grouping-invariant).
+            int(os.environ.get("VROD_THETA0_BLK", "8192")))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)
