@@ -65,7 +65,7 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                rows_local, block_rows, shards, do_rescore, impl,
                use_theta0=True, theta0_margin=1e-3, theta0_frac=8,
-               theta0_method="approx", theta0_blk=2048):
+               theta0_method="approx", theta0_blk=2048, theta0_mink=64):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -91,8 +91,12 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # materializes the (B, n_sample) score matrix and costs more
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
+            # Small k: extraction is cheap, so the pre-pass must be too —
+            # shrink the sample to rows/32 (kexp small-k A/B: +2.6% at
+            # k_scan 28 vs a measured net loss with the rows/8 sample).
+            frac = theta0_frac if k_scan >= 64 else max(theta0_frac, 32)
             n_sample = min(rows_local, max(128 * k_scan * 2,
-                                           rows_local // theta0_frac))
+                                           rows_local // frac))
             # Round to whole pre-pass blocks (sampled_submax would halve
             # its block size on a non-divisible sample).
             n_sample = (n_sample // theta0_blk) * theta0_blk
@@ -107,9 +111,13 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # only a sound k-th floor when there are at least k_scan
             # sub-maxima (with margin: 2x).
             nsub = (n_sample // theta0_blk) * 128
+            # Below k_scan 64 the floor only pays for int8 (same-session
+            # A/B: +2.5% int8, -0.9% bf16 — int8's cheaper stream makes
+            # extraction relatively dearer).
+            min_k = theta0_mink if dtype_name == "int8" else 64
             if use_theta0 and floor_ok \
-                    and k_scan >= 64 and nsub >= 2 * k_scan \
-                    and rows_local >= min(theta0_frac, 4) * n_sample:
+                    and k_scan >= min_k and nsub >= 2 * k_scan \
+                    and rows_local >= min(frac, 4) * n_sample:
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
@@ -545,7 +553,10 @@ class DeviceEngine:
             # 8192-row pre-pass blocks (64-row strided groups): 4x fewer
             # sub-maxima halve the approx_max_k cost; measured +1-2% at
             # top-100 with recall 1.0 (soundness is grouping-invariant).
-            int(os.environ.get("VROD_THETA0_BLK", "8192")))
+            int(os.environ.get("VROD_THETA0_BLK", "8192")),
+            # Floor active from k_scan 24 up (covers top-16 after margin;
+            # measured +2.6% there with the auto-shrunk sample).
+            int(os.environ.get("VROD_THETA0_MINK", "24")))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
         vals, idx = fn(self.x, self.aux, valid, q)
