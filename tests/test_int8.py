@@ -194,3 +194,27 @@ def test_int8_snapshot_roundtrip_bit_exact(tmp_path, rng):
     np.testing.assert_array_equal(x_before[orig_slots], x_after)
     np.testing.assert_array_equal(aux_before[orig_slots], aux_after)
     col.close()
+
+
+def test_int8_small_k_floor_engine_bit_identical(rng):
+    """The small-k int8 sampled floor (k_scan in [24, 64), rows/32 sample)
+    must not change results: engine pallas path with the floor active vs
+    the scan oracle, interpreted on CPU."""
+    import os
+    cfg = CollectionConfig(name="skf", dim=16, metric="cosine",
+                           dtype="int8", segment_rows=32768, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 32768
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 11))
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    # k=16 -> k_out 16, int8 margin 12 -> k_scan 28 >= MINK 24;
+    # n_sample = 8192 (rows/32 rounded to one 8192 pre-pass block).
+    vp, ip = eng.search(q, k=16, impl="pallas")
+    vs, is_ = eng.search(q, k=16, impl="scan")
+    np.testing.assert_array_equal(ip, is_)
+    np.testing.assert_allclose(vp, vs, rtol=1e-6)
+    # And the floor really was eligible (guard against silently-dead gate):
+    assert os.environ.get("VROD_THETA0", "1") != "0"
