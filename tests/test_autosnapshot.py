@@ -32,6 +32,31 @@ def test_auto_snapshot_triggers_and_truncates(tmp_db, rng):
     assert col.count == 8 * 64
 
 
+def test_auto_snapshot_trigger_during_running_snapshot_not_lost(tmp_db, rng):
+    """A budget crossing that lands while a maintenance worker is alive
+    must not be dropped: the worker re-checks before exiting (regression —
+    the WAL used to sit above budget until the NEXT mutation)."""
+    col = tmp_db.create_collection(
+        "slow", dim=32, segment_rows=64, auto_snapshot_wal_bytes=8 * 1024)
+    real = col._snapshot_impl
+
+    def slow_snapshot():
+        real()
+        time.sleep(0.8)  # stay alive after the work: the drop window
+
+    col._snapshot_impl = slow_snapshot
+    vecs = rng.standard_normal((64, 32)).astype(np.float32)
+    col.bulk_insert(vecs)  # crosses budget -> spawns slow worker
+    time.sleep(0.3)  # let the first snapshot finish; worker still alive
+    t = col._autosnap_thread
+    assert t is not None and t.is_alive()
+    col.bulk_insert(vecs)  # crosses again AFTER the snapshot's cut
+    # No further mutations: the worker's exit re-check must cover it.
+    assert _wait_for(lambda: col.wal.valid_size < 8 * 1024), \
+        f"trigger dropped: WAL stuck at {col.wal.valid_size}"
+    assert col.count == 128
+
+
 def test_auto_snapshot_restore_consistent(tmp_path, rng):
     from vrod_tpu.database import Database
     db = Database.new(tmp_path, "adb")

@@ -80,6 +80,7 @@ class Collection:
         # Auto-snapshot policy state (config.auto_snapshot_wal_bytes).
         self._autosnap_lock = threading.Lock()
         self._autosnap_thread: threading.Thread | None = None
+        self._autosnap_pending = False  # budget crossed while worker alive
         # Filter-mask cache: repeated searches with the same id filter reuse
         # the device mask. Entries are stamped with the mutation generation
         # (id->slot bindings are stable within one generation), so any
@@ -280,22 +281,43 @@ class Collection:
             return
         with self._autosnap_lock:
             t = self._autosnap_thread
-            if (t is not None and t.is_alive()) or self._maint.locked():
-                return  # one maintenance op at a time
+            if t is not None and t.is_alive():
+                # A maintenance op is in flight. Mark the crossing so the
+                # worker re-evaluates before exiting — otherwise this
+                # trigger is lost and an idle collection sits above budget
+                # until the next mutation.
+                self._autosnap_pending = True
+                return
+            if self._maint.locked():
+                return  # manual snapshot/reindex in flight does the work
+            self._autosnap_pending = False
 
             def run():
                 try:
                     with self._maint:
-                        # Re-check AFTER acquiring the maintenance lock: a
-                        # snapshot/reindex that was mid-flight at trigger
-                        # time may already have done the work.
-                        if self._fragmented():
-                            self._reindex_impl()
-                            metrics.counters.inc(
-                                "collection.auto_compactions")
-                        elif budget > 0 and self.wal.valid_size >= budget:
-                            self._snapshot_impl()
-                            metrics.counters.inc("collection.auto_snapshots")
+                        # Loop until no budget is crossed: each pass either
+                        # truncates the WAL below budget or reclaims the
+                        # fragmented capacity, so the loop is bounded by
+                        # actual work. The pending flag (checked under the
+                        # trigger lock before exit) closes the race where a
+                        # mutation crosses a budget between this worker's
+                        # last check and its exit.
+                        while True:
+                            if self._fragmented():
+                                self._reindex_impl()
+                                metrics.counters.inc(
+                                    "collection.auto_compactions")
+                            elif (budget > 0
+                                    and self.wal.valid_size >= budget):
+                                self._snapshot_impl()
+                                metrics.counters.inc(
+                                    "collection.auto_snapshots")
+                            else:
+                                with self._autosnap_lock:
+                                    if not self._autosnap_pending:
+                                        self._autosnap_thread = None
+                                        return
+                                    self._autosnap_pending = False
                 except Exception as e:
                     metrics.counters.inc("collection.auto_snapshot_failures")
                     import warnings
