@@ -92,11 +92,14 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     # Dispatch all batches asynchronously, sync once on the last result:
     # the device queue is FIFO, so materializing the final batch bounds the
     # whole pipeline without paying one interconnect round trip per batch.
-    # Best of two loops: the dev tunnel occasionally stalls ~450 ms
-    # mid-loop (docs/performance.md), which would understate the steady
-    # state in a single capture.
+    # The loop's single ~25 ms tunnel readback is amortized over `iters`
+    # batches — at the headline's ~4.8 ms batch latency, 40 iters
+    # understated QPS by ~11% (measured 48.2k vs 53.4k at 120; 54.9k at
+    # 240), hence the long default loop. Best of three loops: the dev
+    # tunnel occasionally stalls ~450 ms mid-loop (docs/performance.md),
+    # which would understate the steady state in a single capture.
     dt = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         for i in range(iters):
             vals_d, idx_d = eng.search(q, k, as_numpy=False,
@@ -281,7 +284,9 @@ def main():
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.
         n_rows = args.rows or (131072 if args.quick else 1_000_000)
-        iters = args.iters or (3 if args.quick else 10)
+        # Small batches need long loops: the loop's one ~25 ms sync
+        # readback would otherwise dominate a 10-iter batch-1 point.
+        iters = args.iters or (3 if args.quick else 60)
         curve = {}
         for b in (1, 16, 64, 256, 1024):
             qps, lat, recall, _ = tpu_qps(n_rows, 768, b, 100, iters,
@@ -338,8 +343,9 @@ def main():
         return
 
     n_rows = args.rows or (131072 if args.quick else 1_000_000)
-    # Enough pipelined batches to amortize per-dispatch overhead.
-    iters = args.iters or (5 if args.quick else 40)
+    # Enough pipelined batches to amortize per-dispatch overhead AND the
+    # loop's one ~25 ms sync readback (240 x 4.8 ms -> ~2% overhead).
+    iters = args.iters or (5 if args.quick else 240)
     dim, batch, k = args.dim, args.batch, args.k
 
     qps, lat, recall, pcts = tpu_qps(n_rows, dim, batch, k, iters,
