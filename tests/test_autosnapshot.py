@@ -178,6 +178,25 @@ def test_auto_compact_reclaims_capacity(tmp_db, rng):
     assert hits[0].record_id == int(rids[3])
 
 
+def test_manual_snapshot_reevaluates_budgets_after_release(tmp_db, rng):
+    """A compaction budget crossed while a manual op held the maintenance
+    lock used to be dropped (the trigger saw the lock and returned, and a
+    snapshot does NOT compact): manual ops re-evaluate after release."""
+    col = tmp_db.create_collection(
+        "mre", dim=16, segment_rows=64, auto_compact_fraction=0.25)
+    rids = col.bulk_insert(rng.standard_normal((512, 16)).astype(np.float32))
+    # Suppress the delete path's own trigger to isolate the manual-op one.
+    col._closing = True
+    col.delete_many(rids[30:])
+    time.sleep(0.2)
+    assert col.engine.capacity > 64  # nothing fired while suppressed
+    col._closing = False
+    col.snapshot()  # trailing re-check must fire the compaction
+    assert _wait_for(lambda: col.engine.capacity == 64), \
+        f"capacity stayed {col.engine.capacity}"
+    assert col.count == 30
+
+
 def test_auto_compact_disabled_by_default(tmp_db, rng):
     col = tmp_db.create_collection("nc", dim=16, segment_rows=64)
     rids = col.bulk_insert(rng.standard_normal((512, 16)).astype(np.float32))

@@ -81,6 +81,7 @@ class Collection:
         self._autosnap_lock = threading.Lock()
         self._autosnap_thread: threading.Thread | None = None
         self._autosnap_pending = False  # budget crossed while worker alive
+        self._closing = False
         # Filter-mask cache: repeated searches with the same id filter reuse
         # the device mask. Entries are stamped with the mutation generation
         # (id->slot bindings are stable within one generation), so any
@@ -127,6 +128,7 @@ class Collection:
         # Let an in-flight auto-snapshot finish (its WAL truncate needs the
         # fd); a snapshot that races past this join fails cleanly and is
         # counted in collection.auto_snapshot_failures.
+        self._closing = True  # no new maintenance workers from here on
         t = self._autosnap_thread
         if t is not None and t.is_alive():
             t.join(timeout=300)
@@ -275,6 +277,8 @@ class Collection:
             # collectively (and snapshot/reindex fail fast there anyway).
             return
         budget = self.config.auto_snapshot_wal_bytes
+        if self._closing:
+            return
         want_snap = budget > 0 and self.wal.valid_size >= budget
         want_compact = self._fragmented()
         if not (want_snap or want_compact):
@@ -315,9 +319,21 @@ class Collection:
                             else:
                                 with self._autosnap_lock:
                                     if not self._autosnap_pending:
-                                        self._autosnap_thread = None
-                                        return
+                                        break
                                     self._autosnap_pending = False
+                    # _maint is released. A trigger that landed during the
+                    # unwind saw this thread alive and marked pending —
+                    # hand off by re-evaluating with the thread slot
+                    # cleared (a fresh worker spawns if work remains).
+                    # Deliberately NOT in a finally: after a failed
+                    # snapshot, retrying immediately would spin; the
+                    # failure path keeps the retry-on-next-mutation
+                    # contract.
+                    with self._autosnap_lock:
+                        self._autosnap_thread = None
+                        pending = self._autosnap_pending
+                    if pending:
+                        self._maybe_auto_snapshot()
                 except Exception as e:
                     metrics.counters.inc("collection.auto_snapshot_failures")
                     import warnings
@@ -618,7 +634,11 @@ class Collection:
         allocator — then reclaim empty tail capacity and snapshot. Returns
         the number of rows moved."""
         with self._maint:
-            return self._reindex_impl()
+            moved = self._reindex_impl()
+        # A budget crossed while this op held _maint was not acted on
+        # (the trigger saw the lock and returned): re-evaluate now.
+        self._maybe_auto_snapshot()
+        return moved
 
     def _reindex_impl(self) -> int:
         self._check_single_process("reindex")
@@ -658,6 +678,7 @@ class Collection:
         restart)."""
         with self._maint:
             self._snapshot_impl()
+        self._maybe_auto_snapshot()  # see reindex(): dropped-trigger race
 
     # -- persistence -------------------------------------------------------
 
@@ -678,7 +699,12 @@ class Collection:
         tail re-establishes exactness on restore, because replay is
         idempotent and ordered."""
         with self._maint:
-            return self._snapshot_impl()
+            p = self._snapshot_impl()
+        # A compaction budget crossed during this snapshot was deferred
+        # (the trigger saw _maint held); a snapshot does NOT compact, so
+        # re-evaluate rather than assume the work is done.
+        self._maybe_auto_snapshot()
+        return p
 
     def _snapshot_impl(self) -> Path:
         self._check_single_process("snapshot")

@@ -316,7 +316,11 @@ class Database:
             if eff is None:
                 continue
             kind, rids = eff
-            rids = np.ascontiguousarray(rids, dtype=np.uint64).ravel()
+            # COPY, not a view: decode_effect returns np.frombuffer views
+            # whose .base is the ENTIRE frame — keeping the view would pin
+            # every BULK frame's vectors+payloads in RAM for the whole
+            # replay (~GBs at 1M+ rows) instead of ~8 B/id.
+            rids = np.array(rids, dtype=np.uint64, copy=True).ravel()
             id_chunks.append(rids)
             kind_chunks.append(
                 np.full(rids.size, kind == "insert", dtype=np.bool_))

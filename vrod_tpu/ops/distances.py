@@ -145,19 +145,11 @@ def sampled_threshold(x, aux, valid, q, *, k: int, metric: str, precision,
     s = block_scores(q, x[:n_sample], aux[:n_sample], valid[:n_sample],
                      metric=metric, precision=precision)
     sub = jnp.max(s.reshape(b, n_sample // sub_rows, sub_rows), axis=2)
-    if method != "topk":
-        # "minmax": reduction-only (no sort). Partition the sub-maxes
-        # into k groups and take min over per-group maxes: each group max
-        # is a true element and there are k of them >= the min — sound,
-        # slightly looser than the exact k-th, but top_k-free.
-        nsub = sub.shape[1]
-        g = nsub // k
-        kth = jnp.min(
-            jnp.max(sub[:, :g * k].reshape(b, k, g), axis=2),
-            axis=1, keepdims=True)
-        t0 = kth - (jnp.abs(kth) * 2e-3 + 1e-20)
-        return jnp.where(jnp.isfinite(t0), t0, NEG_INF).astype(jnp.float32)
-    return threshold_from_submax(sub, k)
+    # One margin formula for every method: the duplicate minmax branch
+    # that lived here carried a |kth|-relative-only margin, unsound when
+    # the k-th score is near zero (see threshold_from_submax's note).
+    return threshold_from_submax(
+        sub, k, method="minmax" if method != "topk" else "topk")
 
 
 def accumulation_margin(q, aux, valid, *, metric: str, dim: int,
