@@ -18,6 +18,22 @@ from ._native.build import load_native
 NO_ID = 2**64 - 1
 
 
+def _check_full_plan(live_count, live_slots, src, dst):
+    """apply_compaction is all-or-nothing: the plan must relocate EVERY
+    live slot beyond the packed tail (live_count) into [0, live_count).
+    Applying a partial plan would strand live rows above the reset tail,
+    where live_slots()/acquire no longer see them — silent data loss at
+    the next snapshot. Validated here, BEFORE any binding moves."""
+    src = np.asarray(src, dtype=np.uint64).ravel()
+    dst = np.asarray(dst, dtype=np.uint64).ravel()
+    high = live_slots[live_slots >= live_count]
+    if (not np.array_equal(np.sort(src), np.sort(high))
+            or (dst >= live_count).any()):
+        raise ValueError(
+            "Compaction plan must be applied whole: src must cover exactly "
+            "the live slots beyond the packed tail, dst must lie within it")
+
+
 class _NativeAllocator:
     def __init__(self, capacity: int):
         self._lib = load_native()
@@ -126,9 +142,13 @@ class _NativeAllocator:
         return out[:n]
 
     def plan_compaction(self) -> tuple[np.ndarray, np.ndarray]:
-        cap = self.capacity
-        src = np.empty(cap, dtype=np.uint64)
-        dst = np.empty(cap, dtype=np.uint64)
+        # Moves are bounded by min(live, tail - live): only live slots
+        # beyond the packed tail move, and each needs a hole below it —
+        # capacity-sized scratch would transiently cost ~160 MB at 10M.
+        live = self.live_count
+        bound = min(live, max(self.high_water - live, 0))
+        src = np.empty(bound, dtype=np.uint64)
+        dst = np.empty(bound, dtype=np.uint64)
         n = self._lib.vrod_alloc_plan_compaction(
             self._h,
             src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -136,6 +156,7 @@ class _NativeAllocator:
         return src[:n].copy(), dst[:n].copy()
 
     def apply_compaction(self, src: np.ndarray, dst: np.ndarray) -> None:
+        _check_full_plan(self.live_count, self.live_slots(), src, dst)
         src, sp = self._u64buf(src)
         dst, dp = self._u64buf(dst)
         if self._lib.vrod_alloc_apply_compaction(self._h, src.size, sp, dp) != 0:
@@ -251,6 +272,7 @@ class _PyAllocator:
         return np.array(src, dtype=np.uint64), np.array(dst, dtype=np.uint64)
 
     def apply_compaction(self, src: np.ndarray, dst: np.ndarray) -> None:
+        _check_full_plan(self.live_count, self.live_slots(), src, dst)
         for s, d in zip(src.tolist(), dst.tolist()):
             rid = self._slot_to_id.get(int(s))
             if rid is None or int(d) in self._slot_to_id:

@@ -111,8 +111,14 @@ def _block_dot(q, x_blk, precision):
     """Query-tile x row-block scores on the MXU; int8 collections use the
     integer MXU path (s8 x s8 -> s32)."""
     if x_blk.dtype == jnp.int8:
+        if q.dtype != jnp.int8:
+            # A float query truncated via astype would score garbage with
+            # valid-looking shapes — exactness is a contract, so refuse:
+            # callers must quantize the query (engine.quantize_q) first.
+            raise TypeError(
+                f"int8 rows require an int8-quantized query, got {q.dtype}")
         return lax.dot_general(
-            q.astype(jnp.int8), x_blk,
+            q, x_blk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32)
     return lax.dot_general(

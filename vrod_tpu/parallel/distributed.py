@@ -52,8 +52,18 @@ def initialize(coordinator: str | None = None,
         num_processes = int(os.environ["VROD_NUM_PROCESSES"])
     if process_id is None and "VROD_PROCESS_ID" in os.environ:
         process_id = int(os.environ["VROD_PROCESS_ID"])
-    if coordinator is None and num_processes is None:
+    if coordinator is None and num_processes is None and process_id is None:
         return  # single-host
+    if coordinator is None or num_processes is None or process_id is None:
+        # A half-configured launch (e.g. VROD_PROCESS_ID exported but the
+        # coordinator var typo'd) must not silently serve as an
+        # independent single-host node: that process would own its own
+        # WAL and fork durable truth from the group it meant to join.
+        raise RuntimeError(
+            "Incomplete multi-host configuration: VROD_COORDINATOR, "
+            "VROD_NUM_PROCESSES and VROD_PROCESS_ID must all be set "
+            f"(got coordinator={coordinator!r}, "
+            f"num_processes={num_processes!r}, process_id={process_id!r})")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

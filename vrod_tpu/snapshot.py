@@ -136,12 +136,14 @@ class PayloadStreamWriter:
 
     def write_many(self, payloads) -> None:
         parts = []
-        for p in payloads:
+        n = 0  # count in-loop: len() after consuming would raise on a
+        for p in payloads:  # generator AFTER its bytes were written
             pb = p.encode("utf-8")
             parts.append(struct.pack("<I", len(pb)))
             parts.append(pb)
+            n += 1
         self._w.write(b"".join(parts))
-        self._written += len(payloads)
+        self._written += n
 
     def close(self) -> int:
         if self._written != self._count:

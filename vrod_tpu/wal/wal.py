@@ -236,11 +236,8 @@ class _PyWal:
         saved_next = self._next_lsn
         self._f.close()
         os.replace(tmp, self.path)
-        dfd = os.open(str(self.path.parent), os.O_RDONLY)
-        try:
-            os.fsync(dfd)
-        finally:
-            os.close(dfd)
+        from ..snapshot import fsync_path  # one shared fsync idiom
+        fsync_path(self.path.parent)
         self._f = open(self.path, "r+b")
         self._scan()
         self._next_lsn = max(self._next_lsn, saved_next)
