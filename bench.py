@@ -278,8 +278,11 @@ def main():
                     help="override rescore candidate margin (k_scan = k_out + margin)")
     args = ap.parse_args()
     if args.dtype is None:
-        args.dtype = ("bfloat16" if args.metric == "l2" and args.dim > 1040
-                      else "int8")
+        # l2 defaults to bf16: int8+l2 is supported for capacity (exact,
+        # via the scan path — the fused kernel has no int8+l2 epilogue)
+        # but runs ~14x slower (3.1k vs ~44k QPS at 1M x 768 measured),
+        # so it must be an explicit opt-in, not a silent default.
+        args.dtype = "bfloat16" if args.metric == "l2" else "int8"
 
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.

@@ -45,6 +45,30 @@ def test_update(tmp_path, rng):
         col.update(999, v2, "nope")
 
 
+def test_out_of_range_ids_rejected(tmp_path, rng):
+    """ids outside (0, 2**64-1) must fail cleanly BEFORE the ctypes
+    boundary, where c_uint64 masks 2**64 -> 0 (aliasing another record),
+    and before numpy raises a raw OverflowError on the bulk path."""
+    col = new_col(tmp_path)
+    v = rng.standard_normal(16).astype(np.float32)
+    rid = col.insert(v, "hello")
+    for bad in (0, -1, 2**64, 2**64 - 1, rid + 2**64, "xyzzy"):
+        with pytest.raises(RecordNotFoundError):
+            col.get(bad)
+        with pytest.raises(RecordNotFoundError):
+            col.delete(bad)
+        with pytest.raises(RecordNotFoundError):
+            col.update(bad, v, "nope")
+    # bulk paths: a clean ValueError, never OverflowError / wraparound
+    with pytest.raises(ValueError):
+        col.delete_many([rid, 2**64])
+    with pytest.raises(ValueError):
+        col.search_similar(v, k=1, within_ids=[2**70])
+    # the valid record is untouched by all of the above
+    assert col.count == 1
+    assert col.get(rid).payload == "hello"
+
+
 def test_dim_check(tmp_path, rng):
     col = new_col(tmp_path)
     with pytest.raises(DimensionMismatchError):

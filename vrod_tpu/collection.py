@@ -41,6 +41,29 @@ from .utils.locks import RWLock
 from .wal import GroupCommit, Wal, ops
 
 
+def _valid_id(rid) -> bool:
+    """ids are assigned from ``next_id`` starting at 1; anything outside
+    (0, NO_ID) cannot exist — and MUST be rejected before the native
+    ctypes boundary, where ``c_uint64`` silently masks out-of-range
+    Python ints (``c_uint64(2**64).value == 0`` would alias record 0)."""
+    try:
+        rid = int(rid)
+    except (TypeError, ValueError):
+        return False
+    return 0 < rid < NO_ID
+
+
+def _as_id_array(record_ids) -> np.ndarray:
+    """Convert user-supplied ids to a flat uint64 array, rejecting values
+    numpy would wrap (negatives) or refuse mid-conversion (>= 2**64) with
+    the frontend's error contract instead of a raw OverflowError."""
+    try:
+        rids = np.asarray(record_ids, dtype=np.uint64).reshape(-1)
+    except (OverflowError, ValueError) as e:
+        raise ValueError(f"record ids must be integers in [1, 2**64-2]: {e}")
+    return rids
+
+
 class SearchHit:
     __slots__ = ("record_id", "score", "payload")
 
@@ -435,7 +458,8 @@ class Collection:
 
     def delete(self, record_id: int) -> None:
         with self._rw.write():
-            if self.alloc.slot_of(record_id) == NO_ID:
+            if not _valid_id(record_id) \
+                    or self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
             lsn = self._log_and_apply(ops.DeleteOp(record_id),
                                       lambda: self._apply_delete(record_id))
@@ -445,7 +469,7 @@ class Collection:
     def delete_many(self, record_ids) -> int:
         """Bulk DELETE: one WAL frame, one device scatter. Unknown ids are
         skipped; returns the number actually deleted."""
-        rids = np.asarray(record_ids, dtype=np.uint64).reshape(-1)
+        rids = _as_id_array(record_ids)
         with self._rw.write():
             # Dedupe (stable): a duplicated id must not be counted twice
             # or release a slot that a same-batch duplicate already freed.
@@ -500,7 +524,8 @@ class Collection:
         (reference: UpdateCommand stub, types.rs:82-93)."""
         vecs = self._check_one(vector)
         with self._rw.write():
-            if self.alloc.slot_of(record_id) == NO_ID:
+            if not _valid_id(record_id) \
+                    or self.alloc.slot_of(record_id) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
             lsn = self._log_and_apply(
                 ops.UpdateOp(record_id, vecs[0], payload),
@@ -534,7 +559,8 @@ class Collection:
     def get(self, record_id: int) -> Record:
         """Exact lookup (the reference's SEARCH verb, types.rs:108-119)."""
         with self._rw.read():
-            slot = self.alloc.slot_of(record_id)
+            slot = (self.alloc.slot_of(record_id) if _valid_id(record_id)
+                    else NO_ID)
             if slot == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
             vec = self.engine.gather(np.array([slot]))[0]
@@ -567,9 +593,8 @@ class Collection:
                            shards=self.engine.shards):
             with self._rw.read():
                 if within_ids is not None or exclude_ids is not None:
-                    ids = np.asarray(
-                        within_ids if within_ids is not None else exclude_ids,
-                        dtype=np.uint64).reshape(-1)
+                    ids = _as_id_array(
+                        within_ids if within_ids is not None else exclude_ids)
                     mode = "within" if within_ids is not None else "exclude"
                     search_kw["filter_mask"] = self._filter_mask(mode, ids)
                 vals, slots = self.engine.search(q, k, **search_kw)
