@@ -70,6 +70,10 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
         eng.x, eng.aux, eng.valid = fill(
             eng.x, eng.aux, eng.valid, start,
             rows_n=min(fill_chunk, n_rows - start))
+    # Direct array fill bypasses engine.write: int8+l2's |x_hat|^2 lane
+    # must be rebuilt or the fused kernel scores garbage (caught by the
+    # recall probe below at 0.195 when this was missing).
+    eng.rebuild_norms()
     jax.block_until_ready(eng.x)
 
     rng = np.random.default_rng(42)
@@ -278,11 +282,10 @@ def main():
                     help="override rescore candidate margin (k_scan = k_out + margin)")
     args = ap.parse_args()
     if args.dtype is None:
-        # l2 defaults to bf16: int8+l2 is supported for capacity (exact,
-        # via the scan path — the fused kernel has no int8+l2 epilogue)
-        # but runs ~14x slower (3.1k vs ~44k QPS at 1M x 768 measured),
-        # so it must be an explicit opt-in, not a silent default.
-        args.dtype = "bfloat16" if args.metric == "l2" else "int8"
+        # int8 everywhere: the fused kernel's int8+l2 epilogue (per-query
+        # quant scale + |x_hat|^2 mask bias) measured 54.6k QPS recall 1.0
+        # at 1M x 768 — ahead of bf16 l2 (46.3k) with 2x capacity.
+        args.dtype = "int8"
 
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.

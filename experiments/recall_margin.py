@@ -66,6 +66,7 @@ def main():
         eng.x, eng.aux, eng.valid = fill(
             eng.x, eng.aux, eng.valid, start=start,
             rows_n=min(chunk, args.rows - start))
+    eng.rebuild_norms()  # direct fill bypasses write(); int8+l2 needs this
     jax.block_until_ready(eng.x)
 
     rng = np.random.default_rng(123)

@@ -133,18 +133,116 @@ def test_int8_l2_dim_cap():
     CollectionConfig(name="ok", dim=1024, metric="l2", dtype="int8")
 
 
-def test_int8_l2_pallas_path_refuses():
-    """The fused kernel has no |x_hat|^2 epilogue for int8; a direct call
-    must refuse loudly (the engine routes int8+l2 to the scan path)."""
+def test_int8_l2_pallas_requires_extras():
+    """The fused int8+l2 kernel needs row_bias (-|x_hat|^2) and the
+    per-query quant scale; a direct call without them must refuse loudly
+    rather than score garbage."""
     import jax.numpy as jnp
     from vrod_tpu.ops import pallas_topk
     x = jnp.zeros((64, 16), jnp.int8)
     aux = jnp.ones((64,), jnp.float32)
     valid = jnp.ones((64,), bool)
-    q = jnp.ones((8, 16), jnp.float32)
-    with pytest.raises(NotImplementedError, match="scan path"):
+    q = jnp.ones((8, 16), jnp.int8)
+    with pytest.raises(ValueError, match="row_bias"):
         pallas_topk.fused_topk(x, aux, valid, q, k=2, metric="l2",
                                interpret=True)
+
+
+@pytest.mark.parametrize("dim", [16, 128])
+def test_int8_l2_pallas_matches_scan(rng, dim):
+    """int8+l2 on the FUSED kernel (interpreted): per-query quant scale in
+    the epilogue + |x_hat|^2 riding the mask stream must reproduce the scan
+    path exactly after the rescore (both paths rescore with the full f32
+    query against the dequantized rows)."""
+    cfg = CollectionConfig(name=f"l2p{dim}", dim=dim, metric="l2",
+                           dtype="int8", segment_rows=256, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 1024
+    vecs = (rng.standard_normal((n, dim)) * 2).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 9))
+    q = (rng.standard_normal((8, dim)) * 3).astype(np.float32)
+    vs, is_ = eng.search(q, k=10, impl="scan")
+    vp, ip = eng.search(q, k=10, impl="pallas")
+    np.testing.assert_allclose(vs, vp, rtol=1e-6)
+    np.testing.assert_array_equal(is_, ip)
+    # and against the f64 dequant oracle
+    oi, ov = brute_force_on_dequant(eng, q, 10, "l2")
+    for b in range(8):
+        np.testing.assert_allclose(vp[b], ov[b], rtol=1e-4, atol=1e-4)
+
+
+def test_int8_l2_norms_lane_tracks_mutations(tmp_path, rng):
+    """The |x_hat|^2 lane is derivable state the engine maintains through
+    insert / delete / update / compaction+shrink / snapshot-restore; the
+    fused path must stay oracle-exact through the whole lifecycle."""
+    from vrod_tpu.collection import Collection
+    cfg = CollectionConfig(name="l2n", dim=16, metric="l2", dtype="int8",
+                           segment_rows=64)
+    col = Collection.create(tmp_path / "l2n", cfg)
+    vecs = (rng.standard_normal((200, 16)) * 2).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(200)])
+    col.delete_many(rids[::3])
+    col.update(int(rids[1]), vecs[0] * 5.0, "moved")
+    col.reindex()  # compaction moves + capacity shrink
+    col.snapshot()
+    col.close()
+    col = Collection.load(tmp_path / "l2n")
+    eng = col.engine
+    q = (rng.standard_normal((4, 16)) * 3).astype(np.float32)
+    vs, is_ = eng.search(q, k=8, impl="scan")
+    vp, ip = eng.search(q, k=8, impl="pallas")
+    np.testing.assert_allclose(vs, vp, rtol=1e-6)
+    np.testing.assert_array_equal(is_, ip)
+    oi, ov = brute_force_on_dequant(eng, q, 8, "l2")
+    for b in range(4):
+        np.testing.assert_allclose(vp[b], ov[b], rtol=1e-4, atol=1e-4)
+    col.close()
+
+
+def test_int8_l2_rebuild_norms_after_direct_fill(rng):
+    """Harnesses that write eng.x/eng.aux directly (bench fills on-device)
+    bypass write()'s norms maintenance; rebuild_norms() must restore the
+    fused path to scan-exact. (The missing call measured recall 0.195 on
+    hardware — this is its regression test.)"""
+    import jax.numpy as jnp
+    cfg = CollectionConfig(name="rbn", dim=16, metric="l2", dtype="int8",
+                           segment_rows=256, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 256
+    vecs = (rng.standard_normal((n, 16)) * 2).astype(np.float32)
+    from vrod_tpu.ops import distances as D
+    rows, auxv = D.prepare_rows(jnp.asarray(vecs), metric="l2", dtype=jnp.int8)
+    eng.x = eng.x.at[:n].set(rows)
+    eng.aux = eng.aux.at[:n].set(auxv)
+    eng.valid = eng.valid.at[:n].set(True)
+    eng.rebuild_norms()
+    q = (rng.standard_normal((4, 16)) * 3).astype(np.float32)
+    vs, is_ = eng.search(q, k=8, impl="scan")
+    vp, ip = eng.search(q, k=8, impl="pallas")
+    np.testing.assert_allclose(vs, vp, rtol=1e-6)
+    np.testing.assert_array_equal(is_, ip)
+
+
+def test_int8_l2_sharded_pallas_matches_single(rng):
+    """The norms lane shards with the rows; the 8-shard fused program must
+    agree with the single-shard one."""
+    cfg1 = CollectionConfig(name="lp1", dim=16, metric="l2", dtype="int8",
+                            segment_rows=64, shards=1)
+    cfg8 = CollectionConfig(name="lp8", dim=16, metric="l2", dtype="int8",
+                            segment_rows=64, shards=8)
+    e1, e8 = DeviceEngine(cfg1), DeviceEngine(cfg8)
+    n = 512
+    vecs = (rng.standard_normal((n, 16)) * 2).astype(np.float32)
+    for e in (e1, e8):
+        e.ensure_capacity(n)
+        e.write(np.arange(n, dtype=np.uint64), vecs)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    v1, i1 = e1.search(q, k=5, impl="pallas")
+    v8, i8 = e8.search(q, k=5, impl="pallas")
+    np.testing.assert_allclose(v1, v8, rtol=1e-6)
+    np.testing.assert_array_equal(i1, i8)
 
 
 def test_int8_collection_durability_roundtrip(tmp_path, rng):

@@ -4,8 +4,13 @@ A collection's device state is three arrays, row-sharded over the mesh
 (single-chip = 1-device mesh, so there is exactly one code path):
 
   x     (capacity, dim)  collection dtype — the embedding rows
-  aux   (capacity,) f32  — 1/|x| (cosine) or |x|^2 (l2); 0 for dot
+  aux   (capacity,) f32  — 1/|x| (cosine) or |x|^2 (l2/dot); int8: the
+                           per-row dequant scale
   valid (capacity,) bool — live bitmap (free-list holes & deletes are False)
+  norms (capacity,) f32  — int8+l2 only: |x_hat|^2 for the fused kernel's
+                           epilogue bias. DERIVABLE from x+aux (the scan and
+                           rescore paths reconstruct it on the fly), so it
+                           is never snapshotted — restore recomputes it.
 
 Capacity grows in whole segments so shapes stay static between growth events
 (one recompile per growth). Mutations are jit-compiled scatters with donated
@@ -75,11 +80,44 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
 
     # int8 collections scan with a quantized query on the integer MXU
     # (per-query scale is rank-invariant and dropped); the exact-precision
-    # scan path and the rescore keep the full f32 query. NOT for l2: the
-    # query scale multiplies only the cross term of 2*q.x_hat - |x_hat|^2,
-    # so dropping it would reorder candidates.
+    # scan path and the rescore keep the full f32 query. l2 is special:
+    # the query scale multiplies only the cross term of 2*q.x_hat -
+    # |x_hat|^2, so it cannot be dropped — the fused kernel takes it as a
+    # per-query input (with the |x_hat|^2 lane riding the mask stream),
+    # while the scan path keeps the full f32 query.
+    use_norms = dtype_name == "int8" and metric == "l2"
+    l2_qs = use_norms and impl == "pallas"
     quantize_q = dtype_name == "int8" and metric != "l2" and (
         impl == "pallas" or precision_name != "exact")
+
+    def merge_shards(vals, idx):
+        # (S, B, k) on every shard; merge locally => replicated result.
+        vals_g = lax.all_gather(vals, ROWS_AXIS)
+        idx_g = lax.all_gather(idx, ROWS_AXIS)
+        cand_v = jnp.moveaxis(vals_g, 0, 1).reshape(B, shards * k_scan)
+        cand_i = jnp.moveaxis(idx_g, 0, 1).reshape(B, shards * k_scan)
+        vals, pos = lax.top_k(cand_v, k_scan)
+        return vals, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    def local_topk_n(x_l, aux_l, norms_l, valid_l, q, qs):
+        # int8+l2: the sampled floor stays off (the submax pre-pass has no
+        # qs/bias plumbing yet); norms_l = |x_hat|^2 feeds the kernel's
+        # additive bias, qs the per-query quant scale.
+        offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
+        if impl == "pallas":
+            vals, idx = pallas_topk.fused_topk(
+                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
+                block_rows=block_rows, index_offset=offset,
+                precision_name=precision_name, interpret=interpret,
+                row_bias=-norms_l, q_scale=qs)
+        else:
+            vals, idx = D.blockwise_topk(
+                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
+                precision=precision, block_rows=block_rows, nblocks=nblocks,
+                index_offset=offset)
+        if shards > 1:
+            vals, idx = merge_shards(vals, idx)
+        return vals, idx
 
     def local_topk(x_l, aux_l, valid_l, q):
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
@@ -142,14 +180,37 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 precision=precision, block_rows=block_rows, nblocks=nblocks,
                 index_offset=offset)
         if shards > 1:
-            # (S, B, k) on every shard; merge locally => replicated result.
-            vals_g = lax.all_gather(vals, ROWS_AXIS)
-            idx_g = lax.all_gather(idx, ROWS_AXIS)
-            cand_v = jnp.moveaxis(vals_g, 0, 1).reshape(B, shards * k_scan)
-            cand_i = jnp.moveaxis(idx_g, 0, 1).reshape(B, shards * k_scan)
-            vals, pos = lax.top_k(cand_v, k_scan)
-            idx = jnp.take_along_axis(cand_i, pos, axis=1)
+            vals, idx = merge_shards(vals, idx)
         return vals, idx
+
+    if use_norms:
+        sm = jax.shard_map(
+            local_topk_n,
+            mesh=mesh,
+            in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS), P(ROWS_AXIS),
+                      P(ROWS_AXIS), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+
+        def search(x, aux, norms, valid, q):
+            qp = D.prepare_queries(q, metric=metric)
+            if l2_qs:
+                q_scan, qs = D.prepare_queries(
+                    q, metric=metric, quantize=True, return_scale=True)
+            else:  # scan impl: full f32 query, qs unused
+                q_scan = qp
+                qs = jnp.ones((qp.shape[0], 1), jnp.float32)
+            vals, idx = sm(x, aux, norms, valid, q_scan, qs)
+            if do_rescore:
+                vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out,
+                                      metric=metric)
+            else:
+                vals, idx = vals[:, :k_out], idx[:, :k_out]
+            vals = D.finalize_scores(vals, q, metric=metric)
+            return vals, idx
+
+        return jax.jit(search)
 
     sm = jax.shard_map(
         local_topk,
@@ -218,6 +279,56 @@ def _erase_rows(valid, slots):
     return valid.at[slots].set(False, mode="drop")
 
 
+# int8+l2 engines carry a 4th array, norms (capacity,) f32 = |x_hat|^2 per
+# row: the fused kernel streams it as the additive mask bias (the scan path
+# and the rescore reconstruct it from rows+aux on the fly, so it is
+# DERIVABLE state — never snapshotted; restore recomputes it below). The
+# stored value is (aux*aux) * sum(row^2): sum(row^2) <= dim*127^2 < 2^24 is
+# exact in f32 and the multiply order matches distances.rescore bit-for-bit.
+def _row_norms2(rows, auxv):
+    n2 = jnp.sum(rows.astype(jnp.float32) ** 2, axis=1)
+    return n2 * (auxv.astype(jnp.float32) * auxv.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("metric",))
+def _write_rows_n(x, aux, norms, valid, slots, vecs, *, metric):
+    rows, auxv = D.prepare_rows(vecs, metric=metric, dtype=x.dtype)
+    x = x.at[slots].set(rows, mode="drop")
+    aux = aux.at[slots].set(auxv, mode="drop")
+    norms = norms.at[slots].set(_row_norms2(rows, auxv), mode="drop")
+    valid = valid.at[slots].set(True, mode="drop")
+    return x, aux, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _write_rows_raw_n(x, aux, norms, valid, slots, rows, auxv):
+    rows = rows.astype(x.dtype)
+    auxv = auxv.astype(aux.dtype)
+    x = x.at[slots].set(rows, mode="drop")
+    aux = aux.at[slots].set(auxv, mode="drop")
+    norms = norms.at[slots].set(_row_norms2(rows, auxv), mode="drop")
+    valid = valid.at[slots].set(True, mode="drop")
+    return x, aux, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(2,))
+def _rebuild_norms(x, aux, norms):
+    # One full pass over x; invalid slots get garbage-but-masked values
+    # (the kernel's mask stream -inf's them before they can score).
+    return _row_norms2(x, aux)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _move_rows_n(x, aux, norms, valid, src, dst):
+    x = x.at[dst].set(x[src], mode="drop")
+    aux = aux.at[dst].set(aux[src], mode="drop")
+    norms = norms.at[dst].set(norms[src], mode="drop")
+    valid = valid.at[dst].set(valid[src], mode="drop")
+    valid = valid.at[src].set(False, mode="drop")
+    return x, aux, norms, valid
+
+
 @functools.lru_cache(maxsize=256)
 def _mask_builder(mesh_key, cap, base):
     """Jitted filter-mask scatter for one (mesh, capacity, polarity); the
@@ -262,16 +373,26 @@ def _move_rows(x, aux, valid, src, dst):
     return x, aux, valid
 
 
-def _init_arrays(mesh, capacity, dim, dtype):
+def _init_arrays(mesh, capacity, dim, dtype, with_norms=False):
     xs, vs = row_sharding(mesh), vec_sharding(mesh)
 
-    @functools.partial(jax.jit, out_shardings=(xs, vs, vs))
-    def init():
-        return (
-            jnp.zeros((capacity, dim), dtype=dtype),
-            jnp.zeros((capacity,), dtype=jnp.float32),
-            jnp.zeros((capacity,), dtype=jnp.bool_),
-        )
+    if with_norms:
+        @functools.partial(jax.jit, out_shardings=(xs, vs, vs, vs))
+        def init():
+            return (
+                jnp.zeros((capacity, dim), dtype=dtype),
+                jnp.zeros((capacity,), dtype=jnp.float32),
+                jnp.zeros((capacity,), dtype=jnp.float32),
+                jnp.zeros((capacity,), dtype=jnp.bool_),
+            )
+    else:
+        @functools.partial(jax.jit, out_shardings=(xs, vs, vs))
+        def init():
+            return (
+                jnp.zeros((capacity, dim), dtype=dtype),
+                jnp.zeros((capacity,), dtype=jnp.float32),
+                jnp.zeros((capacity,), dtype=jnp.bool_),
+            )
 
     return init()
 
@@ -305,11 +426,21 @@ class DeviceEngine:
         self.multiprocess = len(
             {d.process_index for d in self.mesh.devices.flat}) > 1
         self.dtype = jnp.dtype(cfg.dtype)
+        # int8+l2 maintains a derivable |x_hat|^2 lane for the fused
+        # kernel's epilogue (the scan/rescore paths reconstruct it on the
+        # fly; snapshots never store it — write_raw recomputes on restore).
+        self.has_norms = self.dtype == jnp.int8 and cfg.metric == "l2"
+        self.norms = None
         # Capacity granularity: whole segments, evenly divided over shards.
         self._grow_unit = cfg.segment_rows * self.shards
         self.capacity = self._grow_unit
-        self.x, self.aux, self.valid = _init_arrays(
-            self.mesh, self.capacity, cfg.dim, self.dtype)
+        if self.has_norms:
+            self.x, self.aux, self.norms, self.valid = _init_arrays(
+                self.mesh, self.capacity, cfg.dim, self.dtype,
+                with_norms=True)
+        else:
+            self.x, self.aux, self.valid = _init_arrays(
+                self.mesh, self.capacity, cfg.dim, self.dtype)
         # Default search behavior (overridable per query). The fused Pallas
         # kernel is the production path on TPU (at the HBM roofline); the
         # scan path serves CPU meshes (pallas would run interpreted) and
@@ -317,12 +448,6 @@ class DeviceEngine:
         on_tpu = self.mesh.devices.flat[0].platform == "tpu"
         self.precision = "fast" if on_tpu else "high"
         self.impl = "pallas" if on_tpu else "scan"
-        if self.dtype == jnp.int8 and cfg.metric == "l2":
-            # The fused kernel's int8 epilogue has no |x_hat|^2 term; the
-            # scan path reconstructs it on the fly (XLA fuses the
-            # square-reduce into the block loop). Still streams int8 from
-            # HBM — the capacity benefit is retained.
-            self.impl = "scan"
         self.rescore = True
 
     # -- capacity ----------------------------------------------------------
@@ -333,18 +458,23 @@ class DeviceEngine:
             return False
         new_cap = int(math.ceil(needed_slots / self._grow_unit)) * self._grow_unit
         xs, vs = row_sharding(self.mesh), vec_sharding(self.mesh)
+        n_extra = 1 if self.has_norms else 0
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
-                           out_shardings=(xs, vs, vs))
-        def grow(x, aux, valid):
+        @functools.partial(jax.jit, donate_argnums=tuple(range(3 + n_extra)),
+                           out_shardings=(xs,) + (vs,) * (2 + n_extra))
+        def grow(x, *vecs1d):
             pad = new_cap - x.shape[0]
             return (
                 jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)]),
-                jnp.concatenate([aux, jnp.zeros((pad,), aux.dtype)]),
-                jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)]),
-            )
+            ) + tuple(
+                jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+                for v in vecs1d)
 
-        self.x, self.aux, self.valid = grow(self.x, self.aux, self.valid)
+        if self.has_norms:
+            self.x, self.aux, self.norms, self.valid = grow(
+                self.x, self.aux, self.norms, self.valid)
+        else:
+            self.x, self.aux, self.valid = grow(self.x, self.aux, self.valid)
         self.capacity = new_cap
         return True
 
@@ -366,15 +496,20 @@ class DeviceEngine:
         if new_cap >= self.capacity:
             return False
         xs, vs = row_sharding(self.mesh), vec_sharding(self.mesh)
+        n_extra = 1 if self.has_norms else 0
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+        @functools.partial(jax.jit, donate_argnums=tuple(range(3 + n_extra)),
                            static_argnames=("cap",),
-                           out_shardings=(xs, vs, vs))
-        def cut(x, aux, valid, *, cap):
-            return x[:cap], aux[:cap], valid[:cap]
+                           out_shardings=(xs,) + (vs,) * (2 + n_extra))
+        def cut(*arrs, cap):
+            return tuple(a[:cap] for a in arrs)
 
-        self.x, self.aux, self.valid = cut(
-            self.x, self.aux, self.valid, cap=new_cap)
+        if self.has_norms:
+            self.x, self.aux, self.norms, self.valid = cut(
+                self.x, self.aux, self.norms, self.valid, cap=new_cap)
+        else:
+            self.x, self.aux, self.valid = cut(
+                self.x, self.aux, self.valid, cap=new_cap)
         self.capacity = new_cap
         return True
 
@@ -396,21 +531,32 @@ class DeviceEngine:
         vecs = np.asarray(vecs, dtype=np.float32)
         for start in range(0, len(slots), self.WRITE_CHUNK_ROWS):
             sl = slots[start:start + self.WRITE_CHUNK_ROWS]
-            self.x, self.aux, self.valid = _write_rows(
-                self.x, self.aux, self.valid, sl,
-                vecs[start:start + self.WRITE_CHUNK_ROWS],
-                metric=self.cfg.metric)
+            chunk = vecs[start:start + self.WRITE_CHUNK_ROWS]
+            if self.has_norms:
+                self.x, self.aux, self.norms, self.valid = _write_rows_n(
+                    self.x, self.aux, self.norms, self.valid, sl, chunk,
+                    metric=self.cfg.metric)
+            else:
+                self.x, self.aux, self.valid = _write_rows(
+                    self.x, self.aux, self.valid, sl, chunk,
+                    metric=self.cfg.metric)
 
     def write_raw(self, slots: np.ndarray, rows: np.ndarray,
                   aux: np.ndarray) -> None:
-        """Scatter stored-representation rows + aux (snapshot restore)."""
+        """Scatter stored-representation rows + aux (snapshot restore;
+        int8+l2's |x_hat|^2 lane is recomputed in the same scatter, so
+        snapshots never carry it)."""
         slots = np.asarray(slots, dtype=np.int32)
         for start in range(0, len(slots), self.WRITE_CHUNK_ROWS):
             sl = slots[start:start + self.WRITE_CHUNK_ROWS]
-            self.x, self.aux, self.valid = _write_rows_raw(
-                self.x, self.aux, self.valid, sl,
-                rows[start:start + self.WRITE_CHUNK_ROWS],
-                aux[start:start + self.WRITE_CHUNK_ROWS])
+            rc = rows[start:start + self.WRITE_CHUNK_ROWS]
+            ac = aux[start:start + self.WRITE_CHUNK_ROWS]
+            if self.has_norms:
+                self.x, self.aux, self.norms, self.valid = _write_rows_raw_n(
+                    self.x, self.aux, self.norms, self.valid, sl, rc, ac)
+            else:
+                self.x, self.aux, self.valid = _write_rows_raw(
+                    self.x, self.aux, self.valid, sl, rc, ac)
 
     def gather_raw(self, slots: np.ndarray):
         """Fetch (stored rows, aux) without conversion (snapshot writer)."""
@@ -422,12 +568,26 @@ class DeviceEngine:
     def erase(self, slots: np.ndarray) -> None:
         self.valid = _erase_rows(self.valid, np.asarray(slots, dtype=np.int32))
 
+    def rebuild_norms(self) -> None:
+        """Recompute the int8+l2 |x_hat|^2 lane from x+aux in one device
+        pass. REQUIRED after writing ``self.x``/``self.aux`` directly
+        (bench/experiment harnesses fill on-device to skip the host link);
+        the normal mutation paths (write/write_raw/move) maintain the lane
+        themselves. No-op for other configs."""
+        if self.has_norms:
+            self.norms = _rebuild_norms(self.x, self.aux, self.norms)
+
     def move(self, src: np.ndarray, dst: np.ndarray) -> None:
         if len(src) == 0:
             return
-        self.x, self.aux, self.valid = _move_rows(
-            self.x, self.aux, self.valid,
-            np.asarray(src, dtype=np.int32), np.asarray(dst, dtype=np.int32))
+        src = np.asarray(src, dtype=np.int32)
+        dst = np.asarray(dst, dtype=np.int32)
+        if self.has_norms:
+            self.x, self.aux, self.norms, self.valid = _move_rows_n(
+                self.x, self.aux, self.norms, self.valid, src, dst)
+        else:
+            self.x, self.aux, self.valid = _move_rows(
+                self.x, self.aux, self.valid, src, dst)
 
     # -- reads -------------------------------------------------------------
 
@@ -559,7 +719,10 @@ class DeviceEngine:
             int(os.environ.get("VROD_THETA0_MINK", "24")))
         valid = self.valid if filter_mask is None \
             else _and_masks(self.valid, filter_mask)
-        vals, idx = fn(self.x, self.aux, valid, q)
+        if self.has_norms:
+            vals, idx = fn(self.x, self.aux, self.norms, valid, q)
+        else:
+            vals, idx = fn(self.x, self.aux, valid, q)
         if not as_numpy:
             return vals[:B, :k], idx[:B, :k]
         return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])

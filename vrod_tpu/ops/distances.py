@@ -309,19 +309,25 @@ def prepare_rows(vecs, *, metric: str, dtype):
     return vecs32.astype(dtype), aux.astype(jnp.float32)
 
 
-def prepare_queries(q, *, metric: str, quantize: bool = False):
+def prepare_queries(q, *, metric: str, quantize: bool = False,
+                    return_scale: bool = False):
     """Normalize queries for cosine; pass-through otherwise.
 
     ``quantize=True`` (int8 collections, fast scan path) symmetrically
-    quantizes each query to int8 for the integer MXU. The per-query scale
-    is a positive scalar, so per-query ranking is unaffected and it is
-    simply dropped; the exact rescore uses the full f32 query."""
+    quantizes each query to int8 for the integer MXU. For cosine/dot the
+    per-query scale is a positive scalar, so per-query ranking is
+    unaffected and it is simply dropped; l2 needs it in the epilogue
+    (it multiplies only the cross term of 2 q.x - |x|^2), so
+    ``return_scale=True`` returns ``(q_int8, scale (B, 1) f32)``. The
+    exact rescore always uses the full f32 query."""
     q = q.astype(jnp.float32)
     if metric == "cosine":
         norms = jnp.linalg.norm(q, axis=1, keepdims=True)
         q = q / jnp.maximum(norms, 1e-30)
     if quantize:
-        scale = jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0
-        q = jnp.clip(jnp.round(q / jnp.maximum(scale, 1e-30)),
-                     -127, 127).astype(jnp.int8)
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(q), axis=1, keepdims=True) / 127.0, 1e-30)
+        q = jnp.clip(jnp.round(q / scale), -127, 127).astype(jnp.int8)
+        if return_scale:
+            return q, scale
     return q

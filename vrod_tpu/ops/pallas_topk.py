@@ -92,12 +92,22 @@ def _extract_block(s, col, cv, ci, k, kiota, theta0):
     return cv, ci
 
 
-def _epilogue(g, aux, mask, metric, quantized=False):
+def _epilogue(g, aux, mask, metric, quantized=False, qs=None):
     if quantized:
-        # int8 scan: g is the integer dot (exact); aux is the per-row
-        # dequant scale. Per-query scale factors are positive and dropped
-        # (rank-invariant); the rescore restores true values.
-        s = g.astype(jnp.float32) * aux[None, :]
+        if metric == "l2":
+            # int8 + l2: the cross term 2*<x_hat, q_hat> = (2*sq)*sx*g
+            # needs the per-query quant scale sq (``qs`` carries 2*sq,
+            # (B, 1)) — unlike cosine/dot it is NOT rank-invariant, because
+            # it multiplies only one term of 2*q.x_hat - |x_hat|^2. The
+            # -|x_hat|^2 term rides the mask stream (see ``fused_topk``'s
+            # ``row_bias``), so this costs no extra HBM bandwidth. g is an
+            # exact integer (<= 127*127*1040 < 2^24, exact in f32).
+            s = (g.astype(jnp.float32) * aux[None, :]) * qs
+        else:
+            # int8 scan: g is the integer dot (exact); aux is the per-row
+            # dequant scale. Per-query scale factors are positive and
+            # dropped (rank-invariant); the rescore restores true values.
+            s = g.astype(jnp.float32) * aux[None, :]
     elif metric == "cosine":
         s = g * aux[None, :]
     elif metric == "l2":
@@ -128,8 +138,17 @@ def _block_dot(q, x_blk, precision):
         precision=precision)
 
 
-def _kernel(offset_ref, q_ref, t0_ref, x_ref, aux_ref, mask_ref, ov_ref,
-            oi_ref, cv_ref, ci_ref, *, metric, k, block_rows, precision):
+def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
+            precision, has_qs=False):
+    # ``has_qs`` (static, int8+l2 only) inserts a (B, 1) per-query quant
+    # scale input after theta0; other configs compile the identical
+    # argument list (and program) they always had.
+    if has_qs:
+        qs_ref, x_ref, aux_ref, mask_ref, ov_ref, oi_ref, cv_ref, ci_ref \
+            = rest
+    else:
+        x_ref, aux_ref, mask_ref, ov_ref, oi_ref, cv_ref, ci_ref = rest
+        qs_ref = None
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -139,7 +158,8 @@ def _kernel(offset_ref, q_ref, t0_ref, x_ref, aux_ref, mask_ref, ov_ref,
 
     g = _block_dot(q_ref[:], x_ref[:], precision)
     s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
-                  quantized=x_ref.dtype == jnp.int8)
+                  quantized=x_ref.dtype == jnp.int8,
+                  qs=qs_ref[:] if has_qs else None)
 
     base = j * block_rows + offset_ref[0]
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
@@ -156,17 +176,24 @@ def _kernel(offset_ref, q_ref, t0_ref, x_ref, aux_ref, mask_ref, ov_ref,
         oi_ref[:] = ci_ref[:]
 
 
-def _kernel_db(offset_ref, q_ref, t0_ref, x_hbm, aux_hbm, mask_hbm, ov_ref,
-               oi_ref, xbuf, abuf, mbuf, sems, *, metric, k, block_rows,
-               nblocks, precision):
+def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
+               nblocks, precision, has_qs=False):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
     streaming and compute overlap regardless of how the pipeliner treats the
     data-dependent extraction loop."""
+    if has_qs:  # int8+l2: (B, 1) per-query quant scale (see _kernel)
+        (qs_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
+         xbuf, abuf, mbuf, sems) = rest
+    else:
+        (x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
+         xbuf, abuf, mbuf, sems) = rest
+        qs_ref = None
     offset = offset_ref[0]
     kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
     q = q_ref[:]
     theta0 = t0_ref[:]
+    qs = qs_ref[:] if has_qs else None
     # Loop-invariant local column ids, hoisted out of the block loop; each
     # block only adds its scalar base.
     col_local = lax.broadcasted_iota(jnp.int32, (q.shape[0], block_rows), 1)
@@ -203,7 +230,7 @@ def _kernel_db(offset_ref, q_ref, t0_ref, x_hbm, aux_hbm, mask_hbm, ov_ref,
 
         g = _block_dot(q, xbuf[cur], precision)
         s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric,
-                      quantized=xbuf.dtype == jnp.int8)
+                      quantized=xbuf.dtype == jnp.int8, qs=qs)
         col = col_local + (j * block_rows + offset)
         return _extract_block(s, col, cv, ci, k, kiota, theta0)
 
@@ -218,17 +245,21 @@ def _kernel_db(offset_ref, q_ref, t0_ref, x_hbm, aux_hbm, mask_hbm, ov_ref,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
                      "interpret"))
-def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
+def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
                    block_rows, b_tile, precision_name, interpret):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
     precision = _PRECISIONS[precision_name]
+    has_qs = x.dtype == jnp.int8 and metric == "l2"
 
     kernel = functools.partial(
         _kernel_db, metric=metric, k=k, block_rows=block_rows,
-        nblocks=nblocks, precision=precision)
+        nblocks=nblocks, precision=precision, has_qs=has_qs)
 
+    qs_spec = [pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)] if has_qs else []
+    qs_arg = (qs,) if has_qs else ()
     vals, idx = pl.pallas_call(
         kernel,
         grid=(b // b_tile,),
@@ -238,6 +269,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
                          memory_space=pltpu.VMEM),                   # q
             pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                   # theta0
+            *qs_spec,                                 # 2*sq (int8+l2 only)
             pl.BlockSpec(memory_space=pl.ANY),                    # x (HBM)
             pl.BlockSpec(memory_space=pl.ANY),                    # aux
             pl.BlockSpec(memory_space=pl.ANY),                    # mask
@@ -268,7 +300,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(offset, q, theta0, x, aux2d, mask2d)
+    )(offset, q, theta0, *qs_arg, x, aux2d, mask2d)
     return vals, idx
 
 
@@ -276,18 +308,22 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
                      "interpret"))
-def _fused_call(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
+def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
                 block_rows, b_tile, precision_name, interpret):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
     precision = _PRECISIONS[precision_name]
+    has_qs = x.dtype == jnp.int8 and metric == "l2"
 
     grid = (b // b_tile, nblocks)
     kernel = functools.partial(
         _kernel, metric=metric, k=k, block_rows=block_rows,
-        precision=precision)
+        precision=precision, has_qs=has_qs)
 
+    qs_spec = [pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)] if has_qs else []
+    qs_arg = (qs,) if has_qs else ()
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -297,6 +333,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
                          memory_space=pltpu.VMEM),                   # q
             pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                   # theta0
+            *qs_spec,                                 # 2*sq (int8+l2 only)
             pl.BlockSpec((block_rows, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),                   # x
             pl.BlockSpec((1, block_rows), lambda i, j: (0, j),
@@ -330,7 +367,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, *, k, metric,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(offset, q, theta0, x, aux2d, mask2d)
+    )(offset, q, theta0, *qs_arg, x, aux2d, mask2d)
     return vals, idx
 
 
@@ -420,7 +457,7 @@ def pick_block_rows(n: int, d: int, itemsize: int,
 
 def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
                index_offset=0, precision_name="high", interpret=False,
-               pipeline="manual", theta0=None):
+               pipeline="manual", theta0=None, row_bias=None, q_scale=None):
     """Exact top-k of q (B, D) against x (N, D). Same contract as
     ``distances.blockwise_topk``: returns (values (B,k) f32, indices (B,k)
     i32 in the global slot space via ``index_offset``), empty ranks are
@@ -430,11 +467,20 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     (must be <= the true k-th best score; see
     ``distances.sampled_threshold``). Exactness is preserved; candidates
     below the floor just skip the extraction loop — at large k this
-    removes the cold-carry over-extraction of the first blocks."""
-    if x.dtype == jnp.int8 and metric == "l2":
-        raise NotImplementedError(
-            "int8 + l2 runs on the scan path (the fused kernel's int8 "
-            "epilogue has no |x_hat|^2 term); the engine routes it there")
+    removes the cold-carry over-extraction of the first blocks.
+
+    int8 + l2 requires two extras (the engine maintains both):
+    ``row_bias`` (N,) f32 = -|x_hat|^2 per row, which rides the additive
+    validity-mask stream (zero extra HBM bandwidth), and ``q_scale`` (B,)
+    or (B, 1) f32 = the per-query int8 quantization scale sq with
+    q = round(q_f32 / sq), which scales the integer cross term in-kernel
+    (it is NOT rank-invariant for l2, unlike cosine/dot)."""
+    quantized_l2 = x.dtype == jnp.int8 and metric == "l2"
+    if quantized_l2 and (row_bias is None or q_scale is None):
+        raise ValueError(
+            "int8 + l2 fused kernel needs row_bias=-|x_hat|^2 (N,) and "
+            "q_scale (B,) — the engine maintains both; direct callers "
+            "must supply them (or use the scan path)")
     n, d = x.shape
     b = q.shape[0]
     if block_rows is None or n % block_rows != 0 or (
@@ -451,17 +497,30 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
         x = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)])
         aux = jnp.concatenate([aux, jnp.zeros((pad,), aux.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)])
+        if row_bias is not None:
+            row_bias = jnp.concatenate(
+                [row_bias, jnp.zeros((pad,), row_bias.dtype)])
         n += pad
     b_tile = b if b <= 256 else 256
     while b % b_tile != 0:
         b_tile //= 2
     aux2d = aux.reshape(1, n)
-    mask2d = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
+    # The mask stream is an ADDITIVE per-row score term: -inf on dead
+    # slots, else row_bias (0 everywhere except int8+l2's -|x_hat|^2).
+    live_term = 0.0 if row_bias is None else row_bias.astype(jnp.float32)
+    mask2d = jnp.where(valid, live_term, NEG_INF) \
+        .astype(jnp.float32).reshape(1, n)
     offset = jnp.asarray(index_offset, dtype=jnp.int32).reshape(1)
     if theta0 is None:
         t0 = jnp.full((b, 1), NEG_INF, dtype=jnp.float32)
     else:
         t0 = jnp.asarray(theta0, dtype=jnp.float32).reshape(b, 1)
+    if quantized_l2:
+        # The kernel's cross term is (2*sq) * sx * g — pre-double here so
+        # the hot loop pays one multiply, not two.
+        qs = (2.0 * jnp.asarray(q_scale, dtype=jnp.float32)).reshape(b, 1)
+    else:
+        qs = jnp.ones((b, 1), dtype=jnp.float32)
     # The manual double-buffered variant overlaps the HBM stream with
     # compute; interpret mode lacks real DMA timing, so tests exercise both.
     # Manual HBM->VMEM DMA slices must be 128-lane aligned; odd dims fall
@@ -470,7 +529,7 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
         pipeline = "auto"
     call = _fused_call_db if pipeline == "manual" else _fused_call
     vals, idx = call(
-        x, aux2d, mask2d, q, offset, t0, k=k, metric=metric,
+        x, aux2d, mask2d, q, offset, t0, qs, k=k, metric=metric,
         block_rows=block_rows, b_tile=b_tile,
         precision_name=precision_name, interpret=interpret)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
