@@ -294,6 +294,28 @@ def test_int8_snapshot_roundtrip_bit_exact(tmp_path, rng):
     col.close()
 
 
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_int8_dot_l2_floor_engine_bit_identical(rng, metric):
+    """The sampled floor now covers int8 dot AND l2 (deterministic integer
+    scores need no accumulation margin): the engine pallas path with the
+    floor active must match the scan oracle exactly."""
+    import os
+    cfg = CollectionConfig(name=f"f{metric}", dim=16, metric=metric,
+                           dtype="int8", segment_rows=32768, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 32768
+    vecs = (rng.standard_normal((n, 16)) * 2).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 11))
+    q = (rng.standard_normal((8, 16)) * 3).astype(np.float32)
+    vp, ip = eng.search(q, k=16, impl="pallas")
+    vs, is_ = eng.search(q, k=16, impl="scan")
+    np.testing.assert_array_equal(ip, is_)
+    np.testing.assert_allclose(vp, vs, rtol=1e-6)
+    assert os.environ.get("VROD_THETA0", "1") != "0"
+
+
 def test_int8_small_k_floor_engine_bit_identical(rng):
     """The small-k int8 sampled floor (k_scan in [24, 64), rows/32 sample)
     must not change results: engine pallas path with the floor active vs

@@ -273,6 +273,66 @@ def test_dot_l2_floor_sound_and_exact(rng, metric, dtype):
     assert (warm_v == base_v).all()
 
 
+@pytest.mark.parametrize("metric", ["dot", "l2"])
+def test_int8_floor_sound_and_exact(rng, metric):
+    """int8 dot/l2 sampled floor: the integer dot is order-independent and
+    the epilogue elementwise, so the pre-pass scores are bit-identical to
+    the main kernel's — the floor is sound with NO accumulation margin
+    (extra=None, the engine's recipe). Warm-started results must be
+    bit-identical; the floor must lower-bound the true k-th best score."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vrod_tpu.ops import distances as D
+    from vrod_tpu.ops.pallas_topk import fused_topk, sampled_submax
+
+    n, d, b, k = 4096, 32, 8, 64
+    xf = rng.standard_normal((n, d)).astype(np.float32)
+    xf[rng.integers(0, n, 64)] *= 100.0  # adversarial magnitude spread
+    rows, aux = D.prepare_rows(jnp.asarray(xf), metric=metric, dtype="int8")
+    valid = jnp.asarray(rng.random(n) > 0.2)
+    qf = jnp.asarray(rng.standard_normal((b, d)) * 3, dtype=jnp.float32)
+    q8, qs = D.prepare_queries(qf, metric=metric, quantize=True,
+                               return_scale=True)
+    if metric == "l2":
+        norms = (aux * aux) * jnp.sum(rows.astype(jnp.float32) ** 2, axis=1)
+        extras = dict(row_bias=-norms, q_scale=qs.reshape(-1))
+        q_used = q8
+    else:
+        extras = {}
+        q_used = q8  # dot drops the per-query scale (rank-invariant)
+
+    n_sample = 2048
+    sub = sampled_submax(
+        rows[:n_sample], aux[:n_sample], valid[:n_sample], q_used,
+        metric=metric, precision_name="fast", interpret=True,
+        **{kk: (v[:n_sample] if kk == "row_bias" else v)
+           for kk, v in extras.items()})
+    t0 = D.threshold_from_submax(sub, k, approx=False, extra=None)
+
+    # Soundness vs the kernel's own score space, computed in f64: dot
+    # drops the query scale, l2 keeps it (2*sq*sx*g - |x_hat|^2).
+    x64 = np.asarray(rows, np.float64)
+    a64 = np.asarray(aux, np.float64)
+    g = np.asarray(q8, np.float64) @ x64.T
+    if metric == "l2":
+        s = 2.0 * np.asarray(qs, np.float64) * (g * a64[None, :]) \
+            - (a64 * a64 * (x64 ** 2).sum(1))[None, :]
+    else:
+        s = g * a64[None, :]
+    s[:, ~np.asarray(valid)] = -np.inf
+    kth = np.sort(s, axis=1)[:, -k]
+    assert (np.asarray(t0)[:, 0] <= kth + 1e-5).all(), metric
+
+    base_v, base_i = fused_topk(rows, aux, valid, q_used, k=k, metric=metric,
+                                precision_name="fast", interpret=True,
+                                **extras)
+    warm_v, warm_i = fused_topk(rows, aux, valid, q_used, k=k, metric=metric,
+                                precision_name="fast", interpret=True,
+                                theta0=t0, **extras)
+    assert (warm_i == base_i).all()
+    assert (warm_v == base_v).all()
+
+
 def test_dot_aux_lane_stores_norm2(rng):
     """prepare_rows for dot now fills aux with |x|^2 (the floor's norm
     bound); the dot epilogue must keep ignoring it."""

@@ -99,17 +99,58 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
         vals, pos = lax.top_k(cand_v, k_scan)
         return vals, jnp.take_along_axis(cand_i, pos, axis=1)
 
+    def floor_gate():
+        """Shared eligibility + sample size for the sampled-floor warm
+        start (see local_topk for the measured rationale of each term)."""
+        # Small k: extraction is cheap, so the pre-pass must be too —
+        # shrink the sample to rows/32 (kexp small-k A/B: +2.6% at
+        # k_scan 28 vs a measured net loss with the rows/8 sample).
+        frac = theta0_frac if k_scan >= 64 else max(theta0_frac, 32)
+        n_sample = min(rows_local, max(128 * k_scan * 2,
+                                       rows_local // frac))
+        # Round to whole pre-pass blocks (sampled_submax would halve
+        # its block size on a non-divisible sample).
+        n_sample = (n_sample // theta0_blk) * theta0_blk
+        # nsub = 128 maxima per pre-pass block: the k-th sub-max is
+        # only a sound k-th floor when there are at least k_scan
+        # sub-maxima (with margin: 2x).
+        nsub = (n_sample // theta0_blk) * 128
+        # Below k_scan 64 the floor only pays for int8 (same-session
+        # A/B: +2.5% int8, -0.9% bf16 — int8's cheaper stream makes
+        # extraction relatively dearer).
+        min_k = theta0_mink if dtype_name == "int8" else 64
+        ok = use_theta0 and k_scan >= min_k and nsub >= 2 * k_scan \
+            and rows_local >= min(frac, 4) * n_sample
+        return ok, n_sample
+
     def local_topk_n(x_l, aux_l, norms_l, valid_l, q, qs):
-        # int8+l2: the sampled floor stays off (the submax pre-pass has no
-        # qs/bias plumbing yet); norms_l = |x_hat|^2 feeds the kernel's
-        # additive bias, qs the per-query quant scale.
+        # int8+l2: norms_l = |x_hat|^2 feeds the kernel's additive bias,
+        # qs the per-query quant scale; the sampled floor runs the same
+        # pre-pass with the same extras. int8 scores are deterministic up
+        # to per-op rounding (order-independent integer dot + elementwise
+        # epilogue; at worst FMA-contraction differences ~1 ulp between
+        # the two kernels), so no data-dependent accumulation margin is
+        # needed — threshold_from_submax's |kth|*1e-3 relative slack
+        # overbounds the ulp-level divergence by ~4 orders of magnitude.
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
         if impl == "pallas":
+            theta0 = None
+            ok, n_sample = floor_gate()
+            if ok:
+                sub = pallas_topk.sampled_submax(
+                    x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
+                    q, metric=metric, precision_name=precision_name,
+                    block_rows=theta0_blk, interpret=interpret,
+                    row_bias=-norms_l[:n_sample], q_scale=qs)
+                theta0 = D.threshold_from_submax(
+                    sub, k_scan, approx=True, margin_abs=theta0_margin,
+                    method="minmax" if theta0_method == "minmax"
+                    else "topk")
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
                 precision_name=precision_name, interpret=interpret,
-                row_bias=-norms_l, q_scale=qs)
+                row_bias=-norms_l, q_scale=qs, theta0=theta0)
         else:
             vals, idx = D.blockwise_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
@@ -129,39 +170,27 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # materializes the (B, n_sample) score matrix and costs more
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
-            # Small k: extraction is cheap, so the pre-pass must be too —
-            # shrink the sample to rows/32 (kexp small-k A/B: +2.6% at
-            # k_scan 28 vs a measured net loss with the rows/8 sample).
-            frac = theta0_frac if k_scan >= 64 else max(theta0_frac, 32)
-            n_sample = min(rows_local, max(128 * k_scan * 2,
-                                           rows_local // frac))
-            # Round to whole pre-pass blocks (sampled_submax would halve
-            # its block size on a non-divisible sample).
-            n_sample = (n_sample // theta0_blk) * theta0_blk
-            # Cosine's normalized scores admit a rigorous ABSOLUTE
-            # accumulation-noise margin; dot/l2 get a per-query
-            # Cauchy-Schwarz bound from |q| and the valid-masked max row
-            # norm (aux stores |x|^2 for both — see accumulation_margin).
-            # int8 keeps the floor cosine-only: its dot/l2 aux lane holds
-            # the dequant scale, not a norm.
-            floor_ok = metric == "cosine" or dtype_name != "int8"
-            # nsub = 128 maxima per pre-pass block: the k-th sub-max is
-            # only a sound k-th floor when there are at least k_scan
-            # sub-maxima (with margin: 2x).
-            nsub = (n_sample // theta0_blk) * 128
-            # Below k_scan 64 the floor only pays for int8 (same-session
-            # A/B: +2.5% int8, -0.9% bf16 — int8's cheaper stream makes
-            # extraction relatively dearer).
-            min_k = theta0_mink if dtype_name == "int8" else 64
-            if use_theta0 and floor_ok \
-                    and k_scan >= min_k and nsub >= 2 * k_scan \
-                    and rows_local >= min(frac, 4) * n_sample:
+            ok, n_sample = floor_gate()
+            if ok:
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
                     block_rows=theta0_blk, interpret=interpret)
+                # Accumulation-noise margin between the pre-pass and the
+                # main kernel: cosine's normalized scores admit a rigorous
+                # ABSOLUTE bound (the margin_abs term); bf16/f32 dot/l2
+                # get a per-query Cauchy-Schwarz bound from |q| and the
+                # valid-masked max row norm (aux stores |x|^2 for both —
+                # see accumulation_margin). int8 dot needs NO extra
+                # margin: the integer dot is order-independent and the
+                # epilogue elementwise, so the only possible divergence
+                # is per-op rounding (e.g. FMA contraction differing
+                # between the two kernels) at ~1 ulp ≈ 1e-7 relative —
+                # threshold_from_submax's retained |kth|*1e-3 relative
+                # slack overbounds it by ~4 orders of magnitude. (int8+l2
+                # rides local_topk_n with the same argument.)
                 extra = None
-                if metric != "cosine":
+                if metric != "cosine" and dtype_name != "int8":
                     extra = D.accumulation_margin(
                         q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
                 theta0 = D.threshold_from_submax(

@@ -371,11 +371,16 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
     return vals, idx
 
 
-def _submax_kernel(q_ref, x_ref, aux_ref, mask_ref, o_ref, *, metric,
-                   precision):
+def _submax_kernel(q_ref, *rest, metric, precision, has_qs=False):
+    if has_qs:  # int8+l2: (B, 1) per-query quant scale (see _kernel)
+        qs_ref, x_ref, aux_ref, mask_ref, o_ref = rest
+    else:
+        x_ref, aux_ref, mask_ref, o_ref = rest
+        qs_ref = None
     g = _block_dot(q_ref[:], x_ref[:], precision)
     s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
-                  quantized=x_ref.dtype == jnp.int8)
+                  quantized=x_ref.dtype == jnp.int8,
+                  qs=qs_ref[:] if has_qs else None)
     b, blk = s.shape
     # 128 group-maxima per block, groups STRIDED by 128 lanes (lane t of
     # the output is the max over rows {t, t+128, ...} of the block): the
@@ -389,13 +394,25 @@ def _submax_kernel(q_ref, x_ref, aux_ref, mask_ref, o_ref, *, metric,
     jax.jit,
     static_argnames=("metric", "block_rows", "precision_name", "interpret"))
 def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
-                   precision_name="fast", interpret=False):
+                   precision_name="fast", interpret=False,
+                   row_bias=None, q_scale=None):
     """Group-maxima score pre-pass behind ``distances.sampled_threshold``:
     one streaming Pallas kernel (dot + metric epilogue + grouped max) that
     never materializes scores. Returns (B, 128 * n // block_rows) f32 —
     128 maxima per row block over strided (block_rows // 128)-row groups.
     (The XLA formulation writes the full (B, n) score matrix to HBM and
-    costs more than the warm start saves — measured, kexp7.)"""
+    costs more than the warm start saves — measured, kexp7.)
+
+    ``row_bias``/``q_scale``: int8+l2 extras, same contract as
+    ``fused_topk`` — the pre-pass must score with the IDENTICAL function
+    as the main kernel for its sub-maxima to be true elements of the main
+    kernel's score space (for int8 that agreement is bit-exact: the
+    integer dot is order-independent and the epilogue is elementwise)."""
+    quantized_l2 = x.dtype == jnp.int8 and metric == "l2"
+    if quantized_l2 and (row_bias is None or q_scale is None):
+        raise ValueError(
+            "int8 + l2 sampled_submax needs row_bias=-|x_hat|^2 and "
+            "q_scale, like fused_topk")
     n, d = x.shape
     b = q.shape[0]
     while n % block_rows != 0 and block_rows > 128:
@@ -407,16 +424,26 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
     while b % b_tile != 0:
         b_tile //= 2
     aux2d = aux.reshape(1, n)
-    mask2d = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
+    live_term = 0.0 if row_bias is None else row_bias.astype(jnp.float32)
+    mask2d = jnp.where(valid, live_term, NEG_INF) \
+        .astype(jnp.float32).reshape(1, n)
+    if quantized_l2:
+        qs2d = (2.0 * jnp.asarray(q_scale, jnp.float32)).reshape(b, 1)
+        qs_arg = (qs2d,)
+        qs_spec = [pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
+                                memory_space=pltpu.VMEM)]
+    else:
+        qs_arg, qs_spec = (), []
     kernel = functools.partial(
         _submax_kernel, metric=metric,
-        precision=_PRECISIONS[precision_name])
+        precision=_PRECISIONS[precision_name], has_qs=quantized_l2)
     (out,) = (pl.pallas_call(
         kernel,
         grid=(b // b_tile, nblocks),
         in_specs=[
             pl.BlockSpec((b_tile, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
+            *qs_spec,                                 # 2*sq (int8+l2 only)
             pl.BlockSpec((block_rows, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_rows), lambda i, j: (0, j),
@@ -437,7 +464,7 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(q, x, aux2d, mask2d),)
+    )(q, *qs_arg, x, aux2d, mask2d),)
     return out
 
 
