@@ -284,8 +284,12 @@ def main():
     if args.dtype is None:
         # int8 everywhere: the fused kernel's int8+l2 epilogue (per-query
         # quant scale + |x_hat|^2 mask bias) measured 54.6k QPS recall 1.0
-        # at 1M x 768 — ahead of bf16 l2 (46.3k) with 2x capacity.
-        args.dtype = "int8"
+        # at 1M x 768 — ahead of bf16 l2 (46.3k) with 2x capacity. The one
+        # exception is the config-level cap int8+l2 carries (dim <= 1040,
+        # |q8|^2 f32 exactness): larger dims fall back to bfloat16 so the
+        # driver contract (one JSON line, never a traceback) holds.
+        args.dtype = ("bfloat16" if args.metric == "l2" and args.dim > 1040
+                      else "int8")
 
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.

@@ -64,9 +64,30 @@ def test_out_of_range_ids_rejected(tmp_path, rng):
         col.delete_many([rid, 2**64])
     with pytest.raises(ValueError):
         col.search_similar(v, k=1, within_ids=[2**70])
+    # numpy-typed inputs that asarray would silently MANGLE must be
+    # rejected, not converted: signed arrays wrap (-1 -> 2**64-1), float
+    # arrays truncate (1.9 -> record 1 — the wrong record).
+    with pytest.raises(ValueError):
+        col.delete_many(np.array([-1, -2], dtype=np.int64))
+    with pytest.raises(ValueError):
+        col.delete_many(np.array([float(rid) + 0.9]))
+    with pytest.raises(ValueError):
+        col.search_similar(v, k=1, exclude_ids=np.array([-2], np.int64))
+    # non-integral scalars never truncate onto a live record
+    with pytest.raises(RecordNotFoundError):
+        col.delete(float(rid) + 0.7)
     # the valid record is untouched by all of the above
     assert col.count == 1
     assert col.get(rid).payload == "hello"
+    # ...but exact float/np representations of a live id ARE that id, on
+    # the native and pure-Python allocators alike (normalized before the
+    # ctypes boundary, which would otherwise raise ArgumentError)
+    assert col.get(np.float64(rid)).payload == "hello"
+    col.delete(np.uint64(rid))
+    assert col.count == 0
+    # empty bulk inputs remain valid
+    assert col.delete_many([]) == 0
+    assert col.delete_many(np.empty(0, np.int64)) == 0
 
 
 def test_dim_check(tmp_path, rng):

@@ -295,11 +295,18 @@ def test_int8_snapshot_roundtrip_bit_exact(tmp_path, rng):
 
 
 @pytest.mark.parametrize("metric", ["dot", "l2"])
-def test_int8_dot_l2_floor_engine_bit_identical(rng, metric):
+def test_int8_dot_l2_floor_engine_bit_identical(rng, metric, monkeypatch):
     """The sampled floor now covers int8 dot AND l2 (deterministic integer
     scores need no accumulation margin): the engine pallas path with the
-    floor active must match the scan oracle exactly."""
+    floor ACTUALLY OPEN must match the scan oracle exactly.
+
+    Gate arithmetic at this config (rows 32768, k=16 -> k_scan 28, blk
+    forced to 2048): n_sample = max(128*28*2, 32768//32) = 7168 ->
+    rounds to 6144; nsub = 384 >= 2*28; rows >= 4*6144 — OPEN. (At the
+    default blk 8192 the sample rounds to 0 and the gate silently closes,
+    which made an earlier version of this test vacuous.)"""
     import os
+    monkeypatch.setenv("VROD_THETA0_BLK", "2048")
     cfg = CollectionConfig(name=f"f{metric}", dim=16, metric=metric,
                            dtype="int8", segment_rows=32768, shards=1)
     eng = DeviceEngine(cfg)
@@ -316,11 +323,16 @@ def test_int8_dot_l2_floor_engine_bit_identical(rng, metric):
     assert os.environ.get("VROD_THETA0", "1") != "0"
 
 
-def test_int8_small_k_floor_engine_bit_identical(rng):
+def test_int8_small_k_floor_engine_bit_identical(rng, monkeypatch):
     """The small-k int8 sampled floor (k_scan in [24, 64), rows/32 sample)
-    must not change results: engine pallas path with the floor active vs
-    the scan oracle, interpreted on CPU."""
+    must not change results: engine pallas path with the floor OPEN vs
+    the scan oracle, interpreted on CPU. The pre-pass block is forced to
+    2048 — at the default 8192 the 7168-row sample rounds to zero blocks
+    and the gate silently closes (an earlier version of this test was
+    vacuous for exactly that reason; see the gate arithmetic in the
+    dot/l2 variant above)."""
     import os
+    monkeypatch.setenv("VROD_THETA0_BLK", "2048")
     cfg = CollectionConfig(name="skf", dim=16, metric="cosine",
                            dtype="int8", segment_rows=32768, shards=1)
     eng = DeviceEngine(cfg)
@@ -331,7 +343,7 @@ def test_int8_small_k_floor_engine_bit_identical(rng):
     eng.erase(np.arange(0, n, 11))
     q = rng.standard_normal((8, 16)).astype(np.float32)
     # k=16 -> k_out 16, int8 margin 12 -> k_scan 28 >= MINK 24;
-    # n_sample = 8192 (rows/32 rounded to one 8192 pre-pass block).
+    # n_sample = 7168 -> 6144 at blk 2048 (three pre-pass blocks).
     vp, ip = eng.search(q, k=16, impl="pallas")
     vs, is_ = eng.search(q, k=16, impl="scan")
     np.testing.assert_array_equal(ip, is_)

@@ -41,27 +41,63 @@ from .utils.locks import RWLock
 from .wal import GroupCommit, Wal, ops
 
 
-def _valid_id(rid) -> bool:
-    """ids are assigned from ``next_id`` starting at 1; anything outside
-    (0, NO_ID) cannot exist — and MUST be rejected before the native
-    ctypes boundary, where ``c_uint64`` silently masks out-of-range
-    Python ints (``c_uint64(2**64).value == 0`` would alias record 0)."""
+def _checked_id(rid):
+    """Normalize a user-supplied record id to a canonical Python int, or
+    None if it cannot name a live record: non-numeric, non-integral
+    (2.7 must not truncate to record 2), or outside (0, NO_ID) — ids are
+    assigned from ``next_id`` starting at 1. Normalizing BEFORE the
+    native ctypes boundary matters twice over: ``c_uint64`` silently
+    masks out-of-range Python ints (``c_uint64(2**64).value == 0`` would
+    alias record 0), and a float like ``np.float64(2.0)`` would hit the
+    pure-Python fallback's dict (2.0 == 2 hashes equal) but raise
+    ``ctypes.ArgumentError`` on the native path — the fallbacks must stay
+    bit-compatible."""
     try:
-        rid = int(rid)
+        i = int(rid)
     except (TypeError, ValueError):
-        return False
-    return 0 < rid < NO_ID
+        return None
+    if i != rid or not 0 < i < NO_ID:
+        return None
+    return i
 
 
 def _as_id_array(record_ids) -> np.ndarray:
-    """Convert user-supplied ids to a flat uint64 array, rejecting values
-    numpy would wrap (negatives) or refuse mid-conversion (>= 2**64) with
-    the frontend's error contract instead of a raw OverflowError."""
+    """Convert user-supplied bulk ids to a flat uint64 array, rejecting
+    anything numpy would silently mangle: signed arrays WRAP negatives
+    (np.asarray(np.array([-1]), np.uint64) == 2**64-1, no error), float
+    arrays TRUNCATE (np.asarray([2.7], np.uint64) == [2] — the wrong
+    record), and out-of-range Python ints raise a raw OverflowError
+    mid-conversion. The error contract here is a clean ValueError."""
+    bad = "record ids must be integers in [1, 2**64-2]"
     try:
-        rids = np.asarray(record_ids, dtype=np.uint64).reshape(-1)
-    except (OverflowError, ValueError) as e:
-        raise ValueError(f"record ids must be integers in [1, 2**64-2]: {e}")
-    return rids
+        arr = np.asarray(record_ids)
+    except (OverflowError, ValueError, TypeError) as e:
+        raise ValueError(f"{bad}: {e}")
+    flat = arr.reshape(-1)
+    if flat.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    kind = arr.dtype.kind
+    if kind == "u":
+        return flat.astype(np.uint64)
+    if kind == "i":
+        mn = int(flat.min())
+        if mn < 0:
+            raise ValueError(f"{bad}: got {mn}")
+        return flat.astype(np.uint64)
+    if kind == "f":
+        # Mixed lists like [np.uint64(5), 99999] promote to float64 —
+        # accept only exactly-integral, finite, in-range values (2.7 or
+        # NaN must never truncate onto a record).
+        if not np.all(np.isfinite(flat)) or np.any(flat != np.floor(flat)) \
+                or np.any(flat < 0) or np.any(flat >= 2.0 ** 64):
+            raise ValueError(f"{bad}: non-integral or out-of-range floats")
+        return flat.astype(np.uint64)
+    if kind == "O":  # mixed / huge Python ints land here
+        try:
+            return flat.astype(np.uint64)
+        except (OverflowError, ValueError, TypeError) as e:
+            raise ValueError(f"{bad}: {e}")
+    raise ValueError(f"{bad}: got dtype {arr.dtype}")
 
 
 class SearchHit:
@@ -458,11 +494,11 @@ class Collection:
 
     def delete(self, record_id: int) -> None:
         with self._rw.write():
-            if not _valid_id(record_id) \
-                    or self.alloc.slot_of(record_id) == NO_ID:
+            rid = _checked_id(record_id)
+            if rid is None or self.alloc.slot_of(rid) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
-            lsn = self._log_and_apply(ops.DeleteOp(record_id),
-                                      lambda: self._apply_delete(record_id))
+            lsn = self._log_and_apply(ops.DeleteOp(rid),
+                                      lambda: self._apply_delete(rid))
         self._ack(lsn)
         metrics.counters.inc("collection.deletes")
 
@@ -524,12 +560,12 @@ class Collection:
         (reference: UpdateCommand stub, types.rs:82-93)."""
         vecs = self._check_one(vector)
         with self._rw.write():
-            if not _valid_id(record_id) \
-                    or self.alloc.slot_of(record_id) == NO_ID:
+            rid = _checked_id(record_id)
+            if rid is None or self.alloc.slot_of(rid) == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
             lsn = self._log_and_apply(
-                ops.UpdateOp(record_id, vecs[0], payload),
-                lambda: self._apply_update(record_id, vecs, payload))
+                ops.UpdateOp(rid, vecs[0], payload),
+                lambda: self._apply_update(rid, vecs, payload))
         self._ack(lsn)
 
     def _apply_update(self, record_id: int, vecs: np.ndarray, payload: str) -> None:
@@ -559,12 +595,12 @@ class Collection:
     def get(self, record_id: int) -> Record:
         """Exact lookup (the reference's SEARCH verb, types.rs:108-119)."""
         with self._rw.read():
-            slot = (self.alloc.slot_of(record_id) if _valid_id(record_id)
-                    else NO_ID)
+            rid = _checked_id(record_id)
+            slot = self.alloc.slot_of(rid) if rid is not None else NO_ID
             if slot == NO_ID:
                 raise RecordNotFoundError(f"No record with id {record_id}")
             vec = self.engine.gather(np.array([slot]))[0]
-            return Record(vector=vec, payload=self.payloads.get(record_id, ""))
+            return Record(vector=vec, payload=self.payloads.get(rid, ""))
 
     def search_similar(self, queries, k: int = 10, *, within_ids=None,
                        exclude_ids=None, **search_kw):

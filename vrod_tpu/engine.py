@@ -123,72 +123,48 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             and rows_local >= min(frac, 4) * n_sample
         return ok, n_sample
 
-    def local_topk_n(x_l, aux_l, norms_l, valid_l, q, qs):
-        # int8+l2: norms_l = |x_hat|^2 feeds the kernel's additive bias,
-        # qs the per-query quant scale; the sampled floor runs the same
-        # pre-pass with the same extras. int8 scores are deterministic up
-        # to per-op rounding (order-independent integer dot + elementwise
-        # epilogue; at worst FMA-contraction differences ~1 ulp between
-        # the two kernels), so no data-dependent accumulation margin is
-        # needed — threshold_from_submax's |kth|*1e-3 relative slack
-        # overbounds the ulp-level divergence by ~4 orders of magnitude.
-        offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
-        if impl == "pallas":
-            theta0 = None
-            ok, n_sample = floor_gate()
-            if ok:
-                sub = pallas_topk.sampled_submax(
-                    x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
-                    q, metric=metric, precision_name=precision_name,
-                    block_rows=theta0_blk, interpret=interpret,
-                    row_bias=-norms_l[:n_sample], q_scale=qs)
-                theta0 = D.threshold_from_submax(
-                    sub, k_scan, approx=True, margin_abs=theta0_margin,
-                    method="minmax" if theta0_method == "minmax"
-                    else "topk")
-            vals, idx = pallas_topk.fused_topk(
-                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
-                block_rows=block_rows, index_offset=offset,
-                precision_name=precision_name, interpret=interpret,
-                row_bias=-norms_l, q_scale=qs, theta0=theta0)
+    def local_topk(*args):
+        """Per-shard scan + top-k; one body for both state layouts:
+        (x, aux, valid, q) and, for int8+l2, (x, aux, norms, valid, q, qs)
+        — norms feeds the fused kernel's additive -|x_hat|^2 mask bias
+        and qs the per-query quant scale."""
+        if use_norms:
+            x_l, aux_l, norms_l, valid_l, q, qs = args
+            extras = dict(row_bias=-norms_l, q_scale=qs)
         else:
-            vals, idx = D.blockwise_topk(
-                x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
-                precision=precision, block_rows=block_rows, nblocks=nblocks,
-                index_offset=offset)
-        if shards > 1:
-            vals, idx = merge_shards(vals, idx)
-        return vals, idx
-
-    def local_topk(x_l, aux_l, valid_l, q):
+            x_l, aux_l, valid_l, q = args
+            norms_l, extras = None, {}
         offset = lax.axis_index(ROWS_AXIS).astype(jnp.int32) * rows_local
         if impl == "pallas":
-            # Large k: warm-start the extraction loop with a sound sampled
-            # floor (extraction cost is linear in k_scan and dominated by
-            # the cold-carry over-extraction of early blocks). The sub-max
+            # Warm-start the extraction loop with a sound sampled floor
+            # (extraction cost is linear in k_scan and dominated by the
+            # cold-carry over-extraction of early blocks). The sub-max
             # pre-pass is itself a fused Pallas kernel — the XLA version
             # materializes the (B, n_sample) score matrix and costs more
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
             ok, n_sample = floor_gate()
             if ok:
+                sub_extras = dict(extras)
+                if use_norms:
+                    sub_extras["row_bias"] = -norms_l[:n_sample]
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
-                    block_rows=theta0_blk, interpret=interpret)
+                    block_rows=theta0_blk, interpret=interpret,
+                    **sub_extras)
                 # Accumulation-noise margin between the pre-pass and the
                 # main kernel: cosine's normalized scores admit a rigorous
                 # ABSOLUTE bound (the margin_abs term); bf16/f32 dot/l2
                 # get a per-query Cauchy-Schwarz bound from |q| and the
                 # valid-masked max row norm (aux stores |x|^2 for both —
-                # see accumulation_margin). int8 dot needs NO extra
+                # see accumulation_margin). int8 dot/l2 need NO extra
                 # margin: the integer dot is order-independent and the
                 # epilogue elementwise, so the only possible divergence
                 # is per-op rounding (e.g. FMA contraction differing
                 # between the two kernels) at ~1 ulp ≈ 1e-7 relative —
                 # threshold_from_submax's retained |kth|*1e-3 relative
-                # slack overbounds it by ~4 orders of magnitude. (int8+l2
-                # rides local_topk_n with the same argument.)
+                # slack overbounds it by ~4 orders of magnitude.
                 extra = None
                 if metric != "cosine" and dtype_name != "int8":
                     extra = D.accumulation_margin(
@@ -202,7 +178,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
                 precision_name=precision_name, interpret=interpret,
-                theta0=theta0)
+                theta0=theta0, **extras)
         else:
             vals, idx = D.blockwise_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
@@ -212,16 +188,28 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             vals, idx = merge_shards(vals, idx)
         return vals, idx
 
-    if use_norms:
-        sm = jax.shard_map(
-            local_topk_n,
-            mesh=mesh,
-            in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS), P(ROWS_AXIS),
-                      P(ROWS_AXIS), P(), P()),
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
+    in_specs = (
+        (P(ROWS_AXIS, None), P(ROWS_AXIS))
+        + ((P(ROWS_AXIS),) if use_norms else ())   # norms
+        + (P(ROWS_AXIS), P())
+        + ((P(),) if use_norms else ()))           # qs
+    sm = jax.shard_map(
+        local_topk,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
 
+    def finish(x, aux, valid, q, qp, vals, idx):
+        if do_rescore:
+            vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out,
+                                  metric=metric)
+        else:
+            vals, idx = vals[:, :k_out], idx[:, :k_out]
+        return D.finalize_scores(vals, q, metric=metric), idx
+
+    if use_norms:
         def search(x, aux, norms, valid, q):
             qp = D.prepare_queries(q, metric=metric)
             if l2_qs:
@@ -231,35 +219,14 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 q_scan = qp
                 qs = jnp.ones((qp.shape[0], 1), jnp.float32)
             vals, idx = sm(x, aux, norms, valid, q_scan, qs)
-            if do_rescore:
-                vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out,
-                                      metric=metric)
-            else:
-                vals, idx = vals[:, :k_out], idx[:, :k_out]
-            vals = D.finalize_scores(vals, q, metric=metric)
-            return vals, idx
-
-        return jax.jit(search)
-
-    sm = jax.shard_map(
-        local_topk,
-        mesh=mesh,
-        in_specs=(P(ROWS_AXIS, None), P(ROWS_AXIS), P(ROWS_AXIS), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-
-    def search(x, aux, valid, q):
-        qp = D.prepare_queries(q, metric=metric)
-        q_scan = D.prepare_queries(q, metric=metric, quantize=True) \
-            if quantize_q else qp
-        vals, idx = sm(x, aux, valid, q_scan)
-        if do_rescore:
-            vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out, metric=metric)
-        else:
-            vals, idx = vals[:, :k_out], idx[:, :k_out]
-        vals = D.finalize_scores(vals, q, metric=metric)
-        return vals, idx
+            return finish(x, aux, valid, q, qp, vals, idx)
+    else:
+        def search(x, aux, valid, q):
+            qp = D.prepare_queries(q, metric=metric)
+            q_scan = D.prepare_queries(q, metric=metric, quantize=True) \
+                if quantize_q else qp
+            vals, idx = sm(x, aux, valid, q_scan)
+            return finish(x, aux, valid, q, qp, vals, idx)
 
     return jax.jit(search)
 
