@@ -225,6 +225,55 @@ def test_int8_l2_rebuild_norms_after_direct_fill(rng):
     np.testing.assert_array_equal(is_, ip)
 
 
+def test_int8_l2_norms_lane_randomized_lifecycle(tmp_path, rng):
+    """Randomized op sequence (insert / bulk / delete / update / reindex /
+    snapshot+reload) on an int8+l2 collection; after every op the fused
+    path must agree with the scan path exactly — the scan path derives
+    |x_hat|^2 from rows+scale on the fly, so agreement proves the
+    maintained norms lane never went stale through any mutation."""
+    from vrod_tpu.collection import Collection
+    cfg = CollectionConfig(name="rl", dim=12, metric="l2", dtype="int8",
+                           segment_rows=64)
+    col = Collection.create(tmp_path / "rl", cfg)
+    live = []
+
+    def check():
+        eng = col.engine
+        q = (rng.standard_normal((4, 12)) * 3).astype(np.float32)
+        k = min(6, max(1, col.count))
+        vp, ip = eng.search(q, k=k, impl="pallas")
+        vs, is_ = eng.search(q, k=k, impl="scan")
+        np.testing.assert_array_equal(ip, is_)
+        np.testing.assert_allclose(vp, vs, rtol=1e-6)
+
+    for step in range(40):
+        op = rng.integers(0, 6)
+        if op == 0 or not live:
+            live.append(int(col.insert(
+                (rng.standard_normal(12) * 2).astype(np.float32), "p")))
+        elif op == 1:
+            rids = col.bulk_insert(
+                (rng.standard_normal((7, 12)) * 2).astype(np.float32))
+            live.extend(int(r) for r in rids)
+        elif op == 2:
+            victim = live.pop(int(rng.integers(0, len(live))))
+            col.delete(victim)
+        elif op == 3:
+            col.update(live[int(rng.integers(0, len(live)))],
+                       (rng.standard_normal(12) * 5).astype(np.float32),
+                       "u")
+        elif op == 4:
+            col.reindex()  # compaction moves + possible shrink
+        else:
+            col.snapshot()
+            col.close()
+            col = Collection.load(tmp_path / "rl")  # restore recomputes lane
+        if step % 5 == 4:
+            check()
+    check()
+    col.close()
+
+
 def test_int8_l2_sharded_pallas_matches_single(rng):
     """The norms lane shards with the rows; the 8-shard fused program must
     agree with the single-shard one."""

@@ -99,9 +99,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
         vals, pos = lax.top_k(cand_v, k_scan)
         return vals, jnp.take_along_axis(cand_i, pos, axis=1)
 
-    def floor_gate():
-        """Shared eligibility + sample size for the sampled-floor warm
-        start (see local_topk for the measured rationale of each term)."""
+    def _gate_for(blk):
         # Small k: extraction is cheap, so the pre-pass must be too —
         # shrink the sample to rows/32 (kexp small-k A/B: +2.6% at
         # k_scan 28 vs a measured net loss with the rows/8 sample).
@@ -110,11 +108,11 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                                        rows_local // frac))
         # Round to whole pre-pass blocks (sampled_submax would halve
         # its block size on a non-divisible sample).
-        n_sample = (n_sample // theta0_blk) * theta0_blk
+        n_sample = (n_sample // blk) * blk
         # nsub = 128 maxima per pre-pass block: the k-th sub-max is
         # only a sound k-th floor when there are at least k_scan
         # sub-maxima (with margin: 2x).
-        nsub = (n_sample // theta0_blk) * 128
+        nsub = (n_sample // blk) * 128
         # Below k_scan 64 the floor only pays for int8 (same-session
         # A/B: +2.5% int8, -0.9% bf16 — int8's cheaper stream makes
         # extraction relatively dearer).
@@ -122,6 +120,24 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
         ok = use_theta0 and k_scan >= min_k and nsub >= 2 * k_scan \
             and rows_local >= min(frac, 4) * n_sample
         return ok, n_sample
+
+    def floor_gate():
+        """Eligibility + sample size + pre-pass block for the sampled
+        floor. Block auto-selection (theta0_blk == 0, the default): the
+        LARGEST block that keeps the gate open — fewer sub-maxima halve
+        the approx_max_k threshold cost (kexp16: 16384 is +2.1% over 8192
+        at 1M top-100, recall 1.0; 32768 gave it back), while the 8192
+        fallback preserves the gate for mid-size collections whose sample
+        would round to zero 16384-blocks. Soundness is grouping-invariant
+        (any partition of sampled rows yields true element maxima)."""
+        if theta0_blk:  # explicit VROD_THETA0_BLK override
+            ok, n_sample = _gate_for(theta0_blk)
+            return ok, n_sample, theta0_blk
+        for blk in (16384, 8192):
+            ok, n_sample = _gate_for(blk)
+            if ok:
+                return True, n_sample, blk
+        return False, 0, 8192
 
     def local_topk(*args):
         """Per-shard scan + top-k; one body for both state layouts:
@@ -143,7 +159,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # materializes the (B, n_sample) score matrix and costs more
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
-            ok, n_sample = floor_gate()
+            ok, n_sample, blk = floor_gate()
             if ok:
                 sub_extras = dict(extras)
                 if use_norms:
@@ -151,7 +167,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
-                    block_rows=theta0_blk, interpret=interpret,
+                    block_rows=blk, interpret=interpret,
                     **sub_extras)
                 # Accumulation-noise margin between the pre-pass and the
                 # main kernel: cosine's normalized scores admit a rigorous
@@ -706,10 +722,11 @@ class DeviceEngine:
             float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
             int(os.environ.get("VROD_THETA0_FRAC", "8")),
             os.environ.get("VROD_THETA0_METHOD", "approx"),
-            # 8192-row pre-pass blocks (64-row strided groups): 4x fewer
-            # sub-maxima halve the approx_max_k cost; measured +1-2% at
-            # top-100 with recall 1.0 (soundness is grouping-invariant).
-            int(os.environ.get("VROD_THETA0_BLK", "8192")),
+            # Pre-pass block: 0 = auto (largest of 16384/8192 that keeps
+            # the floor gate open — fewer sub-maxima cut the approx_max_k
+            # threshold cost; kexp16: +2.1% at 1M top-100). A numeric
+            # value forces that block size.
+            int(os.environ.get("VROD_THETA0_BLK", "0")),
             # Floor active from k_scan 24 up (covers top-16 after margin;
             # measured +2.6% there with the auto-shrunk sample).
             int(os.environ.get("VROD_THETA0_MINK", "24")))
