@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def build(metric, rows, dim):
+def build(metric, rows, dim, dtype="int8"):
     import jax
     import jax.numpy as jnp
     from vrod_tpu.config import CollectionConfig
@@ -32,7 +32,7 @@ def build(metric, rows, dim):
     from vrod_tpu.parallel.mesh import row_sharding, vec_sharding
 
     cfg = CollectionConfig(name=f"k15{metric}", dim=dim, metric=metric,
-                           dtype="int8", segment_rows=65536, shards=1)
+                           dtype=dtype, segment_rows=65536, shards=1)
     eng = DeviceEngine(cfg)
     eng.ensure_capacity(rows)
     xs, vs = row_sharding(eng.mesh), vec_sharding(eng.mesh)

@@ -29,13 +29,14 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--metric", default="cosine")
+    ap.add_argument("--dtype", default="int8")
     args = ap.parse_args()
 
     import jax
     from experiments.kexp15 import build, timed_qps
     from vrod_tpu.parallel.mesh import replicated
 
-    eng = build(args.metric, args.rows, args.dim)
+    eng = build(args.metric, args.rows, args.dim, dtype=args.dtype)
     rng = np.random.default_rng(42)
     q = jax.device_put(
         rng.standard_normal((args.batch, args.dim)).astype(np.float32),
@@ -58,7 +59,8 @@ def main():
                      else (ve >= kth - 1e-5 * scale)).mean())
         print(f"blk={blk}: {qps:,.0f} QPS recall={rec:.4f}", flush=True)
         out.append({"exp": "kexp16", "metric": args.metric, "k": args.k,
-                    "blk": int(blk), "qps": round(qps, 1), "recall": rec,
+                    "dtype": args.dtype, "blk": int(blk),
+                    "qps": round(qps, 1), "recall": rec,
                     "rows": args.rows, "dim": args.dim,
                     "batch": args.batch})
     os.environ["VROD_THETA0_BLK"] = "8192"

@@ -415,6 +415,13 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
             "q_scale, like fused_topk")
     n, d = x.shape
     b = q.shape[0]
+    # VMEM guard: the auto-pipelined x tile is double-buffered, so an
+    # oversized block (e.g. VROD_THETA0_BLK=32768 with bf16 at dim 768 =
+    # 48 MB/tile) fails Mosaic compilation. Halving is always sound —
+    # sub-maxima stay true elements under any row grouping.
+    while block_rows * d * x.dtype.itemsize > 24 * 1024 * 1024 \
+            and block_rows > 128:
+        block_rows //= 2
     while n % block_rows != 0 and block_rows > 128:
         block_rows //= 2
     assert n % block_rows == 0 and block_rows % 128 == 0, (n, block_rows)
