@@ -6,6 +6,7 @@ configure the environment before jax initializes.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["VROD_PLATFORM"] = "cpu"
@@ -14,13 +15,27 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin hooks interpreter startup via a sitecustomize on
+# PYTHONPATH and OVERRIDES jax_platforms to "axon,cpu", clobbering the
+# JAX_PLATFORMS=cpu above — so the first jax.devices() call initializes
+# the axon backend, and a DEAD tunnel then hangs the whole suite in the
+# plugin's connect-retry loop (observed when the tunnel proxy went
+# down). Tests are CPU-only by design: scrub the plugin from PYTHONPATH
+# so SUBPROCESS tests (fault-injection, multihost) never load it, and
+# force the platforms config back to cpu in THIS process (registration
+# already happened at interpreter startup; only initialization matters).
+sys.path[:] = [p for p in sys.path if "axon" not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and "axon" not in p)
+
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# The axon TPU plugin (if on PYTHONPATH) claims the default backend even when
-# JAX_PLATFORMS=cpu; pin default placement to CPU so jit/pallas-interpret
-# paths never route through the TPU tunnel during tests.
+jax.config.update("jax_platforms", "cpu")
+# Belt and braces: pin default placement to CPU so jit/pallas-interpret
+# paths never route through a TPU backend during tests.
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 

@@ -333,6 +333,71 @@ def test_int8_floor_sound_and_exact(rng, metric):
     assert (warm_v == base_v).all()
 
 
+@pytest.mark.parametrize("metric,dtype", [
+    ("l2", "bfloat16"), ("dot", "bfloat16"), ("cosine", "int8")])
+def test_engine_floor_gate_wiring_at_scale(rng, metric, dtype, monkeypatch):
+    """The engine's floor glue at production scale, checked at TRACE time
+    (running 80k interpreted-Pallas rows on CPU takes >10 min, so the
+    program is lowered, not executed): the gate must actually OPEN, the
+    pre-pass must receive the right query (f32 for bf16, the engine's
+    prepared scan query for int8), and unnormalized bf16 metrics must
+    carry the accumulation_margin `extra` — a silent wiring regression
+    here would only surface as a hardware recall miss otherwise."""
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.engine import (
+        DeviceEngine, _search_fn, _mesh_key, _pick_block_rows)
+    from vrod_tpu.ops import pallas_topk, distances as D
+
+    seen = {}
+    orig_submax = pallas_topk.sampled_submax
+    orig_margin = D.accumulation_margin
+
+    def spy_submax(x, aux, valid, q, **kw):
+        seen["n_sample"] = int(x.shape[0])
+        seen["q_dtype"] = str(q.dtype)
+        seen["blk"] = kw.get("block_rows")
+        return orig_submax(x, aux, valid, q, **kw)
+
+    def spy_margin(q, aux, valid, **kw):
+        seen["extra"] = True
+        return orig_margin(q, aux, valid, **kw)
+
+    monkeypatch.setattr(pallas_topk, "sampled_submax", spy_submax)
+    monkeypatch.setattr(D, "accumulation_margin", spy_margin)
+
+    n = 262144
+    cfg = CollectionConfig(name=f"fg{dtype[:2]}{metric[:2]}", dim=8,
+                           metric=metric, dtype=dtype,
+                           segment_rows=n, shards=1)
+    eng = DeviceEngine(cfg)
+    eng.ensure_capacity(n)
+    k_out = 64 if dtype == "bfloat16" else 16
+    margin = 8 if dtype == "bfloat16" else 12
+    k_scan = k_out + margin
+    block_rows = _pick_block_rows(eng.rows_local, cfg.segment_rows)
+    # Mirror collection-path defaults exactly (engine.py _search_fn call):
+    # theta0_blk=0 selects the pre-pass block automatically and
+    # theta0_mink=24 keeps the floor on for int8 top-16 (k_scan 28).
+    fn = _search_fn(_mesh_key(eng.mesh), 8, k_out, k_scan, metric,
+                    "fast", dtype, eng.rows_local, block_rows,
+                    eng.shards, True, "pallas",
+                    True, 1e-3, 8, "approx", 0, 24)
+    q = jnp.zeros((8, 8), jnp.float32)
+    fn.lower(eng.x, eng.aux, eng.valid, q)  # trace only — spies fire here
+
+    assert seen.get("n_sample", 0) > 0, "floor gate never opened"
+    assert seen["blk"] in (8192, 16384)
+    if dtype == "bfloat16":
+        # bf16 scans with the f32 query; dot/l2 must carry the
+        # Cauchy-Schwarz accumulation margin
+        assert seen["q_dtype"] == "float32"
+        assert seen.get("extra"), "accumulation_margin not wired"
+    else:
+        # int8 cosine scans with the quantized query, margin-free
+        assert seen["q_dtype"] == "int8"
+        assert "extra" not in seen
+
+
 def test_dot_aux_lane_stores_norm2(rng):
     """prepare_rows for dot now fills aux with |x|^2 (the floor's norm
     bound); the dot epilogue must keep ignoring it."""
