@@ -10,11 +10,9 @@ Usage: python experiments/kexp16.py [--rows 1048576] [--metric cosine]
 """
 
 import argparse
-import functools
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -63,7 +61,7 @@ def main():
                     "qps": round(qps, 1), "recall": rec,
                     "rows": args.rows, "dim": args.dim,
                     "batch": args.batch})
-    os.environ["VROD_THETA0_BLK"] = "8192"
+    os.environ["VROD_THETA0_BLK"] = "0"  # back to the shipped auto default
     with open(Path(__file__).parent / "kexp_results.jsonl", "a") as f:
         for rec in out:
             f.write(json.dumps(rec) + "\n")

@@ -24,10 +24,18 @@ if "xla_force_host_platform_device_count" not in _flags:
 # so SUBPROCESS tests (fault-injection, multihost) never load it, and
 # force the platforms config back to cpu in THIS process (registration
 # already happened at interpreter startup; only initialization matters).
-sys.path[:] = [p for p in sys.path if "axon" not in p]
+def _is_axon_plugin_dir(p: str) -> bool:
+    # Match only the plugin's install dirs (".axon_site" sitecustomize dir,
+    # or a directory literally named "axon"), not any path that merely
+    # contains the substring (e.g. /home/saxon/...).
+    base = os.path.basename(p.rstrip("/"))
+    return base in (".axon_site", "axon")
+
+
+sys.path[:] = [p for p in sys.path if not _is_axon_plugin_dir(p)]
 os.environ["PYTHONPATH"] = os.pathsep.join(
     p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-    if p and "axon" not in p)
+    if not _is_axon_plugin_dir(p))
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

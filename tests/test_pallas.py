@@ -333,19 +333,36 @@ def test_int8_floor_sound_and_exact(rng, metric):
     assert (warm_v == base_v).all()
 
 
-@pytest.mark.parametrize("metric,dtype", [
-    ("l2", "bfloat16"), ("dot", "bfloat16"), ("cosine", "int8")])
-def test_engine_floor_gate_wiring_at_scale(rng, metric, dtype, monkeypatch):
+@pytest.mark.parametrize("metric,dtype,dim,want_blk", [
+    # bf16 at small dim: 16384-block pre-pass fits VMEM and the 32k-row
+    # sample rounds to two whole blocks.
+    ("l2", "bfloat16", 8, 16384),
+    ("dot", "bfloat16", 8, 16384),
+    # int8 top-16 (k_scan 28): the rows/32 sample (8192) rounds to zero
+    # 16384-blocks, so auto falls back to 8192.
+    ("cosine", "int8", 8, 8192),
+    # f32 at dim 768: the 16384-block tile is 48 MB > the pre-pass VMEM
+    # budget — auto must select 8192 directly, not let sampled_submax
+    # halve AFTER the sample was rounded to 16384-multiples.
+    ("l2", "float32", 768, 8192),
+    # f32 at dim 1024: even 8192 busts the budget (32 MB); both
+    # candidates shrink to 4096 rather than closing the gate.
+    ("cosine", "float32", 1024, 4096),
+])
+def test_engine_floor_gate_wiring_at_scale(metric, dtype, dim, want_blk,
+                                           monkeypatch):
     """The engine's floor glue at production scale, checked at TRACE time
-    (running 80k interpreted-Pallas rows on CPU takes >10 min, so the
-    program is lowered, not executed): the gate must actually OPEN, the
-    pre-pass must receive the right query (f32 for bf16, the engine's
-    prepared scan query for int8), and unnormalized bf16 metrics must
-    carry the accumulation_margin `extra` — a silent wiring regression
-    here would only surface as a hardware recall miss otherwise."""
-    from vrod_tpu.config import CollectionConfig
-    from vrod_tpu.engine import (
-        DeviceEngine, _search_fn, _mesh_key, _pick_block_rows)
+    (running the interpreted-Pallas program on CPU at these row counts
+    takes >10 min, and the f32 cases would allocate ~1 GB, so the program
+    is lowered from abstract avals, never executed): the gate must
+    actually OPEN, the pre-pass must receive the right query (f32 for
+    bf16/f32, the engine's prepared scan query for int8), the
+    auto-selected block must respect sampled_submax's VMEM budget, and
+    unnormalized float metrics must carry the accumulation_margin
+    `extra` — a silent wiring regression here would only surface as a
+    hardware recall miss otherwise."""
+    from vrod_tpu.engine import _search_fn, _mesh_key, _pick_block_rows
+    from vrod_tpu.parallel.mesh import make_mesh
     from vrod_tpu.ops import pallas_topk, distances as D
 
     seen = {}
@@ -366,36 +383,35 @@ def test_engine_floor_gate_wiring_at_scale(rng, metric, dtype, monkeypatch):
     monkeypatch.setattr(D, "accumulation_margin", spy_margin)
 
     n = 262144
-    cfg = CollectionConfig(name=f"fg{dtype[:2]}{metric[:2]}", dim=8,
-                           metric=metric, dtype=dtype,
-                           segment_rows=n, shards=1)
-    eng = DeviceEngine(cfg)
-    eng.ensure_capacity(n)
-    k_out = 64 if dtype == "bfloat16" else 16
-    margin = 8 if dtype == "bfloat16" else 12
+    mesh = make_mesh(1)  # strong ref: _MESHES holds meshes weakly
+    k_out = 16 if dtype == "int8" else 64
+    margin = 12 if dtype == "int8" else 8
     k_scan = k_out + margin
-    block_rows = _pick_block_rows(eng.rows_local, cfg.segment_rows)
+    block_rows = _pick_block_rows(n, n)
     # Mirror collection-path defaults exactly (engine.py _search_fn call):
     # theta0_blk=0 selects the pre-pass block automatically and
     # theta0_mink=24 keeps the floor on for int8 top-16 (k_scan 28).
-    fn = _search_fn(_mesh_key(eng.mesh), 8, k_out, k_scan, metric,
-                    "fast", dtype, eng.rows_local, block_rows,
-                    eng.shards, True, "pallas",
+    fn = _search_fn(_mesh_key(mesh), 8, k_out, k_scan, metric,
+                    "fast", dtype, n, block_rows,
+                    1, True, "pallas",
                     True, 1e-3, 8, "approx", 0, 24)
-    q = jnp.zeros((8, 8), jnp.float32)
-    fn.lower(eng.x, eng.aux, eng.valid, q)  # trace only — spies fire here
+    aval = jax.ShapeDtypeStruct
+    fn.lower(aval((n, dim), jnp.dtype(dtype)), aval((n,), jnp.float32),
+             aval((n,), jnp.bool_),
+             aval((8, dim), jnp.float32))  # trace only — spies fire here
 
     assert seen.get("n_sample", 0) > 0, "floor gate never opened"
-    assert seen["blk"] in (8192, 16384)
-    if dtype == "bfloat16":
-        # bf16 scans with the f32 query; dot/l2 must carry the
-        # Cauchy-Schwarz accumulation margin
-        assert seen["q_dtype"] == "float32"
-        assert seen.get("extra"), "accumulation_margin not wired"
-    else:
+    assert seen["blk"] == want_blk
+    if dtype == "int8":
         # int8 cosine scans with the quantized query, margin-free
         assert seen["q_dtype"] == "int8"
         assert "extra" not in seen
+    else:
+        # bf16/f32 scan with the f32 query; dot/l2 must carry the
+        # Cauchy-Schwarz accumulation margin, cosine must not
+        assert seen["q_dtype"] == "float32"
+        assert seen.get("extra", False) == (metric != "cosine"), \
+            "accumulation_margin wiring wrong"
 
 
 def test_dot_aux_lane_stores_norm2(rng):

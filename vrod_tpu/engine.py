@@ -121,7 +121,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             and rows_local >= min(frac, 4) * n_sample
         return ok, n_sample
 
-    def floor_gate():
+    def floor_gate(dim, itemsize):
         """Eligibility + sample size + pre-pass block for the sampled
         floor. Block auto-selection (theta0_blk == 0, the default): the
         LARGEST block that keeps the gate open — fewer sub-maxima halve
@@ -129,15 +129,28 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
         at 1M top-100, recall 1.0; 32768 gave it back), while the 8192
         fallback preserves the gate for mid-size collections whose sample
         would round to zero 16384-blocks. Soundness is grouping-invariant
-        (any partition of sampled rows yields true element maxima)."""
+        (any partition of sampled rows yields true element maxima).
+        Auto-selection skips blocks whose x-tile busts sampled_submax's
+        VMEM budget (e.g. f32 at dim > 384): the kernel would halve the
+        block anyway, but AFTER the sample was rounded to the oversized
+        block — a strictly looser floor than selecting the smaller block
+        here."""
         if theta0_blk:  # explicit VROD_THETA0_BLK override
             ok, n_sample = _gate_for(theta0_blk)
             return ok, n_sample, theta0_blk
+        cands, fallback = [], 8192
         for blk in (16384, 8192):
+            while blk * dim * itemsize > pallas_topk.SUBMAX_VMEM_BYTES \
+                    and blk > 128:
+                blk //= 2
+            fallback = blk
+            if blk not in cands:
+                cands.append(blk)
+        for blk in cands:
             ok, n_sample = _gate_for(blk)
             if ok:
                 return True, n_sample, blk
-        return False, 0, 8192
+        return False, 0, fallback
 
     def local_topk(*args):
         """Per-shard scan + top-k; one body for both state layouts:
@@ -159,7 +172,8 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
             # materializes the (B, n_sample) score matrix and costs more
             # than it saves (measured, experiments/kexp7.py).
             theta0 = None
-            ok, n_sample, blk = floor_gate()
+            ok, n_sample, blk = floor_gate(
+                x_l.shape[1], x_l.dtype.itemsize)
             if ok:
                 sub_extras = dict(extras)
                 if use_norms:

@@ -418,12 +418,11 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
     # VMEM guard: the auto-pipelined x tile is double-buffered, so an
     # oversized block (e.g. VROD_THETA0_BLK=32768 with bf16 at dim 768 =
     # 48 MB/tile) fails Mosaic compilation. Halving is always sound —
-    # sub-maxima stay true elements under any row grouping.
-    while block_rows * d * x.dtype.itemsize > 24 * 1024 * 1024 \
-            and block_rows > 128:
-        block_rows //= 2
-    while n % block_rows != 0 and block_rows > 128:
-        block_rows //= 2
+    # sub-maxima stay true elements under any row grouping. The engine's
+    # auto-selection pre-filters by the same budget (SUBMAX_VMEM_BYTES),
+    # so this only fires for explicit VROD_THETA0_BLK overrides.
+    block_rows = _shrink_block(block_rows, n, d, x.dtype.itemsize,
+                               SUBMAX_VMEM_BYTES, min_block=128)
     assert n % block_rows == 0 and block_rows % 128 == 0, (n, block_rows)
     nblocks = n // block_rows
     per_blk = 128
@@ -475,17 +474,33 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
     return out
 
 
+# Pre-pass tile budget: 24 MB compiles at 1M x 768 bf16 (16384-row block);
+# 48 MB (32768-row) fails Mosaic. The submax tile can run larger than the
+# main kernel's 8 MB default because the pre-pass carries no extraction
+# state alongside the double-buffered x tile.
+SUBMAX_VMEM_BYTES = 24 * 1024 * 1024
+
+
+def _shrink_block(block: int, n: int, d: int, itemsize: int,
+                  vmem_budget: int, min_block: int) -> int:
+    """Halve ``block`` until the x-tile fits the VMEM budget (tiles are
+    double-buffered; floor 128, the min sublane-aligned tile) and divides
+    the row count (floor ``min_block``). Shared by the main-kernel and
+    submax-pre-pass block choices so the VMEM model lives once."""
+    while block * d * itemsize > vmem_budget and block > 128:
+        block //= 2
+    while n % block != 0 and block > min_block:
+        block //= 2
+    return block
+
+
 def pick_block_rows(n: int, d: int, itemsize: int,
                     vmem_budget: int = 8 * 1024 * 1024) -> int:
     """Streaming block choice: 2048 rows is the measured sweet spot at
     dim 768 (fewer rows -> more while-loop instances; more rows -> wider
     extraction passes), shrunk in power-of-two steps until the x-tile fits
     the VMEM budget (x is double-buffered) and divides the row count."""
-    block = 2048
-    while block * d * itemsize > vmem_budget and block > 128:
-        block //= 2
-    while n % block != 0 and block > 8:
-        block //= 2
+    block = _shrink_block(2048, n, d, itemsize, vmem_budget, min_block=8)
     return max(min(block, n), 8)
 
 
