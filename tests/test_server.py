@@ -1,0 +1,251 @@
+"""Network serving layer: protocol, correctness, cross-client batching.
+
+The reference has no server (SURVEY §1); this is the TPU-native serving
+extension (vrod_tpu/server.py): one loaded database + compiled programs
+behind a socket, concurrent clients micro-batched into shared MXU tiles.
+"""
+
+import json
+import socket
+import threading
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vrod_tpu import metrics
+from vrod_tpu.client import VrodClient, VrodServerError
+from vrod_tpu.server import VrodServer, parse_addr
+
+DIM = 16
+
+
+@pytest.fixture
+def server(tmp_db, tmp_path):
+    with VrodServer(tmp_db, f"unix:{tmp_path}/vrod.sock",
+                    max_wait_ms=5.0).start() as s:
+        yield s
+
+
+@pytest.fixture
+def client(server):
+    with VrodClient(server.address) as c:
+        yield c
+
+
+def _fill(client, name="c", n=32, seed=0):
+    client.execute("CREATE", arg=f"{name};dim={DIM};metric=cosine;"
+                                 f"segment_rows=64")
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    rids = client.bulk_insert(name, vecs, [f"p{i}" for i in range(n)])
+    return vecs, rids
+
+
+def test_parse_addr():
+    assert parse_addr("unix:/tmp/x.sock") == ("unix", "/tmp/x.sock")
+    assert parse_addr("127.0.0.1:7045") == ("tcp", "127.0.0.1", 7045)
+    assert parse_addr(("localhost", 0)) == ("tcp", "localhost", 0)
+    for bad in ("unix:", "nohost", "h:notaport"):
+        with pytest.raises(ValueError):
+            parse_addr(bad)
+
+
+def test_ping_stats_roundtrip(client):
+    assert client.ping() == "pong"
+    st = client.stats()
+    assert st["uptime_s"] >= 0 and "counters" in st
+
+
+def test_insert_search_get_update_delete(client):
+    vecs, rids = _fill(client)
+    # top-1 of a stored vector is itself at cosine 1.0
+    hits = client.search_similar("c", vecs[3], k=2)
+    assert hits[0].record_id == rids[3]
+    assert hits[0].score == pytest.approx(1.0, abs=1e-5)
+    assert hits[0].payload == "p3"
+    # exact lookup round-trips the vector
+    v, payload = client.get("c", rids[3])
+    np.testing.assert_allclose(v, vecs[3], rtol=1e-6)
+    assert payload == "p3"
+    # single insert
+    rid = client.insert("c", vecs[0] * 0.5, "copy")
+    assert client.search_similar("c", vecs[0], k=2)[1].record_id == rid
+    # update moves the record
+    client.update("c", rid, -vecs[0], "flipped")
+    hits = client.search_similar("c", -vecs[0], k=1)
+    assert (hits[0].record_id, hits[0].payload) == (rid, "flipped")
+    # delete removes it from results
+    assert client.delete("c", rid) == 1
+    assert all(h.record_id != rid
+               for h in client.search_similar("c", -vecs[0], k=8))
+
+
+def test_filters_and_batch_search(client):
+    vecs, rids = _fill(client)
+    only = rids[:4]
+    hits = client.search_similar("c", vecs[10], k=4, within_ids=only)
+    assert {h.record_id for h in hits} <= set(only)
+    hits = client.search_similar("c", vecs[10], k=4,
+                                 exclude_ids=[rids[10]])
+    assert all(h.record_id != rids[10] for h in hits)
+    # client-side batch: one request, one engine call, exact per-row results
+    batches = client.search_similar_batch("c", vecs[:6], k=1)
+    assert [b[0].record_id for b in batches] == list(rids[:6])
+
+
+def test_execute_parity_path(client, tmp_path):
+    """Any reference verb works over the wire with the CLI -a contract."""
+    client.execute("CREATE", arg=f"p;dim={DIM};metric=dot")
+    out = client.execute("INSERT", collection="p",
+                         arg=",".join(["1.0"] * DIM) + ";hello")
+    assert out == "Inserted record 1"
+    out = client.execute("SEARCHSIMILAR", collection="p",
+                         arg=",".join(["1.0"] * DIM) + ";k=1")
+    assert "hello" in out
+    assert "p" in client.execute("LISTCOLLECTIONS")
+    assert client.execute("REINDEX", collection="p").startswith("Reindexed")
+    client.execute("DROP", arg="p")
+    assert "p " not in client.execute("LISTCOLLECTIONS")
+
+
+def test_concurrent_clients_batch_into_tiles(server):
+    """N clients hammer single-query searches; every result is exact and
+    the frontend packed them into fewer engine batches than queries."""
+    with VrodClient(server.address) as c0:
+        vecs, rids = _fill(c0, n=48)
+    before = metrics.counters.snapshot()
+    errors, lock = [], threading.Lock()
+
+    def worker(tid):
+        try:
+            with VrodClient(server.address) as c:
+                for i in range(tid, 48, 6):
+                    hits = c.search_similar("c", vecs[i], k=1)
+                    if hits[0].record_id != rids[i]:
+                        raise AssertionError(
+                            f"query {i}: got {hits[0].record_id}")
+        except Exception as e:
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    after = metrics.counters.snapshot()
+    queries = 48
+    batches = after.get("frontend.batch", 0) - before.get("frontend.batch", 0)
+    assert 0 < batches < queries, (
+        f"expected cross-client micro-batching: {batches} batches "
+        f"for {queries} queries")
+
+
+def test_error_responses_keep_connection(client):
+    with pytest.raises(VrodServerError, match="Unrecognized"):
+        client.execute("FROBNICATE")
+    with pytest.raises(VrodServerError, match="No collection named"):
+        client.search_similar("ghost", np.zeros(DIM), k=1)
+    _fill(client, n=4)
+    with pytest.raises(VrodServerError):
+        client.search_similar("c", np.zeros(DIM - 1), k=1)  # bad dim
+    # connection still serves after errors
+    assert client.ping() == "pong"
+
+
+def test_bad_json_closes_connection(server):
+    spec = parse_addr(server.address)
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(10)
+    s.connect(spec[1])
+    s.sendall(b"this is not json\n")
+    f = s.makefile("rb")
+    resp = json.loads(f.readline())
+    assert resp["ok"] is False and "JSON" in resp["error"]
+    assert f.readline() == b""  # server closed the framing-broken conn
+    s.close()
+
+
+def test_correlation_id_echo(server):
+    spec = parse_addr(server.address)
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.settimeout(10)
+    s.connect(spec[1])
+    s.sendall(json.dumps({"cmd": "PING", "id": "xyz"}).encode() + b"\n")
+    resp = json.loads(s.makefile("rb").readline())
+    assert resp == {"ok": True, "result": "pong", "id": "xyz"}
+    s.close()
+
+
+def test_drop_then_recreate_rebinds_batcher(client):
+    vecs, rids = _fill(client, n=8, seed=1)
+    assert client.search_similar("c", vecs[0], k=1)[0].record_id == rids[0]
+    client.execute("DROP", arg="c")
+    vecs2, rids2 = _fill(client, n=8, seed=2)
+    hits = client.search_similar("c", vecs2[5], k=1)
+    assert hits[0].record_id == rids2[5]
+
+
+def test_tcp_transport(tmp_db):
+    with VrodServer(tmp_db, ("127.0.0.1", 0)).start() as s:
+        with VrodClient(s.address) as c:
+            assert c.ping() == "pong"
+
+
+def test_shutdown_verb(tmp_db, tmp_path):
+    s = VrodServer(tmp_db, f"unix:{tmp_path}/sd.sock").start()
+    with VrodClient(s.address) as c:
+        assert c.shutdown_server() == "shutting down"
+    # close() runs on a helper thread: wait until it unlinks the socket
+    # (its last act) so the connect below cannot race the listen backlog.
+    import time
+    sock_path = s.address[len("unix:"):]
+    for _ in range(100):
+        if not Path(sock_path).exists():
+            break
+        time.sleep(0.1)
+    assert s._closing.is_set()
+    assert not Path(sock_path).exists()
+    with pytest.raises((ConnectionRefusedError, FileNotFoundError, OSError)):
+        VrodClient(s.address)
+
+
+def test_cli_serve_flag(tmp_path):
+    """--serve end-to-end: subprocess CLI server, client over unix socket."""
+    import subprocess
+    import sys
+    import time
+
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "sdb")
+    db.close()
+    sock = tmp_path / "cli.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "sdb"),
+         "--serve", f"unix:{sock}"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        for _ in range(300):
+            if sock.exists():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server died: {proc.stderr.read().decode()}")
+            time.sleep(0.1)
+        else:
+            raise AssertionError("server socket never appeared")
+        with VrodClient(f"unix:{sock}") as c:
+            assert c.ping() == "pong"
+            c.execute("CREATE", arg=f"k;dim={DIM}")
+            rid = c.insert("k", np.ones(DIM, np.float32), "via-cli-server")
+            hits = c.search_similar("k", np.ones(DIM, np.float32), k=1)
+            assert hits[0].record_id == rid
+            c.shutdown_server()
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()

@@ -9,11 +9,13 @@ top-k merge.
 """
 
 from . import metrics
+from .client import VrodClient, VrodServerError
 from .collection import Collection, SearchHit
 from .config import CollectionConfig, DatabaseConfig, VROD_VERSION
 from .database import Database
 from .frontend import QueryBatcher
 from .records import Record, format_record, parse_record
+from .server import VrodServer
 from .utils.verify import verify_recall
 
 __version__ = VROD_VERSION
@@ -21,5 +23,6 @@ __version__ = VROD_VERSION
 __all__ = [
     "Collection", "SearchHit", "CollectionConfig", "DatabaseConfig",
     "Database", "QueryBatcher", "Record", "format_record", "parse_record",
+    "VrodServer", "VrodClient", "VrodServerError",
     "metrics", "verify_recall", "VROD_VERSION", "__version__",
 ]

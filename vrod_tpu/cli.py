@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="interactive mode: load the database once and read "
                         "'VERB [-c COLLECTION] [-a ARG]' lines from stdin "
                         "(amortizes JAX/compile startup across commands)")
+    p.add_argument("--serve", metavar="ADDR",
+                   help="serve the database to concurrent network clients "
+                        "(HOST:PORT, port 0 = ephemeral, or unix:PATH); "
+                        "newline-delimited JSON protocol — see "
+                        "vrod_tpu.client.VrodClient. No auth: bind loopback "
+                        "or a unix socket only")
     from .config import VROD_VERSION
     p.add_argument("-V", "--version", action="version",
                    version=f"vrod-tpu {VROD_VERSION}")
@@ -173,6 +179,18 @@ def main(argv=None) -> int:
             db_dir = Path(args.database) if args.database else Path.cwd()
             with Database.load(db_dir) as db:
                 return _shell(db, default_collection=args.collection)
+
+        # Serving mode: one loaded database + compiled programs behind a
+        # socket; concurrent clients micro-batch into shared MXU tiles.
+        if args.serve:
+            from .server import VrodServer
+            db_dir = Path(args.database) if args.database else Path.cwd()
+            with Database.load(db_dir) as db:
+                with VrodServer(db, args.serve) as server:
+                    print(f"Serving {db.path} on {server.address}",
+                          flush=True)
+                    server.serve_forever()
+            return 0
 
         # Execute path — the reference's intended (dormant) wiring
         # (main.rs:64-74 + builder.rs).

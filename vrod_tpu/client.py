@@ -1,0 +1,166 @@
+"""Python client for the vrod-tpu network server (``vrod_tpu.server``).
+
+Speaks the newline-delimited-JSON protocol over TCP or a unix socket.
+Thread-safe: one socket, requests serialized by an internal lock (open one
+client per thread for pipelining — the server batches across connections,
+so concurrent clients still share one MXU tile).
+
+    with VrodClient("127.0.0.1:7045") as c:
+        c.execute("CREATE", arg="docs;dim=384;metric=cosine")
+        rid = c.insert("docs", vec, "payload")
+        hits = c.search_similar("docs", vec, k=5)
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import threading
+
+import numpy as np
+
+from .errors import VrodError
+from .server import parse_addr
+
+
+class VrodServerError(VrodError):
+    """The server answered ``ok: false``; the message is its error text."""
+
+
+class Hit:
+    """One similarity-search result (mirrors collection.SearchHit)."""
+
+    __slots__ = ("record_id", "score", "payload")
+
+    def __init__(self, record_id: int, score: float, payload: str):
+        self.record_id = record_id
+        self.score = score
+        self.payload = payload
+
+    def __repr__(self):
+        return f"Hit({self.record_id}, {self.score:.6f}, {self.payload!r})"
+
+    def __iter__(self):  # tuple-unpacking convenience
+        return iter((self.record_id, self.score, self.payload))
+
+
+class VrodClient:
+    def __init__(self, addr, *, timeout: float | None = 600.0):
+        spec = parse_addr(addr)
+        if spec[0] == "unix":
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(spec[1])
+        else:
+            self._sock = socket.create_connection(
+                (spec[1], spec[2]), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._lock = threading.Lock()
+        self._next_id = 0
+
+    # -- transport -----------------------------------------------------------
+
+    def _request(self, **req):
+        with self._lock:
+            self._next_id += 1
+            req["id"] = self._next_id
+            self._sock.sendall(json.dumps(req).encode() + b"\n")
+            line = self._rfile.readline()
+            if not line:
+                raise VrodServerError("Server closed the connection")
+            resp = json.loads(line)
+        if not resp.get("ok"):
+            raise VrodServerError(resp.get("error", "unknown server error"))
+        return resp.get("result")
+
+    def close(self) -> None:
+        try:
+            self._rfile.close()
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- API -----------------------------------------------------------------
+
+    def ping(self) -> str:
+        return self._request(cmd="PING")
+
+    def stats(self) -> dict:
+        return self._request(cmd="STATS")
+
+    def shutdown_server(self) -> str:
+        return self._request(cmd="SHUTDOWN")
+
+    def execute(self, cmd: str, collection: str | None = None,
+                arg: str | None = None):
+        """Run any reference verb with the CLI's ``-a`` string contract."""
+        req = {"cmd": cmd}
+        if collection is not None:
+            req["collection"] = collection
+        if arg is not None:
+            req["arg"] = arg
+        return self._request(**req)
+
+    def search_similar(self, collection: str, vector, k: int = 10, *,
+                       within_ids=None, exclude_ids=None) -> list[Hit]:
+        req = {"cmd": "SEARCHSIMILAR", "collection": collection,
+               "vector": np.asarray(vector, np.float32).tolist(), "k": k}
+        if within_ids is not None:
+            req["within"] = [int(i) for i in within_ids]
+        if exclude_ids is not None:
+            req["exclude"] = [int(i) for i in exclude_ids]
+        return [Hit(*h) for h in self._request(**req)["hits"]]
+
+    def search_similar_batch(self, collection: str, vectors, k: int = 10, *,
+                             within_ids=None, exclude_ids=None
+                             ) -> list[list[Hit]]:
+        req = {"cmd": "SEARCHSIMILAR", "collection": collection,
+               "vectors": np.asarray(vectors, np.float32).tolist(), "k": k}
+        if within_ids is not None:
+            req["within"] = [int(i) for i in within_ids]
+        if exclude_ids is not None:
+            req["exclude"] = [int(i) for i in exclude_ids]
+        return [[Hit(*h) for h in hits]
+                for hits in self._request(**req)["batches"]]
+
+    def get(self, collection: str, record_id: int):
+        """Exact lookup → (vector, payload)."""
+        r = self._request(cmd="SEARCH", collection=collection,
+                          record_id=int(record_id))
+        return np.asarray(r["vector"], np.float32), r["payload"]
+
+    def insert(self, collection: str, vector, payload: str = "") -> int:
+        r = self._request(cmd="INSERT", collection=collection,
+                          vector=np.asarray(vector, np.float32).tolist(),
+                          payload=payload)
+        return r["record_id"]
+
+    def bulk_insert(self, collection: str, vectors, payloads=None
+                    ) -> list[int]:
+        vecs = np.asarray(vectors, np.float32)
+        if payloads is None:
+            payloads = [""] * len(vecs)
+        r = self._request(cmd="BULKINSERT", collection=collection,
+                          records=[[v.tolist(), p]
+                                   for v, p in zip(vecs, payloads)])
+        return r["record_ids"]
+
+    def update(self, collection: str, record_id: int, vector,
+               payload: str = "") -> None:
+        self._request(cmd="UPDATE", collection=collection,
+                      record_id=int(record_id),
+                      vector=np.asarray(vector, np.float32).tolist(),
+                      payload=payload)
+
+    def delete(self, collection: str, ids) -> int:
+        if np.isscalar(ids) or isinstance(ids, (int, np.integer)):
+            ids = [ids]
+        r = self._request(cmd="DELETE", collection=collection,
+                          ids=[int(i) for i in ids])
+        return r["deleted"]

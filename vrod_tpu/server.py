@@ -1,0 +1,327 @@
+"""Network serving layer: concurrent clients over one loaded database.
+
+The reference has no server layer (SURVEY §1: CLI → command layer →
+database, one process, one thread). Serving is where the TPU-native design
+pays off, so vrod-tpu adds one as an extension: a long-lived process keeps
+the database loaded and the search programs compiled, and concurrent client
+connections feed a per-collection ``QueryBatcher`` — independent clients'
+single queries pack into one (B, dim) MXU tile (the chip is
+utilization-bound at B=1, so micro-batching across connections is the
+difference between ~hundreds and ~tens of thousands of QPS).
+
+Protocol: newline-delimited JSON over TCP (loopback by default) or a unix
+domain socket. One request object per line, one response object per line,
+in order, per connection:
+
+    → {"cmd": "SEARCHSIMILAR", "collection": "c", "vector": [...], "k": 5}
+    ← {"ok": true, "result": {"hits": [[id, score, payload], ...]}}
+
+Every request may carry a client correlation ``"id"``, echoed in the
+response. Two request forms are accepted:
+
+- **Structured** (preferred): ``vector``/``vectors``/``records``/``ids``/
+  ``record_id``/``payload`` fields, handled natively (single queries go
+  through the batcher; a 2-D ``vectors`` matrix is already a batch and runs
+  as one engine call).
+- **Command-string parity**: any reference verb with the CLI's ``-a``
+  string under ``"arg"`` — routed through the same ``CommandBuilder`` as
+  the CLI, so the server speaks the full verb vocabulary by construction.
+
+Admin verbs: ``PING``, ``STATS`` (uptime + process-wide counters — the
+``frontend.batch`` counter vs ``server.request`` shows cross-client
+batching), ``SHUTDOWN``.
+
+Security model: no auth — bind to loopback or a mode-0700 unix socket (the
+default), exactly like the CLI's local trust model. Anyone who can connect
+can mutate; do not bind a routable address on an untrusted network.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import socketserver
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+from . import metrics
+from .commands import CommandBuilder
+from .errors import VrodError
+from .frontend import QueryBatcher
+
+# One JSON document per line. Bulk inserts ride inline (a 10k x 768 f32
+# batch is ~80 MB of JSON text), so the cap is generous; it exists to bound
+# memory against a malformed/hostile peer, not to size-limit real requests.
+MAX_LINE_BYTES = 256 * 1024 * 1024
+
+
+def parse_addr(addr):
+    """``"unix:PATH"`` | ``"HOST:PORT"`` | ``(host, port)`` → address spec.
+
+    Returns ``("unix", path)`` or ``("tcp", host, port)``.
+    """
+    if isinstance(addr, tuple):
+        return ("tcp", str(addr[0]), int(addr[1]))
+    s = str(addr)
+    if s.startswith("unix:"):
+        path = s[len("unix:"):]
+        if not path:
+            raise ValueError(f"Empty unix socket path in address {addr!r}")
+        return ("unix", path)
+    host, sep, port = s.rpartition(":")
+    if not sep or not host:
+        raise ValueError(
+            f"Bad server address {addr!r}: expected HOST:PORT or unix:PATH")
+    try:
+        return ("tcp", host, int(port))
+    except ValueError as e:
+        raise ValueError(f"Bad port in server address {addr!r}") from e
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self):  # noqa: D102 — socketserver contract
+        server: VrodServer = self.server.vrod  # type: ignore[attr-defined]
+        metrics.counters.inc("server.connection")
+        while not server._closing.is_set():
+            try:
+                line = self.rfile.readline(MAX_LINE_BYTES + 1)
+            except OSError:
+                return
+            if not line:
+                return  # client closed
+            if len(line) > MAX_LINE_BYTES:
+                self._send({"ok": False,
+                            "error": f"Request exceeds {MAX_LINE_BYTES} "
+                                     f"bytes; closing connection"})
+                return
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+                if not isinstance(req, dict):
+                    raise ValueError("request must be a JSON object")
+            except ValueError as e:
+                # Framing is unreliable after a parse error (the "line" may
+                # be a fragment of something bigger): answer and close.
+                self._send({"ok": False, "error": f"Bad request JSON: {e}"})
+                return
+            resp = server.handle_request(req)
+            if req.get("id") is not None:
+                resp["id"] = req["id"]
+            if not self._send(resp):
+                return
+
+    def _send(self, obj) -> bool:
+        try:
+            self.wfile.write(json.dumps(obj).encode() + b"\n")
+            self.wfile.flush()
+            return True
+        except OSError:
+            return False
+
+
+class _ThreadingTCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+    # close() may be reached from a handler thread (SHUTDOWN verb);
+    # joining handler threads from one of them would deadlock.
+    block_on_close = False
+
+
+class _ThreadingUnixServer(socketserver.ThreadingUnixStreamServer):
+    daemon_threads = True
+    block_on_close = False
+
+
+class VrodServer:
+    """Serve one loaded :class:`~vrod_tpu.database.Database` to concurrent
+    network clients. ``addr``: ``"HOST:PORT"``, ``("host", port)`` (port 0 =
+    ephemeral), or ``"unix:PATH"``."""
+
+    def __init__(self, db, addr=("127.0.0.1", 0), *, max_batch: int = 256,
+                 max_wait_ms: float = 2.0):
+        self.db = db
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self._batchers: dict[str, QueryBatcher] = {}
+        self._batchers_lock = threading.Lock()
+        self._closing = threading.Event()
+        self._t0 = time.monotonic()
+        self._serve_thread: threading.Thread | None = None
+        spec = parse_addr(addr)
+        if spec[0] == "unix":
+            path = Path(spec[1])
+            if path.exists():  # stale socket from a dead process
+                path.unlink()
+            self._sock = _ThreadingUnixServer(str(path), _Handler)
+            os.chmod(path, 0o700)
+            self.address = f"unix:{path}"
+        else:
+            self._sock = _ThreadingTCPServer((spec[1], spec[2]), _Handler)
+            host, port = self._sock.server_address[:2]
+            self.address = f"{host}:{port}"
+        self._sock.vrod = self  # type: ignore[attr-defined]
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> "VrodServer":
+        """Serve on a background thread (tests / embedding in an app)."""
+        self._serve_thread = threading.Thread(
+            target=self._sock.serve_forever, daemon=True)
+        self._serve_thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        """Serve on the calling thread until close()/SHUTDOWN/KeyboardInterrupt."""
+        try:
+            self._sock.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        if self._closing.is_set():
+            return
+        self._closing.set()
+        self._sock.shutdown()
+        self._sock.server_close()
+        with self._batchers_lock:
+            batchers, self._batchers = dict(self._batchers), {}
+        for b in batchers.values():
+            b.close()
+        if self.address.startswith("unix:"):
+            try:
+                os.unlink(self.address[len("unix:"):])
+            except OSError:
+                pass
+        if self._serve_thread and \
+                self._serve_thread is not threading.current_thread():
+            self._serve_thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- request dispatch ---------------------------------------------------
+
+    def handle_request(self, req: dict) -> dict:
+        metrics.counters.inc("server.request")
+        try:
+            result = self._dispatch(req)
+            return {"ok": True, "result": result}
+        except (VrodError, ValueError, TypeError, KeyError) as e:
+            metrics.counters.inc("server.error")
+            return {"ok": False, "error": str(e) or repr(e)}
+        except Exception as e:  # never kill the connection thread
+            metrics.counters.inc("server.error")
+            return {"ok": False, "error": f"Internal error: {e!r}"}
+
+    def _dispatch(self, req: dict):
+        cmd = str(req.get("cmd", "")).upper()
+        collection = req.get("collection")
+        if cmd == "PING":
+            return "pong"
+        if cmd == "STATS":
+            return {"uptime_s": round(time.monotonic() - self._t0, 3),
+                    "address": self.address,
+                    "collections": self.db.list_collections(),
+                    "counters": metrics.counters.snapshot()}
+        if cmd == "SHUTDOWN":
+            # close() from a helper thread: the handler thread must finish
+            # sending this response first, and serve_forever lives elsewhere.
+            threading.Thread(target=self.close, daemon=True).start()
+            return "shutting down"
+
+        # Structured fast paths (native JSON fields, no record-string
+        # round-trip). Single queries go through the cross-client batcher.
+        if cmd == "SEARCHSIMILAR" and "vector" in req:
+            hits = self._batcher(collection).search(
+                req["vector"], int(req.get("k", 10)),
+                within_ids=req.get("within"), exclude_ids=req.get("exclude"))
+            return {"hits": [[h.record_id, h.score, h.payload]
+                             for h in hits]}
+        if cmd == "SEARCHSIMILAR" and "vectors" in req:
+            # A client-side batch is already a tile: one engine call.
+            vecs = np.asarray(req["vectors"], dtype=np.float32)
+            if vecs.ndim != 2:
+                raise ValueError(
+                    f"'vectors' must be 2-D, got shape {vecs.shape}")
+            batches = self._collection(collection).search_similar(
+                vecs, int(req.get("k", 10)),
+                within_ids=req.get("within"), exclude_ids=req.get("exclude"))
+            return {"batches": [[[h.record_id, h.score, h.payload]
+                                 for h in hits] for hits in batches]}
+        if cmd == "SEARCH" and "record_id" in req:
+            rec = self._collection(collection).get(int(req["record_id"]))
+            return {"record_id": int(req["record_id"]),
+                    "vector": np.asarray(rec.vector, np.float32).tolist(),
+                    "payload": rec.payload}
+        if cmd == "INSERT" and "vector" in req:
+            rid = self._collection(collection).insert(
+                np.asarray(req["vector"], np.float32),
+                str(req.get("payload", "")))
+            return {"record_id": int(rid)}
+        if cmd == "BULKINSERT" and "records" in req:
+            records = req["records"]
+            if not records:
+                return {"record_ids": []}
+            vecs = np.asarray([r[0] for r in records], dtype=np.float32)
+            payloads = [str(r[1]) if len(r) > 1 else "" for r in records]
+            rids = self._collection(collection).bulk_insert(vecs, payloads)
+            return {"record_ids": [int(r) for r in rids]}
+        if cmd == "UPDATE" and "vector" in req:
+            rid = int(req["record_id"])
+            self._collection(collection).update(
+                rid, np.asarray(req["vector"], np.float32),
+                str(req.get("payload", "")))
+            return {"record_id": rid}
+        if cmd == "DELETE" and "ids" in req:
+            n = self._collection(collection).delete_many(
+                [int(i) for i in req["ids"]])
+            return {"deleted": int(n)}
+
+        # Command-string parity path: the CLI's exact contract.
+        out = CommandBuilder(self.db).build(
+            collection, cmd, req.get("arg")).execute()
+        if cmd == "DROP":
+            self._forget_batcher(req.get("arg"))
+        return out
+
+    # -- helpers -------------------------------------------------------------
+
+    def _collection(self, name):
+        if not name:
+            raise ValueError("Request requires a 'collection'")
+        return self.db.collection(str(name))
+
+    def _batcher(self, name) -> QueryBatcher:
+        col = self._collection(name)
+        with self._batchers_lock:
+            if self._closing.is_set():
+                raise VrodError("Server is shutting down")
+            b = self._batchers.get(col.config.name)
+            if b is None or b.collection is not col:
+                # New collection object (first use, or re-created after a
+                # DROP that raced _forget_batcher): replace the batcher.
+                if b is not None:
+                    b.close()
+                b = QueryBatcher(col, max_batch=self.max_batch,
+                                 max_wait_ms=self.max_wait_ms)
+                self._batchers[col.config.name] = b
+            return b
+
+    def _forget_batcher(self, name) -> None:
+        if not name:
+            return
+        with self._batchers_lock:
+            b = self._batchers.pop(str(name).strip(), None)
+        if b is not None:
+            b.close()
