@@ -109,31 +109,39 @@ def test_execute_parity_path(client, tmp_path):
     assert "p " not in client.execute("LISTCOLLECTIONS")
 
 
-def test_concurrent_clients_batch_into_tiles(server):
+def test_concurrent_clients_batch_into_tiles(tmp_db, tmp_path):
     """N clients hammer single-query searches; every result is exact and
-    the frontend packed them into fewer engine batches than queries."""
-    with VrodClient(server.address) as c0:
-        vecs, rids = _fill(c0, n=48)
-    before = metrics.counters.snapshot()
-    errors, lock = [], threading.Lock()
+    the frontend packed them into fewer engine batches than queries. A
+    barrier start + a wide batch window (100 ms x 8 rounds vs 48 queries)
+    makes full serialization — the only false-failure mode — implausible
+    even on a loaded single-core CI box."""
+    with VrodServer(tmp_db, f"unix:{tmp_path}/b.sock",
+                    max_wait_ms=100.0).start() as server:
+        with VrodClient(server.address) as c0:
+            vecs, rids = _fill(c0, n=48)
+        before = metrics.counters.snapshot()
+        errors, lock = [], threading.Lock()
+        start = threading.Barrier(6)
 
-    def worker(tid):
-        try:
-            with VrodClient(server.address) as c:
-                for i in range(tid, 48, 6):
-                    hits = c.search_similar("c", vecs[i], k=1)
-                    if hits[0].record_id != rids[i]:
-                        raise AssertionError(
-                            f"query {i}: got {hits[0].record_id}")
-        except Exception as e:
-            with lock:
-                errors.append(e)
+        def worker(tid):
+            try:
+                with VrodClient(server.address) as c:
+                    start.wait(timeout=30)
+                    for i in range(tid, 48, 6):
+                        hits = c.search_similar("c", vecs[i], k=1)
+                        if hits[0].record_id != rids[i]:
+                            raise AssertionError(
+                                f"query {i}: got {hits[0].record_id}")
+            except Exception as e:
+                with lock:
+                    errors.append(e)
 
-    threads = [threading.Thread(target=worker, args=(t,)) for t in range(6)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+        threads = [threading.Thread(target=worker, args=(t,))
+                   for t in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
     assert not errors
     after = metrics.counters.snapshot()
     queries = 48
@@ -249,3 +257,76 @@ def test_cli_serve_flag(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+
+
+def test_unix_socket_not_stolen_from_live_server(tmp_db, tmp_path):
+    """Binding a path a LIVE server answers on must fail, not silently
+    steal it; a stale path (dead owner) must be reclaimed."""
+    import vrod_tpu.database as vdb
+
+    sock = tmp_path / "owned.sock"
+    with VrodServer(tmp_db, f"unix:{sock}").start():
+        db2 = vdb.Database.new(tmp_path / "d2", "db2")
+        try:
+            with pytest.raises(OSError, match="already in use"):
+                VrodServer(db2, f"unix:{sock}")
+        finally:
+            db2.close()
+    # After close the path is gone; simulate a crash leaving a stale file:
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.bind(str(sock))
+    s.close()  # closed without unlink -> stale, nobody answers
+    db3 = vdb.Database.new(tmp_path / "d3", "db3")
+    try:
+        with VrodServer(db3, f"unix:{sock}").start() as srv:
+            with VrodClient(srv.address) as c:
+                assert c.ping() == "pong"
+    finally:
+        db3.close()
+
+
+def test_client_hard_fails_after_timeout(server):
+    """A read timeout desyncs request/response pairing: the client must
+    refuse further use (blind retries could re-execute mutations)."""
+    from vrod_tpu.client import VrodConnectionError
+
+    with VrodClient(server.address) as c:
+        # CREATE does real filesystem + engine work (milliseconds), so a
+        # 100 us read window always expires before the response lands.
+        c._sock.settimeout(0.0001)
+        with pytest.raises(VrodConnectionError):
+            c.execute("CREATE", arg=f"slow;dim={DIM}")
+        # ... and every subsequent call fails fast, without transmitting.
+        with pytest.raises(VrodConnectionError, match="broken"):
+            c.insert("slow", np.zeros(DIM), "never-sent")
+
+
+def test_unix_socket_permissions(server):
+    import os
+    import stat
+
+    path = server.address[len("unix:"):]
+    mode = stat.S_IMODE(os.stat(path).st_mode)
+    assert mode == 0o700, oct(mode)
+
+
+def test_client_import_is_engine_free():
+    """vrod_tpu.client must import without jax/engine modules: client-only
+    processes need sockets+json, not a TPU runtime (and must never
+    accidentally initialize a tunnel backend)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "from vrod_tpu.client import VrodClient\n"
+        "from vrod_tpu import VrodServerError\n"
+        "heavy = [m for m in ('jax', 'jaxlib', 'vrod_tpu.engine', "
+        "'vrod_tpu.database', 'vrod_tpu.collection') if m in sys.modules]\n"
+        "assert not heavy, f'client import pulled {heavy}'\n"
+        "print('LIGHT')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "LIGHT" in out.stdout

@@ -20,11 +20,19 @@ import threading
 import numpy as np
 
 from .errors import VrodError
-from .server import parse_addr
+from .netaddr import parse_addr  # NOT server.py: keep clients engine-free
 
 
 class VrodServerError(VrodError):
     """The server answered ``ok: false``; the message is its error text."""
+
+
+class VrodConnectionError(VrodServerError):
+    """Transport failure (timeout/reset/desync). The client hard-fails every
+    subsequent call: after a read timeout the response stream is out of
+    sync with requests, so silently continuing could pair responses with
+    the wrong requests — and blind retries would re-execute mutations that
+    may already have applied server-side. Reconnect with a new client."""
 
 
 class Hit:
@@ -57,18 +65,38 @@ class VrodClient:
         self._rfile = self._sock.makefile("rb")
         self._lock = threading.Lock()
         self._next_id = 0
+        self._broken: str | None = None  # why the connection is unusable
 
     # -- transport -----------------------------------------------------------
 
     def _request(self, **req):
         with self._lock:
+            if self._broken:
+                raise VrodConnectionError(
+                    f"Connection is broken ({self._broken}); reconnect "
+                    f"with a new VrodClient")
             self._next_id += 1
             req["id"] = self._next_id
-            self._sock.sendall(json.dumps(req).encode() + b"\n")
-            line = self._rfile.readline()
+            try:
+                self._sock.sendall(json.dumps(req).encode() + b"\n")
+                line = self._rfile.readline()
+            except OSError as e:
+                self._broken = f"transport error: {e}"
+                raise VrodConnectionError(self._broken) from e
             if not line:
-                raise VrodServerError("Server closed the connection")
-            resp = json.loads(line)
+                self._broken = "server closed the connection"
+                raise VrodConnectionError(self._broken)
+            try:
+                resp = json.loads(line)
+            except ValueError as e:
+                self._broken = f"unparseable response: {e}"
+                raise VrodConnectionError(self._broken) from e
+            if resp.get("id") != req["id"]:
+                # A stale response (e.g. from before an interrupted call)
+                # means request/response pairing is lost for good.
+                self._broken = (f"response desync: expected id "
+                                f"{req['id']}, got {resp.get('id')!r}")
+                raise VrodConnectionError(self._broken)
         if not resp.get("ok"):
             raise VrodServerError(resp.get("error", "unknown server error"))
         return resp.get("result")

@@ -52,34 +52,14 @@ from . import metrics
 from .commands import CommandBuilder
 from .errors import VrodError
 from .frontend import QueryBatcher
+from .netaddr import parse_addr  # re-export; clients import it sans engine
+
+__all__ = ["VrodServer", "parse_addr", "MAX_LINE_BYTES"]
 
 # One JSON document per line. Bulk inserts ride inline (a 10k x 768 f32
 # batch is ~80 MB of JSON text), so the cap is generous; it exists to bound
 # memory against a malformed/hostile peer, not to size-limit real requests.
 MAX_LINE_BYTES = 256 * 1024 * 1024
-
-
-def parse_addr(addr):
-    """``"unix:PATH"`` | ``"HOST:PORT"`` | ``(host, port)`` → address spec.
-
-    Returns ``("unix", path)`` or ``("tcp", host, port)``.
-    """
-    if isinstance(addr, tuple):
-        return ("tcp", str(addr[0]), int(addr[1]))
-    s = str(addr)
-    if s.startswith("unix:"):
-        path = s[len("unix:"):]
-        if not path:
-            raise ValueError(f"Empty unix socket path in address {addr!r}")
-        return ("unix", path)
-    host, sep, port = s.rpartition(":")
-    if not sep or not host:
-        raise ValueError(
-            f"Bad server address {addr!r}: expected HOST:PORT or unix:PATH")
-    try:
-        return ("tcp", host, int(port))
-    except ValueError as e:
-        raise ValueError(f"Bad port in server address {addr!r}") from e
 
 
 class _Handler(socketserver.StreamRequestHandler):
@@ -109,6 +89,12 @@ class _Handler(socketserver.StreamRequestHandler):
                 # Framing is unreliable after a parse error (the "line" may
                 # be a fragment of something bigger): answer and close.
                 self._send({"ok": False, "error": f"Bad request JSON: {e}"})
+                return
+            # Re-check AFTER the blocking readline: a connection idle across
+            # close() must not dispatch against closed batchers/database.
+            if server._closing.is_set():
+                self._send({"ok": False,
+                            "error": "Server is shutting down"})
                 return
             resp = server.handle_request(req)
             if req.get("id") is not None:
@@ -144,22 +130,51 @@ class VrodServer:
     ephemeral), or ``"unix:PATH"``."""
 
     def __init__(self, db, addr=("127.0.0.1", 0), *, max_batch: int = 256,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0,
+                 search_timeout_s: float | None = 600.0):
         self.db = db
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        # Per-query wall clock for the batched path. Generous: the FIRST
+        # query of a new (batch-bucket, k) shape pays XLA compilation
+        # (tens of seconds on a cold tunnel); a tight cap here would fail
+        # real queries whose engine call then completes and is discarded.
+        self.search_timeout_s = search_timeout_s
         self._batchers: dict[str, QueryBatcher] = {}
         self._batchers_lock = threading.Lock()
         self._closing = threading.Event()
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
         self._t0 = time.monotonic()
         self._serve_thread: threading.Thread | None = None
+        self._sock_inode: int | None = None
         spec = parse_addr(addr)
         if spec[0] == "unix":
             path = Path(spec[1])
-            if path.exists():  # stale socket from a dead process
-                path.unlink()
-            self._sock = _ThreadingUnixServer(str(path), _Handler)
+            if path.is_socket():
+                # Refuse to steal a LIVE server's socket; unlink only a
+                # stale path (bound by a process that died without cleanup).
+                probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                try:
+                    probe.settimeout(1.0)
+                    probe.connect(str(path))
+                except OSError:
+                    path.unlink()  # nobody answering: stale
+                else:
+                    raise OSError(
+                        f"Address already in use: a live server answers on "
+                        f"{path}")
+                finally:
+                    probe.close()
+            # Bind under umask 0o077 so there is no window where the
+            # default-mode socket (0777 & ~umask) accepts other users.
+            old_umask = os.umask(0o077)
+            try:
+                self._sock = _ThreadingUnixServer(str(path), _Handler)
+            finally:
+                os.umask(old_umask)
             os.chmod(path, 0o700)
+            self._sock_inode = os.stat(path).st_ino
             self.address = f"unix:{path}"
         else:
             self._sock = _ThreadingTCPServer((spec[1], spec[2]), _Handler)
@@ -185,19 +200,33 @@ class VrodServer:
         finally:
             self.close()
 
-    def close(self) -> None:
+    def close(self, drain_timeout_s: float = 30.0) -> None:
         if self._closing.is_set():
             return
         self._closing.set()
         self._sock.shutdown()
         self._sock.server_close()
+        # Drain in-flight requests: in CLI --serve mode the Database closes
+        # right after close() returns, and a mutation mid-WAL-apply must
+        # not race that. New requests are refused once _closing is set.
+        deadline = time.monotonic() + drain_timeout_s
+        with self._inflight_cv:
+            while self._inflight > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._inflight_cv.wait(timeout=remaining)
         with self._batchers_lock:
             batchers, self._batchers = dict(self._batchers), {}
         for b in batchers.values():
             b.close()
         if self.address.startswith("unix:"):
+            # Unlink only OUR socket: another server may have (wrongly or
+            # after our crash-restart) re-bound the same path since.
+            path = self.address[len("unix:"):]
             try:
-                os.unlink(self.address[len("unix:"):])
+                if os.stat(path).st_ino == self._sock_inode:
+                    os.unlink(path)
             except OSError:
                 pass
         if self._serve_thread and \
@@ -213,6 +242,12 @@ class VrodServer:
     # -- request dispatch ---------------------------------------------------
 
     def handle_request(self, req: dict) -> dict:
+        import concurrent.futures
+
+        with self._inflight_cv:
+            if self._closing.is_set():
+                return {"ok": False, "error": "Server is shutting down"}
+            self._inflight += 1
         metrics.counters.inc("server.request")
         try:
             result = self._dispatch(req)
@@ -220,9 +255,18 @@ class VrodServer:
         except (VrodError, ValueError, TypeError, KeyError) as e:
             metrics.counters.inc("server.error")
             return {"ok": False, "error": str(e) or repr(e)}
+        except concurrent.futures.TimeoutError:
+            metrics.counters.inc("server.error")
+            return {"ok": False,
+                    "error": f"Search timed out after "
+                             f"{self.search_timeout_s} s (server-side cap)"}
         except Exception as e:  # never kill the connection thread
             metrics.counters.inc("server.error")
             return {"ok": False, "error": f"Internal error: {e!r}"}
+        finally:
+            with self._inflight_cv:
+                self._inflight -= 1
+                self._inflight_cv.notify_all()
 
     def _dispatch(self, req: dict):
         cmd = str(req.get("cmd", "")).upper()
@@ -245,6 +289,7 @@ class VrodServer:
         if cmd == "SEARCHSIMILAR" and "vector" in req:
             hits = self._batcher(collection).search(
                 req["vector"], int(req.get("k", 10)),
+                timeout=self.search_timeout_s,
                 within_ids=req.get("within"), exclude_ids=req.get("exclude"))
             return {"hits": [[h.record_id, h.score, h.payload]
                              for h in hits]}
