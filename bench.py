@@ -250,6 +250,87 @@ def mixed_workload(n_rows, dim, iters, dtype="float32"):
         return ops_done / dt, restore_s, count, reindex_s
 
 
+def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
+    """End-to-end serving: a unix-socket VrodServer over a temp database,
+    ``n_clients`` concurrent connections each issuing single-query searches
+    (the worst case for a TPU — batch 1 is dispatch-bound). The frontend
+    micro-batches across connections into shared MXU tiles; correctness is
+    built in (every query is a stored vector whose top-1 must be itself).
+    Reports aggregate client-observed QPS + the achieved batching ratio."""
+    import tempfile
+    import threading
+    from vrod_tpu import metrics
+    from vrod_tpu.client import VrodClient
+    from vrod_tpu.database import Database
+    from vrod_tpu.server import VrodServer
+
+    rng = np.random.default_rng(5)
+    with tempfile.TemporaryDirectory() as tmp:
+        db = Database.new(tmp, "servedb", wal_sync=False)
+        col = db.create_collection("s", dim=dim, dtype=dtype,
+                                   segment_rows=min(n_rows, 262144))
+        vecs = rng.standard_normal((n_rows, dim)).astype(np.float32)
+        for i in range(0, n_rows, 65536):  # bounded WAL frames / host RAM
+            col.bulk_insert(vecs[i:i + 65536])
+        # Warm every compiled shape the batcher can produce with N clients
+        # (pending sizes 1..N pad to these buckets) so the timed window
+        # measures serving, not XLA compiles.
+        from vrod_tpu.engine import BATCH_BUCKETS
+        buckets = sorted({b for b in BATCH_BUCKETS if b <= n_clients} | {1})
+        for b in buckets:
+            col.search_similar(vecs[:b], k)
+        with VrodServer(db, f"unix:{tmp}/bench.sock",
+                        max_wait_ms=2.0) as server:
+            server.start()
+            errors = []
+            start = threading.Barrier(n_clients + 1)
+            lat = [[] for _ in range(n_clients)]
+
+            def worker(tid):
+                try:
+                    with VrodClient(server.address) as c:
+                        start.wait(timeout=120)
+                        idx = rng.integers(0, n_rows, size=per_client)
+                        for i in idx:
+                            t0 = time.perf_counter()
+                            hits = c.search_similar("s", vecs[i], k=k)
+                            lat[tid].append(time.perf_counter() - t0)
+                            if hits[0].record_id != int(i) + 1:
+                                raise AssertionError(
+                                    f"query {i}: top-1 {hits[0].record_id}")
+                except Exception as e:
+                    errors.append(e)
+                    start.abort()
+
+            before = metrics.counters.snapshot()
+            threads = [threading.Thread(target=worker, args=(t,))
+                       for t in range(n_clients)]
+            for t in threads:
+                t.start()
+            try:
+                start.wait(timeout=120)
+            except threading.BrokenBarrierError:
+                for t in threads:
+                    t.join(timeout=10)
+                raise (errors[0] if errors
+                       else RuntimeError("client barrier broke"))
+            t0 = time.perf_counter()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+            if errors:
+                raise errors[0]
+            after = metrics.counters.snapshot()
+        db.close()
+        queries = n_clients * per_client
+        batches = (after.get("frontend.batch", 0)
+                   - before.get("frontend.batch", 0))
+        all_lat = sorted(x for per in lat for x in per)
+        p50 = all_lat[len(all_lat) // 2]
+        p99 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.99))]
+        return (queries / dt, queries / max(batches, 1), p50, p99)
+
+
 def main():
     from vrod_tpu.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -274,7 +355,10 @@ def main():
     ap.add_argument("--impl", default=None)
     ap.add_argument("--precision", default=None)
     ap.add_argument("--workload", default="search",
-                    choices=["search", "mixed", "batch-sweep", "scaling"])
+                    choices=["search", "mixed", "batch-sweep", "scaling",
+                             "serve"])
+    ap.add_argument("--clients", type=int, default=32,
+                    help="concurrent connections for --workload serve")
     ap.add_argument("--shards", type=int, default=1)
     ap.add_argument("--metric", default="cosine",
                     choices=["cosine", "l2", "dot"])
@@ -333,6 +417,28 @@ def main():
             "vs_baseline": round(curve[str(shards_list[-1])] / base, 2),
             "extra": {"qps_by_shards": curve, "devices_available": n_dev,
                       "recall_full_scan@k": recall},
+        }))
+        return
+
+    if args.workload == "serve":
+        # End-to-end serving: concurrent batch-1 clients through the
+        # socket server; the frontend's cross-client micro-batching is
+        # what separates this from the ~100-300 QPS a batch-1 loop gets.
+        n_rows = args.rows or (32768 if args.quick else 262144)
+        per_client = args.iters or (4 if args.quick else 40)
+        qps, batch_ratio, p50, p99 = serve_workload(
+            n_rows, args.dim, args.k, args.clients, per_client,
+            dtype=args.dtype)
+        print(json.dumps({
+            "metric": f"end-to-end served QPS, {n_rows}x{args.dim}, "
+                      f"{args.clients} batch-1 clients",
+            "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": None,
+            "extra": {"avg_queries_per_tile": round(batch_ratio, 1),
+                      "client_p50_ms": round(p50 * 1e3, 2),
+                      "client_p99_ms": round(p99 * 1e3, 2),
+                      "recall_spotcheck": 1.0},
         }))
         return
 
