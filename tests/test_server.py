@@ -330,3 +330,58 @@ def test_client_import_is_engine_free():
                          text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert "LIGHT" in out.stdout
+
+
+def test_server_sigkill_acked_inserts_survive(tmp_path):
+    """Durability THROUGH the network layer: SIGKILL the serving process
+    mid-insert-stream; every insert the client saw acked must be present
+    after WAL replay in a fresh process (ack ⊃ fsync — the server answers
+    only after the collection's WAL append+fsync)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "kdb")
+    db.create_collection("c", dim=DIM, metric="cosine", segment_rows=64)
+    db.close()
+    sock = tmp_path / "k.sock"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "kdb"),
+         "--serve", f"unix:{sock}"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+    try:
+        for _ in range(300):
+            if sock.exists():
+                break
+            assert proc.poll() is None, proc.stderr.read().decode()
+            time.sleep(0.1)
+        else:
+            raise AssertionError("server socket never appeared")
+        rng = np.random.default_rng(9)
+        acked = {}
+        with VrodClient(f"unix:{sock}") as c:
+            for i in range(40):
+                v = rng.standard_normal(DIM).astype(np.float32)
+                rid = c.insert("c", v, f"ack{i}")
+                acked[rid] = f"ack{i}"
+        # kill mid-lifecycle: more un-acked work may be in flight from the
+        # server's own maintenance; only ACKED records carry the guarantee.
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    db2 = Database.load(tmp_path / "kdb")
+    try:
+        col = db2.collection("c")
+        assert col.count >= len(acked)
+        for rid, payload in acked.items():
+            rec = col.get(rid)
+            assert rec.payload == payload
+    finally:
+        db2.close()
