@@ -126,3 +126,62 @@ def test_delete_negative_id_clean_error(tmp_db):
     cb = CommandBuilder(tmp_db)
     with pytest.raises(RecordFormatError, match="non-negative"):
         cb.build("neg", "DELETE", "-5,3").execute()
+
+
+def test_export_dispatch(builder):
+    from vrod_tpu.commands.builder import EXTENSION_VERBS
+
+    assert "EXPORT" in EXTENSION_VERBS
+    assert isinstance(builder.build("c", "export", "/tmp/x"),
+                      T.ExportCommand)
+
+
+@pytest.mark.parametrize("dtype,metric", [
+    ("float32", "cosine"),
+    # int8 exports the dequantized STORED representation — what search
+    # scores — so under dot (rows scored as stored) the re-ingested f32
+    # copy scores identically. (Cosine re-NORMALIZES on ingest, so an
+    # int8→f32 round-trip there shifts scores by ~quantization error.)
+    ("int8", "dot"),
+])
+def test_export_roundtrip_through_bulkinsert(builder, tmp_db, tmp_path,
+                                             dtype, metric):
+    """EXPORT is BULKINSERT's exact inverse: a dump re-ingested into a
+    fresh f32 collection reproduces search results (scores + payloads;
+    ids are freshly assigned) — including line-escaped payloads."""
+    import numpy as np
+
+    col = tmp_db.create_collection("src", dim=8, metric=metric,
+                                   dtype=dtype, segment_rows=64)
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((20, 8)).astype(np.float32)
+    payloads = [f"p{i}" for i in range(18)] + ["multi\nline\\x", "cr\rend"]
+    col.bulk_insert(vecs, payloads)
+    col.delete(3)  # deleted rows must not export
+
+    out = builder.build("src", "EXPORT", str(tmp_path / "dump.txt")).execute()
+    assert out == f"Exported 19 records to {tmp_path / 'dump.txt'}"
+
+    builder.build(None, "CREATE", f"dst;dim=8;metric={metric}").execute()
+    msg = builder.build("dst", "BULKINSERT",
+                        str(tmp_path / "dump.txt")).execute()
+    assert msg.startswith("Inserted 19 records")
+
+    dst = tmp_db.collection("dst")
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    for ha, hb in zip(col.search_similar(q, k=5), dst.search_similar(q, k=5)):
+        assert [(h.score, h.payload) for h in ha] == \
+               [(pytest.approx(h.score, abs=1e-6), h.payload) for h in hb]
+    # the escaped payloads round-tripped exactly
+    got = {h.payload for h in dst.search_similar(vecs[18], k=1)}
+    assert got == {"multi\nline\\x"}
+
+
+def test_export_requires_collection_and_path(builder, tmp_db):
+    from vrod_tpu.errors import MissingCommandArgError
+
+    tmp_db.create_collection("e", dim=4, segment_rows=64)
+    with pytest.raises(MissingCommandArgError):
+        builder.build(None, "EXPORT", "/tmp/x").execute()
+    with pytest.raises(MissingCommandArgError):
+        builder.build("e", "EXPORT", None).execute()

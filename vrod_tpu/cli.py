@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="command verb to execute (case-insensitive): CREATE, "
                         "DROP, LISTCOLLECTIONS, TRUNCATEWAL, INSERT, "
                         "BULKINSERT, UPDATE, DELETE, SEARCH, SEARCHSIMILAR, "
-                        "REINDEX")
+                        "REINDEX; extension: EXPORT (dump records to a file, "
+                        "BULKINSERT's inverse)")
     p.add_argument("-a", "--command-arg", metavar="COMMAND_ARG",
                    help="argument for the command")
     p.add_argument("-g", "--generate-embeddings", metavar="AMOUNT", type=int,

@@ -687,6 +687,51 @@ class Collection:
             self._fcache[key] = (gen, mask)
         return mask
 
+    def export_records(self, dest) -> int:
+        """Extension verb EXPORT: stream every live record to ``dest`` (a
+        path or text file object) in the reference's ``v0,...,vD;payload``
+        line format (``embeddings.rs:61``) — BULKINSERT's exact inverse, so
+        a dump re-ingests anywhere the record format is spoken. Returns the
+        number of records written.
+
+        Contract: a portable dump, not a snapshot — record ids are NOT
+        preserved (BULKINSERT assigns fresh ones; use snapshots for
+        id-stable backup), vectors are the dequantized STORED
+        representation (what search scores), and payloads round-trip
+        exactly (line-safe escaping). Concurrent-mutation semantics: each
+        chunk re-resolves ids under a read lock, so records deleted during
+        the export may be omitted, updates may export either version, and
+        inserts landing after the cut are not included — every record that
+        stays live throughout IS exported. Memory is bounded (chunked
+        device gathers, streaming writes)."""
+        from .records import format_record
+
+        with self._rw.read():
+            rids = self.alloc.ids_of(
+                self.alloc.live_slots().astype(np.uint64))
+        f = open(dest, "w") if isinstance(dest, (str, Path)) else dest
+        written = 0
+        try:
+            for start in range(0, rids.size, self.SNAPSHOT_CHUNK_ROWS):
+                rid_chunk = rids[start:start + self.SNAPSHOT_CHUNK_ROWS]
+                with self._rw.read():
+                    # Re-resolve under the lock: slots captured at the cut
+                    # may have been freed/reused by concurrent mutations.
+                    slots = self.alloc.slots_of(rid_chunk)
+                    live = slots != NO_ID
+                    rid_live = rid_chunk[live]
+                    vecs = self.engine.gather(slots[live].astype(np.int64))
+                    pmap = self.payloads.get_many(
+                        int(r) for r in rid_live.tolist())
+                for rid, vec in zip(rid_live.tolist(), vecs):
+                    f.write(format_record(vec, pmap.get(int(rid), "")))
+                    f.write("\n")
+                    written += 1
+        finally:
+            if f is not dest:
+                f.close()
+        return written
+
     # -- maintenance -------------------------------------------------------
 
     def reindex(self) -> int:

@@ -17,6 +17,9 @@ VERBS = (
     "BULKINSERT", "UPDATE", "DELETE", "SEARCH", "SEARCHSIMILAR", "REINDEX",
 )
 
+# Verbs beyond the reference's dispatch table (documented extensions).
+EXTENSION_VERBS = ("EXPORT",)
+
 
 class CommandBuilder:
     def __init__(self, db: Database):
@@ -50,4 +53,6 @@ class CommandBuilder:
             return T.SearchSimilarCommand(db, collection_name=collection, arg=arg)
         if verb == "REINDEX":
             return T.ReindexCommand(db, collection_name=collection)
+        if verb == "EXPORT":  # extension: BULKINSERT's inverse
+            return T.ExportCommand(db, collection_name=collection, arg=arg)
         raise UnrecognizedCommandError(command)

@@ -18,6 +18,7 @@ Argument formats (the reference never defined them; vrod-tpu's contract):
   SEARCH        -c col -a "id"           (exact lookup)
   SEARCHSIMILAR -c col -a "v0,v1,...[;k=10]"
   REINDEX       -c col
+  EXPORT        -c col -a <output file path>   (extension: BULKINSERT's inverse)
 """
 
 from __future__ import annotations
@@ -237,6 +238,30 @@ class SearchSimilarCommand(Command):
             return "(no results)"
         return "\n".join(
             f"{h.record_id}\t{h.score:.6f}\t{h.payload}" for h in hits)
+
+
+@dataclasses.dataclass
+class ExportCommand(Command):
+    """Extension verb (no reference counterpart): dump a collection's live
+    records to a file in the ``v0,...,vD;payload`` line format — the exact
+    inverse of BULKINSERT, for backup/migration through the documented
+    record model. Ids are not preserved (snapshots are the id-stable
+    backup); see Collection.export_records for the full contract."""
+
+    collection_name: str | None = None
+    arg: str | None = None
+
+    def execute(self) -> str:
+        from pathlib import Path
+        col = self.db.collection(
+            self._require(self.collection_name, "a collection (-c)"))
+        path = Path(self._require(self.arg, "an output-file path (-a)"))
+        try:
+            n = col.export_records(path)
+        except OSError as e:
+            raise RecordFormatError(
+                f"Cannot write records file {path}: {e}") from e
+        return f"Exported {n} records to {path}"
 
 
 @dataclasses.dataclass
