@@ -272,11 +272,13 @@ def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
         vecs = rng.standard_normal((n_rows, dim)).astype(np.float32)
         for i in range(0, n_rows, 65536):  # bounded WAL frames / host RAM
             col.bulk_insert(vecs[i:i + 65536])
-        # Warm every compiled shape the batcher can produce with N clients
-        # (pending sizes 1..N pad to these buckets) so the timed window
-        # measures serving, not XLA compiles.
-        from vrod_tpu.engine import BATCH_BUCKETS
-        buckets = sorted({b for b in BATCH_BUCKETS if b <= n_clients} | {1})
+        # Warm every compiled shape the batcher can produce with N clients:
+        # pending sizes 1..N pad to buckets, INCLUDING the covering bucket
+        # when N is not itself a bucket value (e.g. 48 clients -> tile 64).
+        from vrod_tpu.engine import BATCH_BUCKETS, _bucket
+        cover = _bucket(min(n_clients, 256), BATCH_BUCKETS)
+        buckets = sorted(
+            {b for b in BATCH_BUCKETS if b <= cover} | {1, cover})
         for b in buckets:
             col.search_similar(vecs[:b], k)
         with VrodServer(db, f"unix:{tmp}/bench.sock",

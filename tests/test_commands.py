@@ -155,7 +155,8 @@ def test_export_roundtrip_through_bulkinsert(builder, tmp_db, tmp_path,
                                    dtype=dtype, segment_rows=64)
     rng = np.random.default_rng(4)
     vecs = rng.standard_normal((20, 8)).astype(np.float32)
-    payloads = [f"p{i}" for i in range(18)] + ["multi\nline\\x", "cr\rend"]
+    payloads = [f"p{i}" for i in range(17)] + \
+        ["café ☕", "multi\nline\\x", "cr\rend"]  # utf-8 survives
     col.bulk_insert(vecs, payloads)
     col.delete(3)  # deleted rows must not export
 

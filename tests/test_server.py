@@ -231,17 +231,20 @@ def test_cli_serve_flag(tmp_path):
     db = Database.new(tmp_path, "sdb")
     db.close()
     sock = tmp_path / "cli.sock"
+    # stderr to a FILE: an undrained pipe could block a chatty child
+    # before it binds the socket (same rationale as the SIGKILL test).
+    errlog = open(tmp_path / "server.err", "w+b")
     proc = subprocess.Popen(
         [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "sdb"),
          "--serve", f"unix:{sock}"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        stdout=subprocess.DEVNULL, stderr=errlog)
     try:
         for _ in range(300):
             if sock.exists():
                 break
             if proc.poll() is not None:
-                raise AssertionError(
-                    f"server died: {proc.stderr.read().decode()}")
+                errlog.seek(0)
+                raise AssertionError(f"server died: {errlog.read().decode()}")
             time.sleep(0.1)
         else:
             raise AssertionError("server socket never appeared")
@@ -257,6 +260,7 @@ def test_cli_serve_flag(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+        errlog.close()
 
 
 def test_unix_socket_not_stolen_from_live_server(tmp_db, tmp_path):
@@ -349,15 +353,20 @@ def test_server_sigkill_acked_inserts_survive(tmp_path):
     db.create_collection("c", dim=DIM, metric="cosine", segment_rows=64)
     db.close()
     sock = tmp_path / "k.sock"
+    # stderr to a FILE, not a pipe: an undrained pipe buffer (~64 KiB)
+    # could block a chatty child before it ever binds the socket.
+    errlog = open(tmp_path / "server.err", "w+b")
     proc = subprocess.Popen(
         [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "kdb"),
          "--serve", f"unix:{sock}"],
-        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE)
+        stdout=subprocess.DEVNULL, stderr=errlog)
     try:
         for _ in range(300):
             if sock.exists():
                 break
-            assert proc.poll() is None, proc.stderr.read().decode()
+            if proc.poll() is not None:
+                errlog.seek(0)
+                raise AssertionError(errlog.read().decode())
             time.sleep(0.1)
         else:
             raise AssertionError("server socket never appeared")
@@ -376,6 +385,7 @@ def test_server_sigkill_acked_inserts_survive(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait()
+        errlog.close()
     db2 = Database.load(tmp_path / "kdb")
     try:
         col = db2.collection("c")

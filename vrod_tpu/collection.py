@@ -709,7 +709,10 @@ class Collection:
         with self._rw.read():
             rids = self.alloc.ids_of(
                 self.alloc.live_slots().astype(np.uint64))
-        f = open(dest, "w") if isinstance(dest, (str, Path)) else dest
+        # utf-8 regardless of locale: dumps must be portable across hosts
+        # (BULKINSERT reads them back as utf-8 too).
+        f = open(dest, "w", encoding="utf-8") \
+            if isinstance(dest, (str, Path)) else dest
         written = 0
         try:
             for start in range(0, rids.size, self.SNAPSHOT_CHUNK_ROWS):

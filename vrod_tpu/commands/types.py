@@ -148,8 +148,10 @@ class BulkInsertCommand(Command):
             self._require(self.collection_name, "a collection (-c)"))
         path = Path(self._require(self.arg, "a records-file path (-a)"))
         try:
-            text = path.read_text()
-        except OSError as e:
+            # utf-8 regardless of locale: EXPORT writes utf-8, and dumps
+            # must round-trip across differently-configured hosts.
+            text = path.read_text(encoding="utf-8")
+        except (OSError, UnicodeDecodeError) as e:
             raise RecordFormatError(
                 f"Cannot read records file {path}: {e}") from e
         records = parse_record_file(text)

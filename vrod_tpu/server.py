@@ -93,8 +93,10 @@ class _Handler(socketserver.StreamRequestHandler):
             # Re-check AFTER the blocking readline: a connection idle across
             # close() must not dispatch against closed batchers/database.
             if server._closing.is_set():
-                self._send({"ok": False,
-                            "error": "Server is shutting down"})
+                resp = {"ok": False, "error": "Server is shutting down"}
+                if req.get("id") is not None:  # echo: not a desync
+                    resp["id"] = req["id"]
+                self._send(resp)
                 return
             resp = server.handle_request(req)
             if req.get("id") is not None:
@@ -117,11 +119,16 @@ class _ThreadingTCPServer(socketserver.ThreadingTCPServer):
     # close() may be reached from a handler thread (SHUTDOWN verb);
     # joining handler threads from one of them would deadlock.
     block_on_close = False
+    # socketserver's default backlog of 5 EAGAINs a burst of concurrent
+    # unix-socket connects (and SYN-drops TCP ones) — e.g. a client fleet
+    # reconnecting at once. 128 matches a typical somaxconn floor.
+    request_queue_size = 128
 
 
 class _ThreadingUnixServer(socketserver.ThreadingUnixStreamServer):
     daemon_threads = True
     block_on_close = False
+    request_queue_size = 128
 
 
 class VrodServer:
@@ -143,6 +150,7 @@ class VrodServer:
         self._batchers: dict[str, QueryBatcher] = {}
         self._batchers_lock = threading.Lock()
         self._closing = threading.Event()
+        self._closed = threading.Event()
         self._inflight = 0
         self._inflight_cv = threading.Condition()
         self._t0 = time.monotonic()
@@ -153,13 +161,20 @@ class VrodServer:
             path = Path(spec[1])
             if path.is_socket():
                 # Refuse to steal a LIVE server's socket; unlink only a
-                # stale path (bound by a process that died without cleanup).
+                # provably stale path (ECONNREFUSED: bound by a process
+                # that died without cleanup). A connect timeout means a
+                # live-but-backlogged listener — treat as in use.
                 probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
                 try:
                     probe.settimeout(1.0)
                     probe.connect(str(path))
-                except OSError:
-                    path.unlink()  # nobody answering: stale
+                except ConnectionRefusedError:
+                    path.unlink()  # nobody listening: stale
+                except OSError as e:
+                    raise OSError(
+                        f"Refusing to bind {path}: probe inconclusive "
+                        f"({e}); if the old server is dead, remove the "
+                        f"socket file manually") from e
                 else:
                     raise OSError(
                         f"Address already in use: a live server answers on "
@@ -201,9 +216,19 @@ class VrodServer:
             self.close()
 
     def close(self, drain_timeout_s: float = 30.0) -> None:
-        if self._closing.is_set():
+        with self._inflight_cv:
+            if self._closing.is_set():
+                already_closing = True
+            else:
+                self._closing.set()
+                already_closing = False
+        if already_closing:
+            # A concurrent close() (e.g. the CLI's finally after a SHUTDOWN
+            # verb spawned one on a helper thread) must WAIT for the drain:
+            # returning early would let the caller close the Database while
+            # a mutation is still mid-WAL-apply on a handler thread.
+            self._closed.wait(timeout=drain_timeout_s + 10)
             return
-        self._closing.set()
         self._sock.shutdown()
         self._sock.server_close()
         # Drain in-flight requests: in CLI --serve mode the Database closes
@@ -229,6 +254,7 @@ class VrodServer:
                     os.unlink(path)
             except OSError:
                 pass
+        self._closed.set()  # drain + teardown done: concurrent close() may return
         if self._serve_thread and \
                 self._serve_thread is not threading.current_thread():
             self._serve_thread.join(timeout=5)
