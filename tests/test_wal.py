@@ -11,7 +11,11 @@ IMPLS = [False] + ([True] if NATIVE_AVAILABLE else [])
 
 
 def test_native_built():
-    # The build env has g++; the C++ fast path must actually be in play.
+    # The build env has g++; the C++ fast path must actually be in play —
+    # unless this run is the deliberate pure-Python fallback leg.
+    import os
+    if os.environ.get("VROD_DISABLE_NATIVE") == "1":
+        pytest.skip("fallback leg: native disabled by env")
     assert NATIVE_AVAILABLE
 
 
