@@ -1,0 +1,194 @@
+"""Online BACKUP: consistent point-in-time copy, restorable anywhere.
+
+Extension verb (no reference counterpart; the reference's durability story
+is vr_wal alone — src/database/setup.rs:17-23). The contract under test:
+a backup taken while the database serves reads and writes loads cleanly,
+contains every mutation acked before the backup started, and shares no
+mutable state with the live store.
+"""
+
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from vrod_tpu.commands import CommandBuilder
+from vrod_tpu.config import CONFIG_FILE, SNAPSHOT_DIR, WAL_FILE
+from vrod_tpu.database import Database
+from vrod_tpu.errors import DatabaseExistsError, MissingCommandArgError
+
+
+def _fill(col, n, dim, rng, payload_prefix="p"):
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"{payload_prefix}{i}" for i in range(n)])
+    return vecs, rids
+
+
+def test_backup_round_trip(tmp_db, tmp_path, rng):
+    """Snapshot + WAL-tail + WAL-only collections all restore bit-exactly."""
+    a = tmp_db.create_collection("a", dim=8, segment_rows=64)
+    vecs_a, rids_a = _fill(a, 20, 8, rng, "a")
+    a.snapshot()
+    extra = rng.standard_normal((5, 8)).astype(np.float32)
+    extra_ids = a.bulk_insert(extra, [f"tail{i}" for i in range(5)])
+    a.delete(int(rids_a[3]))
+
+    b = tmp_db.create_collection("b", dim=4, metric="l2", segment_rows=64)
+    vecs_b, _ = _fill(b, 7, 4, rng, "b")  # never snapshotted: WAL only
+
+    stats = tmp_db.backup(tmp_path / "bk")
+    assert stats["collections"] == 2
+    assert stats["wal_bytes"] > 0
+
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        a2 = db2.collection("a")
+        assert a2.count == a.count == 24
+        # Payloads and vectors round-trip, including the WAL tail.
+        rec = a2.get(int(extra_ids[2]))
+        assert rec.payload == "tail2"
+        np.testing.assert_allclose(rec.vector, extra[2], rtol=1e-6)
+        with pytest.raises(Exception):
+            a2.get(int(rids_a[3]))  # the delete was captured
+        b2 = db2.collection("b")
+        assert b2.count == 7
+        hits = b2.search_similar(vecs_b[0], k=1)
+        assert hits[0].record_id == 1 and hits[0].payload == "b0"
+    finally:
+        db2.close()
+
+
+def test_backup_excludes_caches_and_locks(tmp_db, tmp_path, rng):
+    col = tmp_db.create_collection("c", dim=4, segment_rows=64,
+                                   payload_store="disk")
+    _fill(col, 6, 4, rng)
+    col.snapshot()
+    tmp_db.backup(tmp_path / "bk")
+    cdir = tmp_path / "bk" / "collections" / "c"
+    assert not (cdir / "payloads.db").exists()  # rebuildable cache
+    assert not (tmp_path / "bk" / "vr_lock").exists()
+    assert (cdir / CONFIG_FILE).exists()
+    assert (cdir / WAL_FILE).exists()
+    # The payloads still restore (snapshot carries them).
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("c").get(1).payload == "p0"
+    finally:
+        db2.close()
+
+
+def test_backup_is_independent_bytes(tmp_db, tmp_path, rng):
+    """No shared inodes: corrupting the backup must not touch the live DB."""
+    col = tmp_db.create_collection("c", dim=4, segment_rows=64)
+    _fill(col, 6, 4, rng)
+    col.snapshot()
+    tmp_db.backup(tmp_path / "bk")
+    snap = tmp_path / "bk" / "collections" / "c" / SNAPSHOT_DIR
+    for f in snap.iterdir():
+        assert f.stat().st_nlink == 1, f"{f} is hardlinked to the live store"
+
+
+def test_backup_refuses_existing_dest(tmp_db, tmp_path):
+    (tmp_path / "bk").mkdir()
+    with pytest.raises(DatabaseExistsError):
+        tmp_db.backup(tmp_path / "bk")
+
+
+def test_backup_failure_leaves_no_dest(tmp_db, tmp_path, rng, monkeypatch):
+    """A failed backup must not leave a half-image that loads as a DB."""
+    col = tmp_db.create_collection("c", dim=4, segment_rows=64)
+    _fill(col, 4, 4, rng)
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(type(col), "backup_into", boom)
+    with pytest.raises(OSError):
+        tmp_db.backup(tmp_path / "bk")
+    assert not (tmp_path / "bk").exists()
+    assert not (tmp_path / "bk.tmp").exists()
+
+
+def test_backup_cold_collection(tmp_path, rng):
+    """A never-loaded collection is copied without forcing a device restore."""
+    db = Database.new(tmp_path, "db")
+    col = db.create_collection("cold", dim=4, segment_rows=64)
+    _fill(col, 9, 4, rng)
+    col.snapshot()
+    db.close()
+
+    db = Database.load(tmp_path / "db")
+    try:
+        assert "cold" not in db._collections  # lazy: still cold
+        db.backup(tmp_path / "bk")
+        assert "cold" not in db._collections  # backup kept it cold
+    finally:
+        db.close()
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("cold").count == 9
+    finally:
+        db2.close()
+
+
+def test_backup_verb_and_errors(tmp_db, tmp_path, rng):
+    col = tmp_db.create_collection("c", dim=4, segment_rows=64)
+    _fill(col, 3, 4, rng)
+    out = CommandBuilder(tmp_db).build(
+        None, "backup", str(tmp_path / "bk")).execute()
+    assert "Backed up 1 collections" in out
+    with pytest.raises(MissingCommandArgError):
+        CommandBuilder(tmp_db).build(None, "BACKUP", None).execute()
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("c").count == 3
+    finally:
+        db2.close()
+
+
+def test_backup_under_concurrent_mutations(tmp_db, tmp_path, rng):
+    """Every record acked before the backup starts is in the image; the
+    image loads cleanly regardless of writes racing the copy."""
+    col = tmp_db.create_collection("c", dim=8, segment_rows=64)
+    pre_vecs, pre_ids = _fill(col, 30, 8, rng, "pre")
+    col.snapshot()
+    _fill(col, 10, 8, rng, "tail")  # WAL tail beyond the snapshot
+
+    stop = threading.Event()
+    errs = []
+
+    def mutate():
+        i = 0
+        while not stop.is_set():
+            try:
+                rid = col.insert(rng.standard_normal(8).astype(np.float32),
+                                 f"live{i}")
+                if i % 3 == 0:
+                    col.delete(rid)
+                i += 1
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=mutate)
+    t.start()
+    try:
+        stats = tmp_db.backup(tmp_path / "bk")
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+    assert stats["collections"] == 1
+
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        c2 = db2.collection("c")
+        # All 40 pre-backup records present with exact payloads.
+        for rid in pre_ids[:5].tolist():
+            assert c2.get(rid).payload == f"pre{rid - 1}"
+        assert c2.count >= 40
+        # No stale hold dirs left in the live collection dir.
+        assert not list(col.path.glob(".snap_hold_*"))
+    finally:
+        db2.close()

@@ -41,6 +41,10 @@ from .utils.locks import RWLock
 from .wal import GroupCommit, Wal, ops
 
 
+# Temp dirs of hardlinks pinning a snapshot (backup/replication reads).
+_HOLD_PREFIX = ".snap_hold_"
+
+
 def _checked_id(rid):
     """Normalize a user-supplied record id to a canonical Python int, or
     None if it cannot name a live record: non-numeric, non-integral
@@ -151,6 +155,11 @@ class Collection:
         # Cap on rows per BULKINSERT WAL frame (~64 MB of vector data): huge
         # ingests write many bounded frames instead of one multi-GB frame.
         self.WAL_FRAME_ROWS_MAX = max(1, (64 << 20) // (config.dim * 4 + 64))
+        # Stale snapshot-pin dirs (backup/replication holds) from a crashed
+        # process are garbage: the DB advisory lock guarantees no other
+        # process holds them, and in-process holds can't predate __init__.
+        for stale in self.path.glob(_HOLD_PREFIX + "*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -794,6 +803,91 @@ class Collection:
     # Rows per snapshot gather chunk: bounds peak host memory (~200 MB at
     # dim 768 f32) and the read-lock hold time per chunk.
     SNAPSHOT_CHUNK_ROWS = 65536
+
+    def hold_snapshot(self):
+        """Context manager pinning the current committed snapshot: yields a
+        directory of hardlinks to its files (or ``None`` if the collection
+        has never snapshotted). A concurrent snapshot swap only unlinks
+        names — the pinned inodes stay readable for the hold's lifetime, so
+        backup/replication can stream multi-GB snapshot files without
+        holding any collection lock. The hold dir lives inside the
+        collection dir (same filesystem → links always succeed); stale
+        holds from a crashed process are swept on the next load."""
+        import contextlib
+        import tempfile
+
+        @contextlib.contextmanager
+        def _hold():
+            hold = None
+            with self._maint:  # excludes a swap between exists() and link
+                snap = self.path / SNAPSHOT_DIR
+                if snap.is_dir():
+                    hold = Path(tempfile.mkdtemp(
+                        prefix=_HOLD_PREFIX, dir=self.path))
+                    from . import snapshot as snapio
+                    for f in sorted(snap.iterdir()):
+                        snapio.link_or_copy(f, hold / f.name)
+            try:
+                yield hold
+            finally:
+                if hold is not None:
+                    shutil.rmtree(hold, ignore_errors=True)
+
+        return _hold()
+
+    def backup_into(self, dest: Path) -> dict:
+        """Copy a point-in-time-consistent image of this collection into
+        ``dest`` (created; must not exist): vr_config, the committed
+        snapshot, and the durable WAL prefix as of the capture point —
+        exactly what ``Collection.load`` restores from. ``payloads.db`` (a
+        rebuildable cache) is excluded by design.
+
+        Consistency: the WAL prefix copy and the snapshot pin happen under
+        ONE ``_maint`` hold, so a concurrent snapshot cannot truncate WAL
+        frames the pinned snapshot does not cover. Mutations — which only
+        append past the captured size — proceed throughout; maintenance
+        (snapshot/reindex/truncate) blocks only for the WAL copy + link
+        pass, after which the multi-GB snapshot byte-copy streams lock-free
+        from pinned hardlinks. The capture point is the last mutation ACKED
+        before the copy: later mutations may or may not be included."""
+        import tempfile
+        from . import snapshot as snapio
+        dest = Path(dest)
+        dest.mkdir(parents=True, exist_ok=False)
+        shutil.copy2(self.path / CONFIG_FILE, dest / CONFIG_FILE)
+        hold = None
+        try:
+            with self._maint:
+                # All indexed WAL frames are acked under the read lock
+                # (append and apply share one write-lock hold), and _maint
+                # excludes the truncate_until rewrite that would swap the
+                # file under us mid-copy.
+                with self._rw.read():
+                    self.wal.sync()  # ship only durable bytes
+                    wal_size = self.wal.valid_size
+                wal_bytes = snapio.copy_file_prefix(
+                    self.path / WAL_FILE, dest / WAL_FILE, wal_size)
+                snap = self.path / SNAPSHOT_DIR
+                if snap.is_dir():
+                    hold = Path(tempfile.mkdtemp(
+                        prefix=_HOLD_PREFIX, dir=self.path))
+                    for f in sorted(snap.iterdir()):
+                        snapio.link_or_copy(f, hold / f.name)
+            snap_files = 0
+            if hold is not None:
+                # Independent bytes (a backup must not share inodes with
+                # the live store), streamed outside every lock.
+                (dest / SNAPSHOT_DIR).mkdir()
+                for f in sorted(hold.iterdir()):
+                    shutil.copy2(f, dest / SNAPSHOT_DIR / f.name)
+                    snapio.fsync_file(dest / SNAPSHOT_DIR / f.name)
+                    snap_files += 1
+                snapio.fsync_dir(dest / SNAPSHOT_DIR)
+        finally:
+            if hold is not None:
+                shutil.rmtree(hold, ignore_errors=True)
+        snapio.fsync_dir(dest)
+        return {"wal_bytes": wal_bytes, "snapshot_files": snap_files}
 
     def snapshot(self) -> Path:
         """Persist live records; the WAL frames they came from become

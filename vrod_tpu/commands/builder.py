@@ -18,7 +18,7 @@ VERBS = (
 )
 
 # Verbs beyond the reference's dispatch table (documented extensions).
-EXTENSION_VERBS = ("EXPORT",)
+EXTENSION_VERBS = ("EXPORT", "BACKUP")
 
 
 class CommandBuilder:
@@ -55,4 +55,6 @@ class CommandBuilder:
             return T.ReindexCommand(db, collection_name=collection)
         if verb == "EXPORT":  # extension: BULKINSERT's inverse
             return T.ExportCommand(db, collection_name=collection, arg=arg)
+        if verb == "BACKUP":  # extension: online point-in-time DB backup
+            return T.BackupCommand(db, arg=arg)
         raise UnrecognizedCommandError(command)

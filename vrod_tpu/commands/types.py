@@ -19,6 +19,7 @@ Argument formats (the reference never defined them; vrod-tpu's contract):
   SEARCHSIMILAR -c col -a "v0,v1,...[;k=10]"
   REINDEX       -c col
   EXPORT        -c col -a <output file path>   (extension: BULKINSERT's inverse)
+  BACKUP        -a <destination directory>     (extension: online DB backup)
 """
 
 from __future__ import annotations
@@ -264,6 +265,25 @@ class ExportCommand(Command):
             raise RecordFormatError(
                 f"Cannot write records file {path}: {e}") from e
         return f"Exported {n} records to {path}"
+
+
+@dataclasses.dataclass
+class BackupCommand(Command):
+    """Extension verb (no reference counterpart): online point-in-time
+    backup of the whole database into a new directory, restorable with
+    ``Database.load`` / ``vrod -n``. See ``Database.backup`` for the
+    consistency contract (per-collection cuts; serving continues)."""
+
+    arg: str | None = None
+
+    def execute(self) -> str:
+        from pathlib import Path
+        dest = Path(self._require(
+            self.arg, "a destination directory path (-a)"))
+        stats = self.db.backup(dest)
+        return (f"Backed up {stats['collections']} collections to {dest} "
+                f"({stats['wal_bytes']} WAL bytes, "
+                f"{stats['snapshot_files']} snapshot files)")
 
 
 @dataclasses.dataclass

@@ -362,3 +362,86 @@ class Database:
             self.wal.truncate()
         else:
             self.collection(target).truncate_wal()
+
+    # -- backup (extension verb BACKUP) --------------------------------------
+
+    def backup(self, dest) -> dict:
+        """Online point-in-time backup: copy a consistent, independently
+        restorable image of the whole database (vr_config + vr_wal + every
+        collection's config/snapshot/WAL prefix) into ``dest``, which must
+        not exist. The result opens with ``Database.load`` like any DB dir.
+
+        Semantics: each collection is captured at its own consistent cut
+        (see ``Collection.backup_into``); searches and mutations proceed
+        during the copy (mutations acked after a collection's cut may be
+        absent). The registry lock is held throughout, so CREATE/DROP and
+        first-use loads of cold collections block until the backup
+        finishes — already-loaded collections serve normally. Crash-safe:
+        the image is written to ``<dest>.tmp`` and atomically renamed, so a
+        killed backup never leaves a half-image at ``dest``; rebuildable
+        caches (payloads.db) are excluded."""
+        import shutil
+        from . import snapshot as snapio
+        dest = Path(dest)
+        if dest.exists():
+            raise DatabaseExistsError(
+                f"Backup destination already exists: {dest}")
+        tmp = dest.with_name(dest.name + ".tmp")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        stats = {"collections": 0, "wal_bytes": 0, "snapshot_files": 0}
+        with self._registry_lock:
+            try:
+                tmp.mkdir(parents=True)
+                (tmp / COLLECTIONS_DIR).mkdir()
+                # Registry ops run under the lock we hold: the DB config +
+                # WAL pair is static for the duration.
+                shutil.copy2(self.path / CONFIG_FILE, tmp / CONFIG_FILE)
+                self.wal.sync()
+                snapio.copy_file_prefix(
+                    self.path / WAL_FILE, tmp / WAL_FILE, self.wal.valid_size)
+                for name in list(self.config.collections):
+                    cdest = tmp / COLLECTIONS_DIR / name
+                    col = self._collections.get(name)
+                    if col is not None:
+                        st = col.backup_into(cdest)
+                    else:
+                        st = self._backup_cold_collection(name, cdest)
+                    stats["collections"] += 1
+                    stats["wal_bytes"] += st["wal_bytes"]
+                    stats["snapshot_files"] += st["snapshot_files"]
+                snapio.fsync_dir(tmp / COLLECTIONS_DIR)
+                snapio.fsync_dir(tmp)
+            except BaseException:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+        tmp.rename(dest)
+        snapio.fsync_dir(dest.parent)
+        return stats
+
+    def _backup_cold_collection(self, name: str, cdest: Path) -> dict:
+        """A collection that was never loaded has no in-process writers and
+        the registry lock (held by backup) blocks a concurrent lazy load:
+        its files are static, so a plain copy is consistent. Snapshot
+        fallback dirs (.old/.tmp — a crash mid-swap) are copied too;
+        restore picks the newest CRC-valid one exactly as a local load
+        would."""
+        import shutil
+        from . import snapshot as snapio
+        csrc = self._collection_dir(name)
+        cdest.mkdir(parents=True)
+        shutil.copy2(csrc / CONFIG_FILE, cdest / CONFIG_FILE)
+        wal_bytes = (csrc / WAL_FILE).stat().st_size
+        shutil.copy2(csrc / WAL_FILE, cdest / WAL_FILE)
+        snapio.fsync_file(cdest / WAL_FILE)
+        snap_files = 0
+        from .config import SNAPSHOT_DIR
+        for snap in (SNAPSHOT_DIR, SNAPSHOT_DIR + ".old",
+                     SNAPSHOT_DIR + ".tmp"):
+            sdir = csrc / snap
+            if sdir.is_dir():
+                shutil.copytree(sdir, cdest / snap)
+                snap_files += sum(1 for _ in (cdest / snap).iterdir())
+                snapio.fsync_dir(cdest / snap)
+        snapio.fsync_dir(cdest)
+        return {"wal_bytes": wal_bytes, "snapshot_files": snap_files}

@@ -56,6 +56,39 @@ def crc32_of_file(path, chunk: int = CRC_CHUNK) -> int:
     return c & 0xFFFFFFFF
 
 
+def copy_file_prefix(src, dest, nbytes: int, chunk: int = CRC_CHUNK) -> int:
+    """Copy the first ``nbytes`` of ``src`` to ``dest`` (chunked, fsynced).
+    Used by backup/replication to capture exactly the durable WAL prefix —
+    bytes appended to ``src`` after the capture point must not leak into
+    the copy. Returns the bytes written; raises on a short source."""
+    written = 0
+    with open(src, "rb") as sf, open(dest, "wb") as df:
+        while written < nbytes:
+            b = sf.read(min(chunk, nbytes - written))
+            if not b:
+                raise OSError(
+                    f"Short read copying {src}: wanted {nbytes} bytes, "
+                    f"got {written}")
+            df.write(b)
+            written += len(b)
+        df.flush()
+        os.fsync(df.fileno())
+    return written
+
+
+def link_or_copy(src, dest) -> None:
+    """Hardlink ``src`` to ``dest``; fall back to a byte copy when the
+    link crosses filesystems (EXDEV) or the filesystem lacks hardlinks.
+    Callers use this to pin immutable snapshot files (a concurrent
+    snapshot swap unlinks names, never rewrites bytes in place, so a
+    hardlink preserves the pinned content at zero copy cost)."""
+    import shutil
+    try:
+        os.link(str(src), str(dest))
+    except OSError:
+        shutil.copy2(str(src), str(dest))
+
+
 class _CrcWriter:
     """File writer that folds every byte into a running crc32 and fsyncs on
     close (snapshot files must be durable before the WAL is truncated).
