@@ -1,0 +1,296 @@
+"""Pull replication: snapshot-ship bootstrap, WAL tailing, resync, PROMOTE.
+
+Extension subsystem (vrod_tpu/replication.py); no reference counterpart.
+The invariant under test everywhere: after ``wait_caught_up``, the replica's
+live set — ids, vectors, payloads, search results — is byte/bit-identical
+to the primary's, regardless of how it got there (bootstrap, tail, resync,
+restart).
+"""
+
+import numpy as np
+import pytest
+
+from vrod_tpu import metrics
+from vrod_tpu.client import VrodClient, VrodServerError
+from vrod_tpu.database import Database
+from vrod_tpu.replication import Replicator
+from vrod_tpu.server import VrodServer
+
+DIM = 8
+
+
+@pytest.fixture
+def primary(tmp_db, tmp_path):
+    with VrodServer(tmp_db, f"unix:{tmp_path}/primary.sock").start() as s:
+        yield tmp_db, s
+
+
+@pytest.fixture
+def replica_db(tmp_path):
+    db = Database.new(tmp_path / "replica_home", "rdb")
+    yield db
+    db.close()
+
+
+def _fill(db, name="c", n=24, seed=0, snapshot=True, tail=8):
+    col = db.create_collection(name, dim=DIM, segment_rows=64)
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+    col.bulk_insert(vecs[:n - tail], [f"p{i}" for i in range(n - tail)])
+    if snapshot:
+        col.snapshot()
+    if tail:
+        col.bulk_insert(vecs[n - tail:],
+                        [f"p{i}" for i in range(n - tail, n)])
+    return col, vecs
+
+
+def _assert_identical(primary_col, replica_col):
+    assert replica_col.count == primary_col.count
+    p_slots = primary_col.alloc.live_slots()
+    p_ids = np.sort(primary_col.alloc.ids_of(p_slots.astype(np.uint64)))
+    r_slots = replica_col.alloc.live_slots()
+    r_ids = np.sort(replica_col.alloc.ids_of(r_slots.astype(np.uint64)))
+    np.testing.assert_array_equal(p_ids, r_ids)
+    for rid in p_ids[:: max(1, len(p_ids) // 8)].tolist():
+        p = primary_col.get(int(rid))
+        r = replica_col.get(int(rid))
+        np.testing.assert_array_equal(p.vector, r.vector)  # bit-identical
+        assert p.payload == r.payload
+
+
+def test_bootstrap_and_tail(primary, replica_db):
+    db, server = primary
+    col, vecs = _fill(db)  # snapshot + WAL tail
+    wal_only, _ = _fill(db, "walonly", n=5, seed=1, snapshot=False, tail=0)
+
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+        assert sorted(replica_db.list_collections()) == ["c", "walonly"]
+        _assert_identical(col, replica_db.collection("c"))
+        _assert_identical(wal_only, replica_db.collection("walonly"))
+
+        # Live mutations flow: insert / update / delete on the primary.
+        rid = col.insert(vecs[0] * 0.5, "new")
+        col.update(rid, vecs[1] * 2.0, "updated")
+        col.delete(2)
+        rep.wait_caught_up()
+        _assert_identical(col, replica_db.collection("c"))
+        r = replica_db.collection("c").get(rid)
+        assert r.payload == "updated"
+
+        # Replica searches are exact over the replicated state.
+        q = vecs[3]
+        ph = col.search_similar(q, k=3)
+        rh = replica_db.collection("c").search_similar(q, k=3)
+        assert [(h.record_id, h.payload) for h in ph] == \
+               [(h.record_id, h.payload) for h in rh]
+
+
+def test_replica_restart_resumes_without_bootstrap(primary, tmp_path):
+    db, server = primary
+    col, vecs = _fill(db)
+    home = tmp_path / "rhome"
+    rdb = Database.new(home, "rdb")
+    with Replicator(rdb, server.address).start() as rep:
+        rep.wait_caught_up()
+    rdb.close()
+
+    col.bulk_insert(vecs[:4] * 3.0, ["x0", "x1", "x2", "x3"])
+    boots_before = metrics.counters.snapshot().get("repl.bootstraps", 0)
+    rdb = Database.load(home / "rdb")
+    try:
+        with Replicator(rdb, server.address).start() as rep:
+            rep.wait_caught_up()
+            _assert_identical(col, rdb.collection("c"))
+        # Resumed from its own durable WAL position: no second bootstrap.
+        assert metrics.counters.snapshot().get(
+            "repl.bootstraps", 0) == boots_before
+    finally:
+        rdb.close()
+
+
+def test_resync_after_primary_truncation(primary, tmp_path):
+    """A follower that was down across a primary snapshot (WAL truncated
+    past its position) re-bootstraps and converges."""
+    db, server = primary
+    col, vecs = _fill(db)
+    home = tmp_path / "rhome"
+    rdb = Database.new(home, "rdb")
+    with Replicator(rdb, server.address).start() as rep:
+        rep.wait_caught_up()
+    rdb.close()
+
+    # While the follower is down: mutate, snapshot (truncates the WAL).
+    col.bulk_insert(vecs[:6] * 1.5, [f"late{i}" for i in range(6)])
+    col.delete(1)
+    col.snapshot()
+
+    resyncs_before = metrics.counters.snapshot().get("repl.resyncs", 0)
+    rdb = Database.load(home / "rdb")
+    try:
+        with Replicator(rdb, server.address).start() as rep:
+            rep.wait_caught_up()
+            _assert_identical(col, rdb.collection("c"))
+        assert metrics.counters.snapshot().get(
+            "repl.resyncs", 0) == resyncs_before + 1
+    finally:
+        rdb.close()
+
+
+def test_drop_propagates(primary, replica_db):
+    db, server = primary
+    _fill(db)
+    _fill(db, "doomed", n=4, seed=2, tail=0)
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+        assert "doomed" in replica_db.list_collections()
+        db.drop_collection("doomed")
+        rep.wait_caught_up()
+        assert replica_db.list_collections() == ["c"]
+
+
+def test_collection_filter(primary, replica_db):
+    db, server = primary
+    _fill(db)
+    _fill(db, "ignored", n=4, seed=3, tail=0)
+    with Replicator(replica_db, server.address,
+                    collections=["c"]).start() as rep:
+        rep.wait_caught_up()
+        assert replica_db.list_collections() == ["c"]
+
+
+def test_read_only_replica_and_promote(primary, replica_db, tmp_path):
+    db, server = primary
+    col, vecs = _fill(db)
+    rep = Replicator(replica_db, server.address).start()
+    rserver = VrodServer(replica_db, f"unix:{tmp_path}/replica.sock",
+                         read_only=True).start()
+    rserver.attach_replicator(rep)
+    try:
+        rep.wait_caught_up()
+        with VrodClient(rserver.address) as c:
+            hits = c.search_similar("c", vecs[0], k=2)  # reads are served
+            assert hits[0].record_id == 1
+            with pytest.raises(VrodServerError, match="read-only replica"):
+                c.insert("c", vecs[0], "nope")
+            with pytest.raises(VrodServerError, match="read-only replica"):
+                c.execute("DROP", arg="c")
+            assert c.stats()["read_only"] is True
+            assert "positions" in c.stats()["replication"]
+
+            # Cutover: PROMOTE stops replication and enables writes.
+            assert "promoted" in c._request(cmd="PROMOTE")
+            rid = c.insert("c", vecs[0] * 0.1, "post-promote")
+            assert rid > 0
+            assert c.stats()["read_only"] is False
+        assert not rep._thread.is_alive()
+        # The old primary no longer feeds it: diverged by design.
+        col.insert(vecs[1], "only-on-old-primary")
+        import time as _t
+        _t.sleep(0.25)  # would have replicated within one poll interval
+        payloads = {replica_db.collection("c").get(i).payload
+                    for i in (rid,)}
+        assert payloads == {"post-promote"}
+        assert not any(
+            h.payload == "only-on-old-primary"
+            for h in replica_db.collection("c").search_similar(vecs[1], k=5))
+    finally:
+        rserver.close()
+        rep.stop()
+
+
+def test_replica_apply_duplicate_and_order(tmp_db):
+    """Collection-level contract: duplicate frames are skipped untouched;
+    an out-of-order (regressing) frame raises."""
+    col = tmp_db.create_collection("c", dim=DIM, segment_rows=64)
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((3, DIM)).astype(np.float32)
+    col.bulk_insert(vecs, ["a", "b", "c"])
+    tail = col.repl_tail(0)
+    assert not tail["resync"] and len(tail["frames"]) == 1
+
+    rep_col = tmp_db.create_collection("r", dim=DIM, segment_rows=64)
+    lsn, frame = tail["frames"][0]
+    assert rep_col.replica_apply(lsn, frame) is True
+    assert rep_col.replica_apply(lsn, frame) is False  # duplicate: skipped
+    assert rep_col.count == 3
+    assert rep_col.repl_position() == lsn
+
+    # A later frame with a gap is fine (primaries rewind failed ops).
+    rid = col.insert(vecs[0] * 2, "d")
+    t2 = col.repl_tail(lsn)
+    (l2, f2), = t2["frames"]
+    assert rep_col.replica_apply(l2 + 5, f2) is True  # gap tolerated
+    # A frame at or below the position is duplicate delivery: skipped.
+    assert rep_col.replica_apply(l2 + 3, f2) is False
+    assert rep_col.get(rid).payload == "d"
+
+
+def test_repl_tail_resync_signals(tmp_db):
+    col = tmp_db.create_collection("c", dim=DIM, segment_rows=64)
+    rng = np.random.default_rng(0)
+    col.bulk_insert(rng.standard_normal((4, DIM)).astype(np.float32))
+    col.snapshot()  # truncates: floor > 0
+    col.insert(rng.standard_normal(DIM).astype(np.float32))
+    head = col.repl_position()
+    assert col.repl_tail(0)["resync"] is True          # behind the floor
+    assert col.repl_tail(head + 1)["resync"] is True   # ahead of the head
+    t = col.repl_tail(head - 1)
+    assert t["resync"] is False and len(t["frames"]) == 1
+
+
+def test_bootstrap_crash_leaves_no_staging(primary, tmp_path, monkeypatch):
+    """A bootstrap killed mid-fetch leaves only a staging dir, which the
+    next Database.load sweeps; the collection is absent, not half-made."""
+    db, server = primary
+    _fill(db)
+    home = tmp_path / "rhome"
+    rdb = Database.new(home, "rdb")
+    rep = Replicator(rdb, server.address)
+
+    def boom(name):
+        # Simulate dying after staging was created but before adoption.
+        import tempfile
+        from vrod_tpu.config import COLLECTIONS_DIR
+        tempfile.mkdtemp(prefix=".repl_boot_",
+                         dir=rdb.path / COLLECTIONS_DIR)
+        raise RuntimeError("killed mid-bootstrap")
+
+    monkeypatch.setattr(rep, "_bootstrap", boom)
+    with pytest.raises(RuntimeError):
+        rep._sync_once()
+    rdb.close()
+
+    rdb = Database.load(home / "rdb")
+    try:
+        assert rdb.list_collections() == []
+        from vrod_tpu.config import COLLECTIONS_DIR
+        assert not list((rdb.path / COLLECTIONS_DIR).glob(".repl_boot_*"))
+        # And a clean replicator run converges from scratch.
+        with Replicator(rdb, server.address).start() as rep2:
+            rep2.wait_caught_up()
+            assert rdb.list_collections() == ["c"]
+    finally:
+        rdb.close()
+
+
+def test_replicated_int8_and_filters(primary, replica_db):
+    """Quantized collections replicate bit-exactly (stored-representation
+    frames), and replica-side filtered search works."""
+    db, server = primary
+    col = db.create_collection("q", dim=DIM, dtype="int8", segment_rows=64)
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((16, DIM)).astype(np.float32)
+    col.bulk_insert(vecs, [f"q{i}" for i in range(16)])
+    col.snapshot()
+    col.bulk_insert(vecs[:4] * 0.3, ["t0", "t1", "t2", "t3"])
+
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+        rcol = replica_db.collection("q")
+        _assert_identical(col, rcol)
+        ph = col.search_similar(vecs[0], k=4, exclude_ids=[1])
+        rh = rcol.search_similar(vecs[0], k=4, exclude_ids=[1])
+        assert [(h.record_id, round(h.score, 5)) for h in ph] == \
+               [(h.record_id, round(h.score, 5)) for h in rh]

@@ -215,3 +215,32 @@ def test_leftover_tmp_cleaned_on_open(tmp_path, native):
     assert [pl for _, pl in w2.replay()] == [b"real"]
     assert not (tmp_path / "vr_wal.tmp").exists()
     w2.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_set_next_lsn_force_and_refuse(tmp_path, native):
+    """Replication contract: the next lsn can be forced forward OR back to
+    an unused value (a rewound apply's retry), but never onto an lsn an
+    indexed frame already holds."""
+    from vrod_tpu.errors import WalError
+    w = Wal(tmp_path / "vr_wal", native=native)
+    w.append(b"a")                 # lsn 1
+    w.set_next_lsn(10)
+    assert w.append(b"b") == 10    # forced forward (primary gap)
+    pre = w.valid_size
+    w.set_next_lsn(12)
+    assert w.append(b"c") == 12
+    w.rewind(pre)                  # failed apply: frame 12 removed
+    w.set_next_lsn(12)             # retry reuses the consumed lsn
+    assert w.append(b"c2") == 12
+    with pytest.raises(WalError):
+        w.set_next_lsn(12)         # duplicate of an indexed frame
+    with pytest.raises(WalError):
+        w.set_next_lsn(5)
+    assert [(l, p) for l, p in w.replay()] == \
+        [(1, b"a"), (10, b"b"), (12, b"c2")]
+    w.close()
+    # Reopen: the forced lsns survive the rescan.
+    w = Wal(tmp_path / "vr_wal", native=native)
+    assert w.last_lsn == 12
+    w.close()

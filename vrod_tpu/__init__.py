@@ -30,6 +30,8 @@ _EXPORTS = {
     "format_record": ".records",
     "parse_record": ".records",
     "VrodServer": ".server",
+    "Replicator": ".replication",
+    "ReplicationError": ".replication",
     "VrodClient": ".client",
     "VrodServerError": ".client",
     "VrodConnectionError": ".client",

@@ -87,6 +87,8 @@ def load_native() -> ctypes.CDLL | None:
     lib.vrod_wal_rewind.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.vrod_wal_seed_lsn.restype = None
     lib.vrod_wal_seed_lsn.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.vrod_wal_set_next_lsn.restype = ctypes.c_int
+    lib.vrod_wal_set_next_lsn.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.vrod_wal_repair.restype = ctypes.c_int
     lib.vrod_wal_repair.argtypes = [ctypes.c_void_p]
     for fn in ("vrod_wal_frame_count", "vrod_wal_valid_size", "vrod_wal_last_lsn"):

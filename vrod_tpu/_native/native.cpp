@@ -293,6 +293,17 @@ extern "C" void vrod_wal_seed_lsn(void* h, uint64_t last_lsn) {
   if (last_lsn + 1 > w->next_lsn) w->next_lsn = last_lsn + 1;
 }
 
+// Force the next append's lsn (replication: a replica writes frames with
+// the PRIMARY's lsn, including retrying an lsn a rewound local apply
+// already consumed from the monotonic counter). Refuses to go at or below
+// an indexed frame's lsn — duplicate LSNs in one log are forbidden.
+extern "C" int vrod_wal_set_next_lsn(void* h, uint64_t next) {
+  Wal* w = (Wal*)h;
+  if (!w->index.empty() && next <= w->index.back().lsn) return -1;
+  w->next_lsn = next;
+  return 0;
+}
+
 // Truncate a torn/corrupt tail so the file ends at the last valid frame.
 extern "C" int vrod_wal_repair(void* h) {
   Wal* w = (Wal*)h;

@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "newline-delimited JSON protocol — see "
                         "vrod_tpu.client.VrodClient. No auth: bind loopback "
                         "or a unix socket only")
+    p.add_argument("--replica-of", metavar="PRIMARY_ADDR",
+                   help="with --serve: run as a read-only replica pulling "
+                        "from the primary server at PRIMARY_ADDR "
+                        "(snapshot-ship bootstrap + WAL tail; send PROMOTE "
+                        "to cut over)")
+    p.add_argument("--replicate", metavar="COLLECTIONS", default=None,
+                   help="with --replica-of: comma-separated collection "
+                        "names to replicate (default: all)")
     from .config import VROD_VERSION
     p.add_argument("-V", "--version", action="version",
                    version=f"vrod-tpu {VROD_VERSION}")
@@ -187,9 +195,21 @@ def main(argv=None) -> int:
             from .server import VrodServer
             db_dir = Path(args.database) if args.database else Path.cwd()
             with Database.load(db_dir) as db:
-                with VrodServer(db, args.serve) as server:
-                    print(f"Serving {db.path} on {server.address}",
-                          flush=True)
+                with VrodServer(db, args.serve,
+                                read_only=bool(args.replica_of)) as server:
+                    if args.replica_of:
+                        from .replication import Replicator
+                        cols = (args.replicate.split(",")
+                                if args.replicate else None)
+                        rep = Replicator(db, args.replica_of,
+                                         collections=cols).start()
+                        server.attach_replicator(rep)
+                        print(f"Replica of {args.replica_of} "
+                              f"serving {db.path} on {server.address}",
+                              flush=True)
+                    else:
+                        print(f"Serving {db.path} on {server.address}",
+                              flush=True)
                     server.serve_forever()
             return 0
 

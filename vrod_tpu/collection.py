@@ -160,6 +160,11 @@ class Collection:
         # process holds them, and in-process holds can't predate __init__.
         for stale in self.path.glob(_HOLD_PREFIX + "*"):
             shutil.rmtree(stale, ignore_errors=True)
+        # Highest LSN covered by the committed snapshot (frames <= floor may
+        # have been truncated from the WAL). Replication uses it to decide
+        # whether the WAL can serve a follower's position or the follower
+        # must re-bootstrap from the snapshot.
+        self._wal_floor = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -889,6 +894,91 @@ class Collection:
         snapio.fsync_dir(dest)
         return {"wal_bytes": wal_bytes, "snapshot_files": snap_files}
 
+    # -- replication (pull model; see vrod_tpu/replication.py) --------------
+
+    def repl_position(self) -> int:
+        """Highest LSN durably applied here: what a follower resumes from,
+        and what a primary reports as its head. Snapshot-covered frames may
+        be gone from the WAL, so the floor participates."""
+        with self._rw.read():
+            return max(self._wal_floor, self.wal.last_lsn)
+
+    def repl_tail(self, after_lsn: int, max_bytes: int = 8 << 20) -> dict:
+        """WAL frames a follower at ``after_lsn`` is missing, oldest first,
+        bounded by ``max_bytes`` of payload (at least one frame is always
+        returned when any is pending, so progress never stalls on a big
+        frame). Returns ``{"frames": [(lsn, payload)], "position": head,
+        "resync": bool}``; ``resync=True`` means the WAL no longer covers
+        the follower's position (frames were truncated by a snapshot, or
+        the follower is AHEAD of this primary — a diverged ex-primary) and
+        it must re-bootstrap from the snapshot.
+
+        Only acked frames ship: append+apply share one write-lock hold, so
+        under the read lock every indexed frame is acked — and an acked
+        frame is never rewound. Shipped frames are fsynced here first: a
+        follower must never hold bytes the primary could lose in a crash."""
+        after_lsn = int(after_lsn)
+        with self._rw.read():
+            head = max(self._wal_floor, self.wal.last_lsn)
+            if after_lsn < self._wal_floor or after_lsn > head:
+                return {"frames": [], "position": head, "resync": True}
+            frames, total = [], 0
+            for lsn, payload in self.wal.replay():
+                if lsn <= after_lsn:
+                    continue
+                if frames and total + len(payload) > max_bytes:
+                    break
+                frames.append((lsn, payload))
+                total += len(payload)
+        if frames:
+            self._commit.sync_upto(frames[-1][0])
+        return {"frames": frames, "position": head, "resync": False}
+
+    def replica_apply(self, lsn: int, frame: bytes, *, sync: bool = True)\
+            -> bool:
+        """Apply one primary WAL frame to this replica, WAL-first like
+        every local mutation (the frame bytes are appended verbatim, so
+        the replica's log is a byte-identical suffix of the primary's and
+        a restart resumes from its own durable state). Frames at or below
+        the local position are duplicate deliveries (pull overlap after a
+        reconnect) and return ``False`` untouched. Frames must arrive in
+        increasing-LSN order; LSN *gaps* are legal (the primary rewinds
+        failed, never-acked ops, leaving holes in the sequence).
+
+        ``sync=False`` defers the fsync so a catch-up batch shares one
+        (call :meth:`replica_sync` after the batch)."""
+        if self.engine.multiprocess:
+            raise RuntimeError(
+                "replication onto a process-spanning mesh is not supported")
+        op = ops.decode(frame)  # validate before touching the WAL
+        with self._rw.write():
+            if lsn <= max(self._wal_floor, self.wal.last_lsn):
+                return False
+            self._mutgen += 1
+            # Force (not seed) the lsn: a retried frame whose first apply
+            # failed-and-rewound must reuse the lsn the monotonic counter
+            # already consumed. set_next_lsn refuses duplicates itself.
+            self.wal.set_next_lsn(lsn)
+            pre = self.wal.valid_size
+            self.wal.append(frame, sync=False)
+            try:
+                self._replay_op(op)
+            except BaseException:
+                try:
+                    self.wal.rewind(pre)
+                except Exception:
+                    pass
+                raise
+        if sync:
+            self._ack(lsn)
+        return True
+
+    def replica_sync(self, lsn: int) -> None:
+        """Make every ``replica_apply(..., sync=False)`` up to ``lsn``
+        durable (one shared fsync for the whole batch) and let the
+        auto-snapshot policy bound the replica's own replay time."""
+        self._ack(lsn)
+
     def snapshot(self) -> Path:
         """Persist live records; the WAL frames they came from become
         redundant and are dropped (``truncate_until`` keeps any tail
@@ -993,6 +1083,7 @@ class Collection:
                 self.wal.truncate_until(last_lsn)
             self.wal.sync()  # covers the no-op case (nothing dropped)
             self._commit.mark_synced()
+            self._wal_floor = max(self._wal_floor, last_lsn)
         if old_dir.exists():
             shutil.rmtree(old_dir)
             snapio.fsync_dir(self.path)
@@ -1088,6 +1179,7 @@ class Collection:
                         pls)
             self.next_id = max(self.next_id, int(meta["next_id"]))
             self.wal.seed_lsn(int(meta.get("last_lsn", 0)))
+            self._wal_floor = int(meta.get("last_lsn", 0))
         # Crash recovery: drop any torn tail, then replay the durable prefix.
         if self.wal.has_torn_tail:
             self.wal.repair()

@@ -146,6 +146,12 @@ class Database:
         # Registry reconciled; the WAL frames are captured by the config.
         if self.wal.frame_count:
             self.wal.truncate()
+        # A replication bootstrap killed mid-build leaves a staging dir
+        # (adopt_collection_dir renames it into place atomically; anything
+        # still named .repl_boot_* never made it).
+        import shutil
+        for stale in (self.path / COLLECTIONS_DIR).glob(".repl_boot_*"):
+            shutil.rmtree(stale, ignore_errors=True)
 
     # -- collection registry ------------------------------------------------
 
@@ -340,6 +346,80 @@ class Database:
         if int(last.sum()) > self._HOST_COUNT_MAX_IDS:
             raise OverflowError("too large for host-only count")
         return int(all_kind[order][last].sum())
+
+    def collection_config_json(self, name: str) -> dict:
+        """A collection's config as stored on disk, without loading it."""
+        if name in self._collections:
+            return self._collections[name].config.to_json()
+        with self._registry_lock:
+            if name not in self.config.collections:
+                raise CollectionNotFoundError(f"No collection named {name!r}")
+            return read_config(self._collection_dir(name) / CONFIG_FILE)
+
+    def collection_position(self, name: str) -> int:
+        """Replication head LSN (see Collection.repl_position) without
+        forcing a device restore for cold collections: the max of the
+        snapshot's recorded cut and the on-disk WAL's last lsn."""
+        if name in self._collections:
+            return self._collections[name].repl_position()
+        with self._registry_lock:
+            if name in self._collections:  # loaded while we waited
+                return self._collections[name].repl_position()
+            if name not in self.config.collections:
+                raise CollectionNotFoundError(f"No collection named {name!r}")
+            cdir = self._collection_dir(name)
+            import json
+            from .config import SNAPSHOT_DIR
+            floor = 0
+            for snap in (SNAPSHOT_DIR, SNAPSHOT_DIR + ".old",
+                         SNAPSHOT_DIR + ".tmp"):
+                meta_path = cdir / snap / "meta.json"
+                if meta_path.exists():
+                    try:
+                        floor = int(json.loads(
+                            meta_path.read_text()).get("last_lsn", 0))
+                        break
+                    except Exception:
+                        continue
+            from .wal import Wal as _Wal
+            wal = _Wal(cdir / WAL_FILE)
+            try:
+                return max(floor, wal.last_lsn)
+            finally:
+                wal.close()
+
+    def adopt_collection_dir(self, name: str, src_dir) -> None:
+        """Atomically adopt a fully-built collection directory (replication
+        bootstrap): the staging dir — vr_config + vr_wal + snapshot files,
+        written OUTSIDE the registry — is WAL-logged and renamed into
+        place in one registry-locked step, so a concurrent search either
+        sees no collection or the complete one, and a crash at any point
+        either replays the create (idempotent completion) or sweeps the
+        orphaned staging dir (_recover)."""
+        src_dir = Path(src_dir)
+        cfg_json = read_config(src_dir / CONFIG_FILE)
+        cfg = CollectionConfig.from_json(cfg_json)  # validate first
+        if cfg.name != name:
+            raise ValueError(
+                f"Staged config names {cfg.name!r}, adopting as {name!r}")
+        with self._registry_lock:
+            if (name in self.config.collections
+                    or self._collection_dir(name).exists()):
+                raise CollectionExistsError(
+                    f"Collection {name!r} already exists")
+            pre = self.wal.valid_size
+            self.wal.append(ops.encode(ops.CreateCollectionOp(cfg_json)),
+                            sync=self._wal_sync)
+            try:
+                src_dir.rename(self._collection_dir(name))
+            except BaseException:
+                try:
+                    self.wal.rewind(pre)
+                except Exception:
+                    pass
+                raise
+            self.config.collections.append(name)
+            write_config(self.path / CONFIG_FILE, self.config.to_json())
 
     def collection(self, name: str) -> Collection:
         if name in self._collections:

@@ -138,10 +138,20 @@ class VrodServer:
 
     def __init__(self, db, addr=("127.0.0.1", 0), *, max_batch: int = 256,
                  max_wait_ms: float = 2.0,
-                 search_timeout_s: float | None = 600.0):
+                 search_timeout_s: float | None = 600.0,
+                 read_only: bool = False):
         self.db = db
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        # Read-only replicas reject client mutations; the attached
+        # Replicator applies the primary's stream directly (library path,
+        # not the network dispatch). PROMOTE flips this off.
+        self.read_only = read_only
+        self._replicator = None
+        # Snapshot pins served to bootstrapping followers: token ->
+        # (context manager, hold dir, meta, deadline).
+        self._repl_holds: dict[str, tuple] = {}
+        self._repl_lock = threading.Lock()
         # Per-query wall clock for the batched path. Generous: the FIRST
         # query of a new (batch-bucket, k) shape pays XLA compilation
         # (tens of seconds on a cold tunnel); a tight cap here would fail
@@ -245,6 +255,12 @@ class VrodServer:
             batchers, self._batchers = dict(self._batchers), {}
         for b in batchers.values():
             b.close()
+        if self._replicator is not None:
+            self._replicator.stop()
+        with self._repl_lock:
+            holds, self._repl_holds = dict(self._repl_holds), {}
+        for cm, _hold, _meta, _deadline in holds.values():
+            cm.__exit__(None, None, None)
         if self.address.startswith("unix:"):
             # Unlink only OUR socket: another server may have (wrongly or
             # after our crash-restart) re-bound the same path since.
@@ -294,16 +310,37 @@ class VrodServer:
                 self._inflight -= 1
                 self._inflight_cv.notify_all()
 
+    # Verbs that change logical database state. On a read-only replica they
+    # are rejected at the dispatch boundary (the Replicator's apply path is
+    # a library call, not a request). BACKUP/EXPORT/SNAPSHOT-maintenance
+    # stay allowed: backups FROM replicas are the standard way to keep load
+    # off a primary.
+    _MUTATING_VERBS = frozenset({
+        "CREATE", "DROP", "TRUNCATEWAL", "INSERT", "BULKINSERT", "UPDATE",
+        "DELETE", "REINDEX"})
+
     def _dispatch(self, req: dict):
         cmd = str(req.get("cmd", "")).upper()
         collection = req.get("collection")
         if cmd == "PING":
             return "pong"
         if cmd == "STATS":
-            return {"uptime_s": round(time.monotonic() - self._t0, 3),
-                    "address": self.address,
-                    "collections": self.db.list_collections(),
-                    "counters": metrics.counters.snapshot()}
+            stats = {"uptime_s": round(time.monotonic() - self._t0, 3),
+                     "address": self.address,
+                     "read_only": self.read_only,
+                     "collections": self.db.list_collections(),
+                     "counters": metrics.counters.snapshot()}
+            if self._replicator is not None:
+                stats["replication"] = self._replicator.status()
+            return stats
+        if self.read_only and cmd in self._MUTATING_VERBS:
+            raise VrodError(
+                f"{cmd} rejected: this server is a read-only replica "
+                f"(send PROMOTE to make it a standalone primary)")
+        if cmd == "PROMOTE":
+            return self._promote()
+        if cmd.startswith("REPL."):
+            return self._dispatch_repl(cmd, req)
         if cmd == "SHUTDOWN":
             # close() from a helper thread: the handler thread must finish
             # sending this response first, and serve_forever lives elsewhere.
@@ -396,3 +433,120 @@ class VrodServer:
             b = self._batchers.pop(str(name).strip(), None)
         if b is not None:
             b.close()
+
+    # -- replication source + promotion --------------------------------------
+    #
+    # Any server can feed followers (see vrod_tpu/replication.py for the
+    # puller). Protocol, all newline-JSON like everything else:
+    #   REPL.MANIFEST                        -> collections, configs, head LSNs
+    #   REPL.SNAPSHOT  {collection}          -> pin the snapshot; token + files
+    #   REPL.FETCH     {token, file, offset, size} -> base64 bytes
+    #   REPL.RELEASE   {token}               -> drop the pin
+    #   REPL.TAIL      {collection, after, max_bytes} -> WAL frames > after
+    #   PROMOTE                              -> replica becomes a primary
+
+    REPL_HOLD_TTL_S = 600.0  # a crashed follower must not pin disk forever
+    REPL_FETCH_MAX = 8 << 20
+
+    def attach_replicator(self, replicator) -> None:
+        self._replicator = replicator
+
+    def _promote(self) -> str:
+        if not self.read_only and self._replicator is None:
+            return "already a primary"
+        if self._replicator is not None:
+            self._replicator.stop()
+            self._replicator = None
+        self.read_only = False
+        metrics.counters.inc("server.promotions")
+        return "promoted: replication stopped, writes enabled"
+
+    def _dispatch_repl(self, cmd: str, req: dict):
+        import base64
+        self._sweep_repl_holds()
+        if cmd == "REPL.MANIFEST":
+            out = {}
+            for name in self.db.list_collections():
+                out[name] = {
+                    "config": self.db.collection_config_json(name),
+                    "position": self.db.collection_position(name),
+                }
+            return {"collections": out}
+        if cmd == "REPL.TAIL":
+            col = self._collection(req.get("collection"))
+            r = col.repl_tail(
+                int(req.get("after", 0)),
+                max_bytes=min(int(req.get("max_bytes", self.REPL_FETCH_MAX)),
+                              self.REPL_FETCH_MAX))
+            metrics.counters.inc("repl.frames_served", len(r["frames"]))
+            return {"frames": [[lsn, base64.b64encode(p).decode()]
+                               for lsn, p in r["frames"]],
+                    "position": r["position"], "resync": r["resync"]}
+        if cmd == "REPL.SNAPSHOT":
+            import uuid
+            col = self._collection(req.get("collection"))
+            cm = col.hold_snapshot()
+            hold = cm.__enter__()
+            if hold is None:  # never snapshotted: bootstrap is WAL-only
+                cm.__exit__(None, None, None)
+                return {"token": None, "files": [], "floor": 0,
+                        "config": col.config.to_json()}
+            token = uuid.uuid4().hex
+            try:
+                import json as _json
+                meta = _json.loads((hold / "meta.json").read_text())
+                crcs = dict(meta.get("crc32", {}))
+                from . import snapshot as snapio
+                files = []
+                for f in sorted(hold.iterdir()):
+                    crc = crcs.get(f.name)
+                    if crc is None:  # meta.json itself / legacy layouts
+                        crc = snapio.crc32_of_file(f)
+                    files.append([f.name, f.stat().st_size, int(crc)])
+            except BaseException:
+                cm.__exit__(None, None, None)
+                raise
+            with self._repl_lock:
+                self._repl_holds[token] = (
+                    cm, hold, meta,
+                    time.monotonic() + self.REPL_HOLD_TTL_S)
+            return {"token": token, "files": files,
+                    "floor": int(meta.get("last_lsn", 0)),
+                    "config": col.config.to_json()}
+        if cmd == "REPL.FETCH":
+            with self._repl_lock:
+                ent = self._repl_holds.get(str(req.get("token")))
+            if ent is None:
+                raise VrodError("Unknown or expired replication token "
+                                "(re-run REPL.SNAPSHOT)")
+            _cm, hold, _meta, _dl = ent
+            fname = str(req.get("file", ""))
+            if "/" in fname or fname in ("", ".", ".."):
+                raise ValueError(f"Bad snapshot file name {fname!r}")
+            path = hold / fname
+            offset = int(req.get("offset", 0))
+            size = min(int(req.get("size", self.REPL_FETCH_MAX)),
+                       self.REPL_FETCH_MAX)
+            with open(path, "rb") as f:
+                f.seek(offset)
+                data = f.read(size)
+            metrics.counters.inc("repl.bytes_served", len(data))
+            return {"data": base64.b64encode(data).decode(),
+                    "eof": offset + len(data) >= path.stat().st_size}
+        if cmd == "REPL.RELEASE":
+            with self._repl_lock:
+                ent = self._repl_holds.pop(str(req.get("token")), None)
+            if ent is not None:
+                ent[0].__exit__(None, None, None)
+            return "released"
+        raise VrodError(f"Unknown replication verb {cmd!r}")
+
+    def _sweep_repl_holds(self) -> None:
+        now = time.monotonic()
+        expired = []
+        with self._repl_lock:
+            for token, ent in list(self._repl_holds.items()):
+                if ent[3] < now:
+                    expired.append(self._repl_holds.pop(token))
+        for cm, _hold, _meta, _dl in expired:
+            cm.__exit__(None, None, None)

@@ -78,6 +78,14 @@ class _NativeWal:
     def seed_lsn(self, last_lsn: int) -> None:
         self._lib.vrod_wal_seed_lsn(self._h, last_lsn)
 
+    def set_next_lsn(self, next_lsn: int) -> None:
+        """Force the next append's lsn (replication: frames carry the
+        PRIMARY's lsn, including a retried lsn the monotonic counter
+        already consumed for a rewound apply)."""
+        if self._lib.vrod_wal_set_next_lsn(self._h, next_lsn) != 0:
+            raise WalError(
+                f"set_next_lsn({next_lsn}) would duplicate an existing lsn")
+
     def repair(self) -> None:
         if self._lib.vrod_wal_repair(self._h) != 0:
             raise WalError("WAL repair failed")
@@ -260,6 +268,13 @@ class _PyWal:
 
     def seed_lsn(self, last_lsn: int) -> None:
         self._next_lsn = max(self._next_lsn, last_lsn + 1)
+
+    def set_next_lsn(self, next_lsn: int) -> None:
+        """See _NativeWal.set_next_lsn (bit-compatible contract)."""
+        if self._index and next_lsn <= self._index[-1][0]:
+            raise WalError(
+                f"set_next_lsn({next_lsn}) would duplicate an existing lsn")
+        self._next_lsn = next_lsn
 
     def repair(self) -> None:
         self._f.truncate(self._valid_size)
