@@ -192,3 +192,35 @@ def test_backup_under_concurrent_mutations(tmp_db, tmp_path, rng):
         assert not list(col.path.glob(".snap_hold_*"))
     finally:
         db2.close()
+
+
+def test_backup_after_crash_recovered_fallback_snapshot(tmp_path, rng):
+    """A crash between the snapshot-swap renames leaves the data in
+    snapshot.old with a truncated WAL; a backup (or replication bootstrap)
+    taken after the reload must still carry the snapshot-covered records.
+    The load normalizes the fallback to the committed name (collection.py
+    _restore), which this test pins."""
+    db = Database.new(tmp_path, "db")
+    col = db.create_collection("c", dim=4, segment_rows=64)
+    vecs, rids = _fill(col, 12, 4, rng)
+    col.snapshot()  # WAL truncated: records now live ONLY in the snapshot
+    # Simulate the crash window in _snapshot_impl phase 3: the committed
+    # dir was renamed to .old and the process died before tmp -> snapshot.
+    (col.path / SNAPSHOT_DIR).rename(col.path / (SNAPSHOT_DIR + ".old"))
+    db.close()
+
+    db = Database.load(tmp_path / "db")
+    try:
+        col = db.collection("c")
+        assert col.count == 12
+        assert (col.path / SNAPSHOT_DIR).is_dir()  # normalized on load
+        assert not (col.path / (SNAPSHOT_DIR + ".old")).exists()
+        db.backup(tmp_path / "bk")
+    finally:
+        db.close()
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("c").count == 12
+        assert db2.collection("c").get(int(rids[0])).payload == "p0"
+    finally:
+        db2.close()

@@ -294,3 +294,51 @@ def test_replicated_int8_and_filters(primary, replica_db):
         rh = rcol.search_similar(vecs[0], k=4, exclude_ids=[1])
         assert [(h.record_id, round(h.score, 5)) for h in ph] == \
                [(h.record_id, round(h.score, 5)) for h in rh]
+
+
+def test_cold_collection_tail_stays_cold(primary, replica_db):
+    """An idle caught-up follower polling REPL.TAIL must not force the
+    primary to device-restore cold collections (disk metadata answers)."""
+    db, server = primary
+    _fill(db, tail=0)  # snapshot only, no WAL tail
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+    # Evict: reload the primary DB object state by dropping the hot handle.
+    # (Simpler: a fresh server on a freshly loaded DB.)
+    db2 = None
+    import vrod_tpu.database as D
+    home = db.path
+    db.close()
+    server.close()
+    db2 = D.Database.load(home)
+    try:
+        with VrodServer(db2, f"unix:{home}/p2.sock").start() as s2:
+            assert not db2.is_loaded("c")
+            with Replicator(replica_db, s2.address,
+                            poll_interval_s=0.05).start() as rep:
+                rep.wait_caught_up()
+                import time as _t
+                _t.sleep(0.3)  # several idle polls
+            assert not db2.is_loaded("c")  # caught-up polls stayed cold
+    finally:
+        db2.close()
+
+
+def test_fetch_refreshes_hold_ttl(primary):
+    """A slow bootstrap must not lose its snapshot pin mid-transfer: every
+    successful REPL.FETCH pushes the idle deadline forward."""
+    import time as _t
+    db, server = primary
+    _fill(db, tail=0)
+    db.collection("c")  # ensure loaded
+    with VrodClient(server.address) as c:
+        snap = c._request(cmd="REPL.SNAPSHOT", collection="c")
+        assert snap["token"]
+        before = server._repl_holds[snap["token"]][3]
+        _t.sleep(0.05)
+        c._request(cmd="REPL.FETCH", token=snap["token"],
+                   file=snap["files"][0][0], offset=0, size=16)
+        after = server._repl_holds[snap["token"]][3]
+        assert after > before
+        c._request(cmd="REPL.RELEASE", token=snap["token"])
+        assert snap["token"] not in server._repl_holds

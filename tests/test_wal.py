@@ -244,3 +244,19 @@ def test_set_next_lsn_force_and_refuse(tmp_path, native):
     w = Wal(tmp_path / "vr_wal", native=native)
     assert w.last_lsn == 12
     w.close()
+
+
+@pytest.mark.parametrize("native", IMPLS)
+def test_replay_from(tmp_path, native):
+    """Replication tails must not re-read the whole log: replay_from yields
+    exactly the frames with lsn > after, matching a filtered full replay."""
+    w = Wal(tmp_path / "vr_wal", native=native)
+    for i in range(20):
+        w.append(f"p{i}".encode())
+    w.set_next_lsn(50)  # lsn gap, like a primary that rewound failed ops
+    w.append(b"tail")
+    full = list(w.replay())
+    for after in (0, 1, 7, 19, 20, 49, 50, 99):
+        got = list(w.replay_from(after))
+        assert got == [(l, p) for l, p in full if l > after], after
+    w.close()

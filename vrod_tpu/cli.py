@@ -199,7 +199,8 @@ def main(argv=None) -> int:
                                 read_only=bool(args.replica_of)) as server:
                     if args.replica_of:
                         from .replication import Replicator
-                        cols = (args.replicate.split(",")
+                        cols = ([c.strip() for c in args.replicate.split(",")
+                                 if c.strip()]
                                 if args.replicate else None)
                         rep = Replicator(db, args.replica_of,
                                          collections=cols).start()

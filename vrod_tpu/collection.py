@@ -809,6 +809,23 @@ class Collection:
     # dim 768 f32) and the read-lock hold time per chunk.
     SNAPSHOT_CHUNK_ROWS = 65536
 
+    def _pin_snapshot_locked(self) -> Path | None:
+        """Hardlink the committed snapshot's files into a fresh hold dir
+        (``None`` if the collection has never snapshotted). Caller must
+        hold ``_maint`` — that is what excludes a swap between the
+        ``is_dir`` check and the links. ``_restore`` normalizes fallback
+        dirs (.old/.tmp) to the committed name at load, so checking
+        ``snapshot/`` alone sees every snapshot this process can have."""
+        import tempfile
+        snap = self.path / SNAPSHOT_DIR
+        if not snap.is_dir():
+            return None
+        hold = Path(tempfile.mkdtemp(prefix=_HOLD_PREFIX, dir=self.path))
+        from . import snapshot as snapio
+        for f in sorted(snap.iterdir()):
+            snapio.link_or_copy(f, hold / f.name)
+        return hold
+
     def hold_snapshot(self):
         """Context manager pinning the current committed snapshot: yields a
         directory of hardlinks to its files (or ``None`` if the collection
@@ -819,19 +836,11 @@ class Collection:
         collection dir (same filesystem → links always succeed); stale
         holds from a crashed process are swept on the next load."""
         import contextlib
-        import tempfile
 
         @contextlib.contextmanager
         def _hold():
-            hold = None
-            with self._maint:  # excludes a swap between exists() and link
-                snap = self.path / SNAPSHOT_DIR
-                if snap.is_dir():
-                    hold = Path(tempfile.mkdtemp(
-                        prefix=_HOLD_PREFIX, dir=self.path))
-                    from . import snapshot as snapio
-                    for f in sorted(snap.iterdir()):
-                        snapio.link_or_copy(f, hold / f.name)
+            with self._maint:
+                hold = self._pin_snapshot_locked()
             try:
                 yield hold
             finally:
@@ -855,11 +864,11 @@ class Collection:
         pass, after which the multi-GB snapshot byte-copy streams lock-free
         from pinned hardlinks. The capture point is the last mutation ACKED
         before the copy: later mutations may or may not be included."""
-        import tempfile
         from . import snapshot as snapio
         dest = Path(dest)
         dest.mkdir(parents=True, exist_ok=False)
         shutil.copy2(self.path / CONFIG_FILE, dest / CONFIG_FILE)
+        snapio.fsync_file(dest / CONFIG_FILE)  # must survive power loss
         hold = None
         try:
             with self._maint:
@@ -872,12 +881,7 @@ class Collection:
                     wal_size = self.wal.valid_size
                 wal_bytes = snapio.copy_file_prefix(
                     self.path / WAL_FILE, dest / WAL_FILE, wal_size)
-                snap = self.path / SNAPSHOT_DIR
-                if snap.is_dir():
-                    hold = Path(tempfile.mkdtemp(
-                        prefix=_HOLD_PREFIX, dir=self.path))
-                    for f in sorted(snap.iterdir()):
-                        snapio.link_or_copy(f, hold / f.name)
+                hold = self._pin_snapshot_locked()
             snap_files = 0
             if hold is not None:
                 # Independent bytes (a backup must not share inodes with
@@ -920,12 +924,12 @@ class Collection:
         after_lsn = int(after_lsn)
         with self._rw.read():
             head = max(self._wal_floor, self.wal.last_lsn)
+            if after_lsn == head:  # caught up: the idle-poll fast path
+                return {"frames": [], "position": head, "resync": False}
             if after_lsn < self._wal_floor or after_lsn > head:
                 return {"frames": [], "position": head, "resync": True}
             frames, total = [], 0
-            for lsn, payload in self.wal.replay():
-                if lsn <= after_lsn:
-                    continue
+            for lsn, payload in self.wal.replay_from(after_lsn):
                 if frames and total + len(payload) > max_bytes:
                     break
                 frames.append((lsn, payload))
@@ -1185,6 +1189,21 @@ class Collection:
             self.wal.repair()
         for _lsn, frame in self.wal.replay():
             self._replay_op(ops.decode(frame))
+        # Normalize: promote a fallback (.old/.tmp) the restore used to the
+        # committed name, so every live-process consumer of the snapshot
+        # dir (backup pinning, replication bootstrap, cold stats) sees ONE
+        # invariant — "snapshot/ is the newest valid snapshot" — instead of
+        # re-implementing the fallback search. Crash-safe: the corrupt/
+        # stale main dir is removed first; a crash between the rmtree and
+        # the rename just falls back again on the next load.
+        if snap_dir is not None and snap_dir.name != SNAPSHOT_DIR:
+            main = self.path / SNAPSHOT_DIR
+            if main.exists():
+                shutil.rmtree(main)
+            snap_dir.rename(main)
+            from . import snapshot as snapio
+            snapio.fsync_dir(self.path)
+            snap_dir = main
         # Leftover swap intermediates are garbage once restore succeeded.
         for name in (SNAPSHOT_DIR + ".old", SNAPSHOT_DIR + ".tmp"):
             d = self.path / name

@@ -347,6 +347,11 @@ class Database:
             raise OverflowError("too large for host-only count")
         return int(all_kind[order][last].sum())
 
+    def is_loaded(self, name: str) -> bool:
+        """True when the collection is resident (device engine restored).
+        Lets callers choose disk-metadata paths for cold collections."""
+        return name in self._collections
+
     def collection_config_json(self, name: str) -> dict:
         """A collection's config as stored on disk, without loading it."""
         if name in self._collections:
@@ -477,6 +482,7 @@ class Database:
                 # Registry ops run under the lock we hold: the DB config +
                 # WAL pair is static for the duration.
                 shutil.copy2(self.path / CONFIG_FILE, tmp / CONFIG_FILE)
+                snapio.fsync_file(tmp / CONFIG_FILE)
                 self.wal.sync()
                 snapio.copy_file_prefix(
                     self.path / WAL_FILE, tmp / WAL_FILE, self.wal.valid_size)
@@ -511,6 +517,7 @@ class Database:
         csrc = self._collection_dir(name)
         cdest.mkdir(parents=True)
         shutil.copy2(csrc / CONFIG_FILE, cdest / CONFIG_FILE)
+        snapio.fsync_file(cdest / CONFIG_FILE)
         wal_bytes = (csrc / WAL_FILE).stat().st_size
         shutil.copy2(csrc / WAL_FILE, cdest / WAL_FILE)
         snapio.fsync_file(cdest / WAL_FILE)
@@ -521,7 +528,9 @@ class Database:
             sdir = csrc / snap
             if sdir.is_dir():
                 shutil.copytree(sdir, cdest / snap)
-                snap_files += sum(1 for _ in (cdest / snap).iterdir())
+                for f in (cdest / snap).iterdir():
+                    snapio.fsync_file(f)  # durable backup = fsynced bytes
+                    snap_files += 1
                 snapio.fsync_dir(cdest / snap)
         snapio.fsync_dir(cdest)
         return {"wal_bytes": wal_bytes, "snapshot_files": snap_files}

@@ -231,6 +231,14 @@ class Replicator:
                 sdir = Path(staging) / SNAPSHOT_DIR
                 sdir.mkdir()
                 for fname, fsize, fcrc in snap["files"]:
+                    # The protocol has no auth: never let a spoofed primary
+                    # steer writes outside the staging snapshot dir.
+                    fname = str(fname)
+                    if ("/" in fname or "\\" in fname
+                            or fname in ("", ".", "..")):
+                        raise ReplicationError(
+                            f"Primary sent unsafe snapshot file name "
+                            f"{fname!r}")
                     crc = 0
                     with open(sdir / fname, "wb") as out:
                         offset = 0

@@ -473,9 +473,22 @@ class VrodServer:
                 }
             return {"collections": out}
         if cmd == "REPL.TAIL":
-            col = self._collection(req.get("collection"))
+            name = req.get("collection")
+            if not name:
+                raise ValueError("Request requires a 'collection'")
+            after = int(req.get("after", 0))
+            if not self.db.is_loaded(str(name)):
+                # Cold collection: answer caught-up/resync polls from disk
+                # metadata alone — tailing must not force a device restore
+                # the primary's own clients never asked for. A genuinely
+                # behind follower falls through and pays the load once.
+                pos = self.db.collection_position(str(name))
+                if after >= pos:
+                    return {"frames": [], "position": pos,
+                            "resync": after > pos}
+            col = self._collection(name)
             r = col.repl_tail(
-                int(req.get("after", 0)),
+                after,
                 max_bytes=min(int(req.get("max_bytes", self.REPL_FETCH_MAX)),
                               self.REPL_FETCH_MAX))
             metrics.counters.inc("repl.frames_served", len(r["frames"]))
@@ -514,8 +527,17 @@ class VrodServer:
                     "floor": int(meta.get("last_lsn", 0)),
                     "config": col.config.to_json()}
         if cmd == "REPL.FETCH":
+            token = str(req.get("token"))
             with self._repl_lock:
-                ent = self._repl_holds.get(str(req.get("token")))
+                ent = self._repl_holds.get(token)
+                if ent is not None:
+                    # Refresh the TTL: it bounds ABANDONED holds, so it must
+                    # measure idle time, not total transfer time — a 30 GB
+                    # bootstrap legitimately fetches for longer than any
+                    # fixed deadline.
+                    ent = (ent[0], ent[1], ent[2],
+                           time.monotonic() + self.REPL_HOLD_TTL_S)
+                    self._repl_holds[token] = ent
             if ent is None:
                 raise VrodError("Unknown or expired replication token "
                                 "(re-run REPL.SNAPSHOT)")

@@ -108,8 +108,21 @@ class _NativeWal:
 
     def replay(self):
         """Yield (lsn, payload_bytes) for every valid frame, in order."""
+        return self.replay_from(0)
+
+    def replay_from(self, after_lsn: int):
+        """Yield (lsn, payload_bytes) for frames with lsn > ``after_lsn``.
+        Binary search on the (strictly increasing) lsn index, so a caught-up
+        replication poll costs O(log n) lsn peeks — never a payload copy."""
         n = self.frame_count
-        for i in range(n):
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if self._lib.vrod_wal_frame_lsn(self._h, mid) <= after_lsn:
+                lo = mid + 1
+            else:
+                hi = mid
+        for i in range(lo, n):
             ln = self._lib.vrod_wal_frame_len(self._h, i)
             buf = (ctypes.c_uint8 * max(int(ln), 1))()
             got = self._lib.vrod_wal_frame_read(self._h, i, buf, ln)
@@ -299,7 +312,14 @@ class _PyWal:
         return os.fstat(self._f.fileno()).st_size > self._valid_size
 
     def replay(self):
-        for lsn, off, plen in self._index:
+        return self.replay_from(0)
+
+    def replay_from(self, after_lsn: int):
+        """See _NativeWal.replay_from (same contract)."""
+        import bisect
+        start = bisect.bisect_right(self._index, after_lsn,
+                                    key=lambda e: e[0])
+        for lsn, off, plen in self._index[start:]:
             self._f.seek(off)
             yield lsn, self._f.read(plen)
 
