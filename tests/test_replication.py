@@ -342,3 +342,126 @@ def test_fetch_refreshes_hold_ttl(primary):
         assert after > before
         c._request(cmd="REPL.RELEASE", token=snap["token"])
         assert snap["token"] not in server._repl_holds
+
+
+REPL_CHILD = """
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["VROD_PLATFORM"] = "cpu"
+import jax
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+from vrod_tpu.database import Database
+from vrod_tpu.replication import Replicator
+
+home, addr = sys.argv[1], sys.argv[2]
+db = Database.new(home, "rdb")
+rep = Replicator(db, addr, poll_interval_s=0.02).start()
+print("READY", flush=True)
+while True:
+    time.sleep(0.03)
+    pos = 0
+    if "c" in db.list_collections():
+        try:
+            pos = db.collection("c").repl_position()
+        except Exception:
+            pass
+    print(f"POS {pos}", flush=True)
+"""
+
+
+def test_sigkill_replica_mid_tail(primary, tmp_path):
+    """SIGKILL the whole replica process while it is applying the primary's
+    stream: the replica's own WAL-first discipline means a reload yields a
+    clean LSN-prefix of the primary (contiguous ids, matching payloads),
+    and a fresh replicator converges it without a re-bootstrap."""
+    import os
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    db, server = primary
+    col = db.create_collection("c", dim=DIM, segment_rows=64)
+    rng = np.random.default_rng(0)
+
+    stop = threading.Event()
+
+    def feed():
+        i = 0
+        while not stop.is_set() and i < 4000:
+            col.insert(rng.standard_normal(DIM).astype(np.float32), f"m{i}")
+            i += 1
+
+    feeder = threading.Thread(target=feed)
+    feeder.start()
+
+    script = tmp_path / "repl_child.py"
+    script.write_text(REPL_CHILD)
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    addr = server.address
+    proc = subprocess.Popen(
+        [sys.executable, str(script), str(tmp_path / "rhome"), addr],
+        stdout=subprocess.PIPE, text=True, env=env)
+    try:
+        deadline = time.time() + 120
+        pos = 0
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if line.startswith("POS"):
+                pos = int(line.split()[1])
+                if pos >= 50:  # mid-stream: the feeder is still going
+                    break
+        proc.kill()  # SIGKILL: a real crash, no unwind
+    finally:
+        proc.wait()
+        stop.set()
+        feeder.join()
+    assert pos >= 50
+
+    rdb = Database.load(tmp_path / "rhome" / "rdb")
+    try:
+        rcol = rdb.collection("c")
+        m = rcol.count
+        assert m >= 1  # it was mid-stream; SOME durable prefix exists
+        # Insert-only stream => the applied prefix is exactly ids 1..M,
+        # each bit-identical to the primary's record.
+        r_ids = np.sort(rcol.alloc.ids_of(
+            rcol.alloc.live_slots().astype(np.uint64)))
+        np.testing.assert_array_equal(
+            r_ids, np.arange(1, m + 1, dtype=np.uint64))
+        for rid in (1, m // 2 or 1, m):
+            p, r = col.get(rid), rcol.get(rid)
+            np.testing.assert_array_equal(p.vector, r.vector)
+            assert p.payload == r.payload
+        # A fresh replicator resumes from the durable position (no
+        # bootstrap) and converges to the primary.
+        boots_before = metrics.counters.snapshot().get("repl.bootstraps", 0)
+        with Replicator(rdb, addr).start() as rep:
+            rep.wait_caught_up(timeout=120)
+            _assert_identical(col, rcol)
+        assert metrics.counters.snapshot().get(
+            "repl.bootstraps", 0) == boots_before
+    finally:
+        rdb.close()
+
+
+def test_replication_with_auth_token(tmp_db, tmp_path, replica_db):
+    """A token-protected primary feeds an authenticated replicator; an
+    unauthenticated one gets a clean error, not silent stalling."""
+    with VrodServer(tmp_db, f"unix:{tmp_path}/auth_p.sock",
+                    auth_token="repl-secret").start() as server:
+        _fill(tmp_db, tail=0)
+        with Replicator(replica_db, server.address,
+                        auth_token="repl-secret").start() as rep:
+            rep.wait_caught_up()
+            assert replica_db.collection("c").count == 24
+        bad = Replicator(replica_db, server.address, poll_interval_s=0.05)
+        bad.start()
+        try:
+            import time as _t
+            _t.sleep(0.5)
+            assert "Authentication" in (bad.status()["last_error"] or "")
+        finally:
+            bad.stop()

@@ -395,3 +395,26 @@ def test_server_sigkill_acked_inserts_survive(tmp_path):
             assert rec.payload == payload
     finally:
         db2.close()
+
+
+def test_auth_token(tmp_db, tmp_path):
+    """With auth_token set, every verb except PING needs the shared secret;
+    failures are clean errors on a live connection, not disconnects."""
+    with VrodServer(tmp_db, f"unix:{tmp_path}/auth.sock",
+                    auth_token="s3cret").start() as s:
+        with VrodClient(s.address) as anon:
+            assert anon.ping() == "pong"  # health check stays open
+            with pytest.raises(VrodServerError, match="Authentication"):
+                anon.stats()
+            with pytest.raises(VrodServerError, match="Authentication"):
+                anon.execute("CREATE", arg="c;dim=8;segment_rows=64")
+            assert anon.ping() == "pong"  # connection survived the denial
+        with VrodClient(s.address, auth_token="wrong") as bad:
+            with pytest.raises(VrodServerError, match="Authentication"):
+                bad.stats()
+        with VrodClient(s.address, auth_token="s3cret") as ok:
+            ok.execute("CREATE", arg="c;dim=8;segment_rows=64")
+            rid = ok.insert("c", np.ones(8, np.float32), "p")
+            assert ok.search_similar("c", np.ones(8, np.float32),
+                                     k=1)[0].record_id == rid
+        assert metrics.counters.snapshot().get("server.auth_failure", 0) >= 3

@@ -14,6 +14,7 @@ falling back to the current working directory when --database is omitted
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -65,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--replicate", metavar="COLLECTIONS", default=None,
                    help="with --replica-of: comma-separated collection "
                         "names to replicate (default: all)")
+    p.add_argument("--auth-token", metavar="TOKEN",
+                   default=os.environ.get("VROD_AUTH_TOKEN"),
+                   help="with --serve: require this shared secret in every "
+                        "request's 'auth' field (PING exempt). Also sent "
+                        "upstream by --replica-of. Prefer the "
+                        "VROD_AUTH_TOKEN env var (keeps it off the process "
+                        "list). Plaintext transport: this guards against "
+                        "accidental access, not active attackers")
     from .config import VROD_VERSION
     p.add_argument("-V", "--version", action="version",
                    version=f"vrod-tpu {VROD_VERSION}")
@@ -196,14 +205,16 @@ def main(argv=None) -> int:
             db_dir = Path(args.database) if args.database else Path.cwd()
             with Database.load(db_dir) as db:
                 with VrodServer(db, args.serve,
-                                read_only=bool(args.replica_of)) as server:
+                                read_only=bool(args.replica_of),
+                                auth_token=args.auth_token) as server:
                     if args.replica_of:
                         from .replication import Replicator
                         cols = ([c.strip() for c in args.replicate.split(",")
                                  if c.strip()]
                                 if args.replicate else None)
                         rep = Replicator(db, args.replica_of,
-                                         collections=cols).start()
+                                         collections=cols,
+                                         auth_token=args.auth_token).start()
                         server.attach_replicator(rep)
                         print(f"Replica of {args.replica_of} "
                               f"serving {db.path} on {server.address}",

@@ -53,7 +53,9 @@ class Hit:
 
 
 class VrodClient:
-    def __init__(self, addr, *, timeout: float | None = 600.0):
+    def __init__(self, addr, *, timeout: float | None = 600.0,
+                 auth_token: str | None = None):
+        self._auth_token = auth_token
         spec = parse_addr(addr)
         if spec[0] == "unix":
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -77,6 +79,8 @@ class VrodClient:
                     f"with a new VrodClient")
             self._next_id += 1
             req["id"] = self._next_id
+            if self._auth_token is not None:
+                req["auth"] = self._auth_token
             try:
                 self._sock.sendall(json.dumps(req).encode() + b"\n")
                 line = self._rfile.readline()

@@ -61,9 +61,10 @@ class Replicator:
 
     def __init__(self, db, primary_addr, *, collections=None,
                  poll_interval_s: float = 0.5, max_bytes: int = 8 << 20,
-                 fetch_bytes: int = 4 << 20):
+                 fetch_bytes: int = 4 << 20, auth_token: str | None = None):
         self.db = db
         self.primary_addr = primary_addr
+        self._auth_token = auth_token  # the PRIMARY's token (if it has one)
         self._filter = (None if collections in (None, "*")
                         else frozenset(collections))
         self.poll_interval_s = poll_interval_s
@@ -181,7 +182,8 @@ class Replicator:
 
     def _rpc(self, **req):
         if self._client is None:
-            self._client = VrodClient(self.primary_addr)
+            self._client = VrodClient(self.primary_addr,
+                                      auth_token=self._auth_token)
         return self._client._request(**req)
 
     def _tracked(self, name: str) -> bool:
@@ -205,6 +207,11 @@ class Replicator:
                 return
             if name not in self.db.list_collections():
                 self._bootstrap(name)
+            else:
+                with self._lock:
+                    local = self._positions.get(name)
+                if local is not None and local == int(remote[name]["position"]):
+                    continue  # caught up as of this manifest: skip the RPC
             self._tail(name)
 
     # -- bootstrap (snapshot ship) --------------------------------------------

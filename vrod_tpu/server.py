@@ -139,10 +139,16 @@ class VrodServer:
     def __init__(self, db, addr=("127.0.0.1", 0), *, max_batch: int = 256,
                  max_wait_ms: float = 2.0,
                  search_timeout_s: float | None = 600.0,
-                 read_only: bool = False):
+                 read_only: bool = False, auth_token: str | None = None):
         self.db = db
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
+        # Optional shared-secret auth: every request (except PING, a health
+        # check) must carry a matching "auth" field. This guards against
+        # ACCIDENTAL access on a shared host/network — the transport is
+        # plaintext, so it is not a defense against an active attacker;
+        # keep the unix-socket/loopback trust model for that.
+        self.auth_token = auth_token
         # Read-only replicas reject client mutations; the attached
         # Replicator applies the primary's stream directly (library path,
         # not the network dispatch). PROMOTE flips this off.
@@ -324,6 +330,14 @@ class VrodServer:
         collection = req.get("collection")
         if cmd == "PING":
             return "pong"
+        if self.auth_token is not None:
+            import hmac
+            if not hmac.compare_digest(
+                    str(req.get("auth", "")), self.auth_token):
+                metrics.counters.inc("server.auth_failure")
+                raise VrodError(
+                    "Authentication failed: request needs the server's "
+                    "'auth' token")
         if cmd == "STATS":
             stats = {"uptime_s": round(time.monotonic() - self._t0, 3),
                      "address": self.address,
