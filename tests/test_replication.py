@@ -465,3 +465,90 @@ def test_replication_with_auth_token(tmp_db, tmp_path, replica_db):
             assert "Authentication" in (bad.status()["last_error"] or "")
         finally:
             bad.stop()
+
+
+def test_read_your_writes_min_position(primary, replica_db, tmp_path):
+    """Mutation responses carry the durable position; a replica search
+    with min_position blocks until replication reaches it — so a client
+    can write to the primary and immediately read its write on a replica,
+    even with a slow poll interval."""
+    db, server = primary
+    _fill(db, tail=0)
+    # Slow poll: without the position gate, an immediate replica read
+    # would reliably miss the write.
+    rep = Replicator(replica_db, server.address,
+                     poll_interval_s=0.8).start()
+    rserver = VrodServer(replica_db, f"unix:{tmp_path}/ryw.sock",
+                         read_only=True).start()
+    rserver.attach_replicator(rep)
+    try:
+        rep.wait_caught_up()
+        with VrodClient(server.address) as w, \
+                VrodClient(rserver.address) as r:
+            vec = np.full(DIM, 0.25, np.float32)
+            rid = w.insert("c", vec, "fresh-write")
+            pos = w.position("c")
+            assert pos > 0
+            # Immediately read on the replica, demanding the position.
+            vec2, payload = r.get("c", rid, min_position=pos)
+            assert payload == "fresh-write"
+            hits = r.search_similar("c", vec, k=1, min_position=pos)
+            assert hits[0].record_id == rid
+            # An unreachable position fails fast with a clear error.
+            with pytest.raises(VrodServerError, match="Replica is behind"):
+                r._request(cmd="SEARCH", collection="c", record_id=rid,
+                           min_position=pos + 10**6,
+                           position_timeout_s=0.2)
+    finally:
+        rserver.close()
+        rep.stop()
+
+
+def test_randomized_convergence(primary, tmp_path):
+    """Model test: a random interleaving of primary mutations, primary
+    snapshots (WAL truncation), replica downtime (restarts), and sync
+    passes must always converge the replica to the primary, bit-exactly —
+    whether via tailing or forced resyncs."""
+    import time as _t
+
+    db, server = primary
+    col = db.create_collection("c", dim=DIM, segment_rows=64)
+    rng = np.random.default_rng(42)
+    home = tmp_path / "rhome"
+    rdb = Database.new(home, "rdb")
+    rep = Replicator(rdb, server.address, poll_interval_s=0.05).start()
+    live = []
+
+    try:
+        for step in range(60):
+            roll = rng.random()
+            if roll < 0.45 or not live:
+                n = int(rng.integers(1, 6))
+                vecs = rng.standard_normal((n, DIM)).astype(np.float32)
+                ids = col.bulk_insert(vecs, [f"s{step}-{i}"
+                                             for i in range(n)])
+                live.extend(int(i) for i in ids)
+            elif roll < 0.65:
+                victim = live.pop(int(rng.integers(0, len(live))))
+                col.delete(victim)
+            elif roll < 0.80:
+                target = live[int(rng.integers(0, len(live)))]
+                col.update(target, rng.standard_normal(DIM).astype(
+                    np.float32), f"u{step}")
+            elif roll < 0.90:
+                col.snapshot()  # truncates the primary WAL
+            else:
+                # Replica downtime across whatever happens next.
+                rep.stop()
+                rdb.close()
+                rdb = Database.load(home / "rdb")
+                rep = Replicator(rdb, server.address,
+                                 poll_interval_s=0.05).start()
+            if step % 15 == 14:
+                rep.wait_caught_up(timeout=60)
+                _assert_identical(col, rdb.collection("c"))
+        rep.wait_caught_up(timeout=60)
+        _assert_identical(col, rdb.collection("c"))
+    finally:
+        rep.stop()
+        rdb.close()

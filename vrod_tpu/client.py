@@ -68,6 +68,10 @@ class VrodClient:
         self._lock = threading.Lock()
         self._next_id = 0
         self._broken: str | None = None  # why the connection is unusable
+        # Highest durable position each mutation response reported, per
+        # collection — hand it to a replica via min_position= for
+        # read-your-writes (see position()).
+        self._positions: dict[str, int] = {}
 
     # -- transport -----------------------------------------------------------
 
@@ -103,7 +107,13 @@ class VrodClient:
                 raise VrodConnectionError(self._broken)
         if not resp.get("ok"):
             raise VrodServerError(resp.get("error", "unknown server error"))
-        return resp.get("result")
+        result = resp.get("result")
+        if (isinstance(result, dict) and "position" in result
+                and req.get("collection")):
+            c = str(req["collection"])
+            self._positions[c] = max(self._positions.get(c, 0),
+                                     int(result["position"]))
+        return result
 
     def close(self) -> None:
         try:
@@ -139,18 +149,28 @@ class VrodClient:
             req["arg"] = arg
         return self._request(**req)
 
+    def position(self, collection: str) -> int:
+        """Highest durable position this client's mutations reached (0 if
+        it never mutated the collection). Pass to a REPLICA's search via
+        ``min_position=`` to read your own writes despite replication lag."""
+        return self._positions.get(str(collection), 0)
+
     def search_similar(self, collection: str, vector, k: int = 10, *,
-                       within_ids=None, exclude_ids=None) -> list[Hit]:
+                       within_ids=None, exclude_ids=None,
+                       min_position: int | None = None) -> list[Hit]:
         req = {"cmd": "SEARCHSIMILAR", "collection": collection,
                "vector": np.asarray(vector, np.float32).tolist(), "k": k}
         if within_ids is not None:
             req["within"] = [int(i) for i in within_ids]
         if exclude_ids is not None:
             req["exclude"] = [int(i) for i in exclude_ids]
+        if min_position is not None:
+            req["min_position"] = int(min_position)
         return [Hit(*h) for h in self._request(**req)["hits"]]
 
     def search_similar_batch(self, collection: str, vectors, k: int = 10, *,
-                             within_ids=None, exclude_ids=None
+                             within_ids=None, exclude_ids=None,
+                             min_position: int | None = None
                              ) -> list[list[Hit]]:
         req = {"cmd": "SEARCHSIMILAR", "collection": collection,
                "vectors": np.asarray(vectors, np.float32).tolist(), "k": k}
@@ -158,13 +178,19 @@ class VrodClient:
             req["within"] = [int(i) for i in within_ids]
         if exclude_ids is not None:
             req["exclude"] = [int(i) for i in exclude_ids]
+        if min_position is not None:
+            req["min_position"] = int(min_position)
         return [[Hit(*h) for h in hits]
                 for hits in self._request(**req)["batches"]]
 
-    def get(self, collection: str, record_id: int):
+    def get(self, collection: str, record_id: int, *,
+            min_position: int | None = None):
         """Exact lookup → (vector, payload)."""
-        r = self._request(cmd="SEARCH", collection=collection,
-                          record_id=int(record_id))
+        req = {"cmd": "SEARCH", "collection": collection,
+               "record_id": int(record_id)}
+        if min_position is not None:
+            req["min_position"] = int(min_position)
+        r = self._request(**req)
         return np.asarray(r["vector"], np.float32), r["payload"]
 
     def insert(self, collection: str, vector, payload: str = "") -> int:

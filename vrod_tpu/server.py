@@ -363,6 +363,14 @@ class VrodServer:
 
         # Structured fast paths (native JSON fields, no record-string
         # round-trip). Single queries go through the cross-client batcher.
+        if cmd in ("SEARCHSIMILAR", "SEARCH") \
+                and req.get("min_position") is not None:
+            # Read-your-writes across replication: mutation responses carry
+            # the primary's durable position; a reader hands it back and
+            # the (possibly lagging) replica waits to reach it before
+            # serving. On a primary this returns immediately.
+            self._await_position(collection, int(req["min_position"]),
+                                 float(req.get("position_timeout_s", 10.0)))
         if cmd == "SEARCHSIMILAR" and "vector" in req:
             hits = self._batcher(collection).search(
                 req["vector"], int(req.get("k", 10)),
@@ -386,29 +394,36 @@ class VrodServer:
             return {"record_id": int(req["record_id"]),
                     "vector": np.asarray(rec.vector, np.float32).tolist(),
                     "payload": rec.payload}
+        # Mutation responses carry "position" (the collection's durable LSN
+        # after the ack) so clients can demand read-your-writes from a
+        # replica via SEARCH*/min_position.
         if cmd == "INSERT" and "vector" in req:
-            rid = self._collection(collection).insert(
+            col = self._collection(collection)
+            rid = col.insert(
                 np.asarray(req["vector"], np.float32),
                 str(req.get("payload", "")))
-            return {"record_id": int(rid)}
+            return {"record_id": int(rid), "position": col.repl_position()}
         if cmd == "BULKINSERT" and "records" in req:
             records = req["records"]
             if not records:
                 return {"record_ids": []}
             vecs = np.asarray([r[0] for r in records], dtype=np.float32)
             payloads = [str(r[1]) if len(r) > 1 else "" for r in records]
-            rids = self._collection(collection).bulk_insert(vecs, payloads)
-            return {"record_ids": [int(r) for r in rids]}
+            col = self._collection(collection)
+            rids = col.bulk_insert(vecs, payloads)
+            return {"record_ids": [int(r) for r in rids],
+                    "position": col.repl_position()}
         if cmd == "UPDATE" and "vector" in req:
             rid = int(req["record_id"])
-            self._collection(collection).update(
+            col = self._collection(collection)
+            col.update(
                 rid, np.asarray(req["vector"], np.float32),
                 str(req.get("payload", "")))
-            return {"record_id": rid}
+            return {"record_id": rid, "position": col.repl_position()}
         if cmd == "DELETE" and "ids" in req:
-            n = self._collection(collection).delete_many(
-                [int(i) for i in req["ids"]])
-            return {"deleted": int(n)}
+            col = self._collection(collection)
+            n = col.delete_many([int(i) for i in req["ids"]])
+            return {"deleted": int(n), "position": col.repl_position()}
 
         # Command-string parity path: the CLI's exact contract.
         out = CommandBuilder(self.db).build(
@@ -423,6 +438,28 @@ class VrodServer:
         if not name:
             raise ValueError("Request requires a 'collection'")
         return self.db.collection(str(name))
+
+    def _await_position(self, name, min_position: int,
+                        timeout_s: float) -> None:
+        """Block until the collection's durable position reaches
+        ``min_position`` (replication catch-up) or fail with a clear
+        staleness error. Polling (5 ms) keeps it simple: the wait is the
+        rare path — only readers who explicitly demand read-your-writes
+        on a lagging replica ever sit here. Re-resolves the collection
+        each poll: a concurrent resync drops and re-creates it."""
+        deadline = time.monotonic() + max(0.0, timeout_s)
+        while True:
+            try:
+                pos = self._collection(name).repl_position()
+            except VrodError:
+                pos = -1  # mid-resync (dropped): keep waiting
+            if pos >= min_position:
+                return
+            if time.monotonic() >= deadline or self._closing.is_set():
+                raise VrodError(
+                    f"Replica is behind: position {pos} < requested "
+                    f"min_position {min_position} after {timeout_s} s")
+            time.sleep(0.005)
 
     def _batcher(self, name) -> QueryBatcher:
         col = self._collection(name)
