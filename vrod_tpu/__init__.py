@@ -33,6 +33,7 @@ _EXPORTS = {
     "Replicator": ".replication",
     "ReplicationError": ".replication",
     "VrodClient": ".client",
+    "VrodPool": ".pool",
     "VrodServerError": ".client",
     "VrodConnectionError": ".client",
     "verify_recall": ".utils.verify",

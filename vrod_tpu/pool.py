@@ -1,0 +1,186 @@
+"""Read-scaling client pool: one primary + N replicas, with failover.
+
+Completes the replication story (``vrod_tpu/replication.py``) on the
+client side: mutations go to the primary, reads round-robin across the
+replicas, and each mutation's durable ``position`` is threaded into
+subsequent reads as ``min_position`` so the pool is read-your-writes by
+default despite asynchronous replication.
+
+Failure model: an endpoint whose transport breaks (connect failure,
+timeout, desync) is marked down and skipped for ``cooldown_s``; reads fail
+over to the next healthy replica and finally to the primary, so a pool
+read only fails when every endpoint is unreachable. Server-side errors
+(bad request, staleness timeout) are NOT failover events — they are
+answers, and retrying them elsewhere would just duplicate the wait.
+
+Engine-free import (sockets + json only), like ``VrodClient``.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+from .client import VrodClient, VrodConnectionError
+
+__all__ = ["VrodPool"]
+
+
+class _Endpoint:
+    __slots__ = ("addr", "client", "down_until")
+
+    def __init__(self, addr):
+        self.addr = addr
+        self.client: VrodClient | None = None
+        self.down_until = 0.0
+
+
+class VrodPool:
+    """``writes`` → primary; ``reads`` → round-robin over replicas (falling
+    back to the primary when none are healthy). Mirrors the VrodClient
+    API. Thread-safe; connections are lazy and re-established after the
+    cooldown once an endpoint recovers."""
+
+    def __init__(self, primary_addr, replica_addrs=(), *,
+                 auth_token: str | None = None, timeout: float | None = 600.0,
+                 cooldown_s: float = 5.0, read_your_writes: bool = True):
+        self._primary = _Endpoint(primary_addr)
+        self._replicas = [_Endpoint(a) for a in replica_addrs]
+        self._auth_token = auth_token
+        self._timeout = timeout
+        self.cooldown_s = cooldown_s
+        self.read_your_writes = read_your_writes
+        self._rr = 0
+        self._lock = threading.Lock()
+        self._positions: dict[str, int] = {}  # per-collection write high-water
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def close(self) -> None:
+        for ep in [self._primary, *self._replicas]:
+            c, ep.client = ep.client, None
+            if c is not None:
+                c.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- endpoint management ----------------------------------------------------
+
+    def _connect(self, ep: _Endpoint) -> VrodClient:
+        if ep.client is None:
+            ep.client = VrodClient(ep.addr, timeout=self._timeout,
+                                   auth_token=self._auth_token)
+        return ep.client
+
+    def _mark_down(self, ep: _Endpoint) -> None:
+        ep.down_until = time.monotonic() + self.cooldown_s
+        c, ep.client = ep.client, None
+        if c is not None:
+            c.close()
+
+    def _read_order(self) -> list[_Endpoint]:
+        """Healthy replicas starting at the round-robin cursor, then
+        cooled-down replicas as a long shot, then the primary."""
+        now = time.monotonic()
+        with self._lock:
+            self._rr += 1
+            start = self._rr
+        n = len(self._replicas)
+        rotated = [self._replicas[(start + i) % n] for i in range(n)]
+        healthy = [ep for ep in rotated if ep.down_until <= now]
+        cooling = [ep for ep in rotated if ep.down_until > now]
+        return healthy + cooling + [self._primary]
+
+    def _read(self, fn):
+        last_exc: Exception | None = None
+        for ep in self._read_order():
+            try:
+                return fn(self._connect(ep))
+            except (VrodConnectionError, OSError) as e:
+                self._mark_down(ep)
+                last_exc = e
+        raise VrodConnectionError(
+            f"No endpoint reachable (last error: {last_exc})")
+
+    def _write(self, fn):
+        # Writes never fail over (a retried maybe-applied mutation would
+        # duplicate records); the primary's cooldown only gates READS.
+        return fn(self._connect(self._primary))
+
+    def _note_position(self, collection: str) -> None:
+        pos = self._primary.client._positions.get(str(collection), 0) \
+            if self._primary.client else 0
+        with self._lock:
+            if pos > self._positions.get(str(collection), 0):
+                self._positions[str(collection)] = pos
+
+    def _min_pos(self, collection: str, explicit):
+        if explicit is not None:
+            return explicit
+        if not self.read_your_writes:
+            return None
+        with self._lock:
+            return self._positions.get(str(collection)) or None
+
+    # -- API (mirrors VrodClient) ----------------------------------------------
+
+    def position(self, collection: str) -> int:
+        with self._lock:
+            return self._positions.get(str(collection), 0)
+
+    def insert(self, collection, vector, payload: str = "") -> int:
+        rid = self._write(lambda c: c.insert(collection, vector, payload))
+        self._note_position(collection)
+        return rid
+
+    def bulk_insert(self, collection, vectors, payloads=None) -> list[int]:
+        rids = self._write(
+            lambda c: c.bulk_insert(collection, vectors, payloads))
+        self._note_position(collection)
+        return rids
+
+    def update(self, collection, record_id, vector, payload: str = "") -> None:
+        self._write(
+            lambda c: c.update(collection, record_id, vector, payload))
+        self._note_position(collection)
+
+    def delete(self, collection, ids) -> int:
+        n = self._write(lambda c: c.delete(collection, ids))
+        self._note_position(collection)
+        return n
+
+    def execute(self, cmd, collection=None, arg=None):
+        """Verb strings are admin/mutating: always the primary."""
+        return self._write(lambda c: c.execute(cmd, collection, arg))
+
+    def search_similar(self, collection, vector, k: int = 10, *,
+                       within_ids=None, exclude_ids=None,
+                       min_position: int | None = None):
+        mp = self._min_pos(collection, min_position)
+        return self._read(lambda c: c.search_similar(
+            collection, vector, k, within_ids=within_ids,
+            exclude_ids=exclude_ids, min_position=mp))
+
+    def search_similar_batch(self, collection, vectors, k: int = 10, *,
+                             within_ids=None, exclude_ids=None,
+                             min_position: int | None = None):
+        mp = self._min_pos(collection, min_position)
+        return self._read(lambda c: c.search_similar_batch(
+            collection, vectors, k, within_ids=within_ids,
+            exclude_ids=exclude_ids, min_position=mp))
+
+    def get(self, collection, record_id, *, min_position: int | None = None):
+        mp = self._min_pos(collection, min_position)
+        return self._read(lambda c: c.get(collection, record_id,
+                                          min_position=mp))
+
+    def ping(self) -> str:
+        return self._read(lambda c: c.ping())
+
+    def stats(self) -> dict:
+        """Primary's stats (replicas report their own via direct clients)."""
+        return self._write(lambda c: c.stats())
