@@ -552,3 +552,40 @@ def test_randomized_convergence(primary, tmp_path):
     finally:
         rep.stop()
         rdb.close()
+
+
+def test_zero_loss_cutover_runbook(primary, replica_db, tmp_path):
+    """FENCE old primary -> wait caught up -> PROMOTE replica: every write
+    acked before the fence is on the new primary; writes during the fence
+    are rejected, so nothing can be silently stranded."""
+    db, server = primary
+    col, vecs = _fill(db)
+    rep = Replicator(replica_db, server.address).start()
+    rserver = VrodServer(replica_db, f"unix:{tmp_path}/cutover.sock",
+                         read_only=True).start()
+    rserver.attach_replicator(rep)
+    try:
+        with VrodClient(server.address) as pc, \
+                VrodClient(rserver.address) as rc:
+            rng = np.random.default_rng(99)
+            fresh = rng.standard_normal(DIM).astype(np.float32)
+            last = pc.insert("c", fresh, "final-acked-write")
+            # (1) fence the old primary
+            assert "fenced" in pc._request(cmd="FENCE")
+            with pytest.raises(VrodServerError, match="read-only"):
+                pc.insert("c", vecs[0], "after-fence")
+            # (2) wait until the replica has everything
+            rep.wait_caught_up()
+            # (3) promote the replica
+            assert "promoted" in rc._request(cmd="PROMOTE")
+            # (4) the new primary has the final acked write and is writable
+            _assert_identical(col, replica_db.collection("c"))
+            assert rc.get("c", last)[1] == "final-acked-write"
+            rc.insert("c", vecs[1], "new-era")
+            # PROMOTE also lifts a fence on the old primary if re-used.
+            assert "promoted" in pc._request(cmd="PROMOTE")
+            pc.insert("c", vecs[2], "unfenced")
+            assert last > 0
+    finally:
+        rserver.close()
+        rep.stop()

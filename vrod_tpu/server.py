@@ -353,6 +353,13 @@ class VrodServer:
                 f"(send PROMOTE to make it a standalone primary)")
         if cmd == "PROMOTE":
             return self._promote()
+        if cmd == "FENCE":
+            # The other half of a zero-loss cutover: stop acking writes on
+            # the old primary BEFORE promoting a replica (docs/operations.md
+            # runbook). Idempotent; PROMOTE lifts it.
+            self.read_only = True
+            metrics.counters.inc("server.fences")
+            return "fenced: mutations rejected until PROMOTE"
         if cmd.startswith("REPL."):
             return self._dispatch_repl(cmd, req)
         if cmd == "SHUTDOWN":
