@@ -86,3 +86,28 @@ def test_pool_writes_never_fail_over(cluster):
         # Reads still work off the replicas.
         assert pool.search_similar(
             "c", np.eye(DIM, dtype=np.float32)[0], k=1)[0].payload == "e0"
+
+
+def test_read_order_puts_cooling_after_primary(tmp_path):
+    import time
+    pool = VrodPool(f"unix:{tmp_path}/p.sock",
+                    [f"unix:{tmp_path}/a.sock", f"unix:{tmp_path}/b.sock"])
+    a, b = pool._replicas
+    a.down_until = time.monotonic() + 60  # cooling
+    order = pool._read_order()
+    assert order.index(pool._primary) < order.index(a)
+    assert order.index(b) < order.index(pool._primary)
+
+
+def test_pool_fails_over_on_graceful_shutdown_answer(cluster):
+    """A draining replica answers ok:false 'shutting down' on a live
+    socket; idempotent reads must fail over, not error out."""
+    pserver, rservers = cluster
+    with VrodPool(pserver.address,
+                  [rs.address for rs in rservers]) as pool:
+        rid = pool.insert("c", np.ones(DIM, np.float32), "x")
+        # Make replica 0 answer every request with the shutdown error
+        # (set the flag without tearing the socket down).
+        rservers[0]._closing.set()
+        for _ in range(4):  # hits replica 0 at least once in the rotation
+            assert pool.get("c", rid)[1] == "x"

@@ -589,3 +589,41 @@ def test_zero_loss_cutover_runbook(primary, replica_db, tmp_path):
     finally:
         rserver.close()
         rep.stop()
+
+
+def test_fence_persists_across_restart(tmp_path):
+    """A supervisor-restarted fenced primary must come back fenced (the
+    vr_fence marker), or the cutover's divergence guarantee breaks."""
+    db = Database.new(tmp_path, "fdb")
+    db.create_collection("c", dim=DIM, segment_rows=64)
+    with VrodServer(db, f"unix:{tmp_path}/f.sock").start() as s:
+        with VrodClient(s.address) as c:
+            assert "fenced" in c._request(cmd="FENCE")
+    db.close()
+
+    db = Database.load(tmp_path / "fdb")
+    try:
+        with VrodServer(db, f"unix:{tmp_path}/f2.sock").start() as s:
+            assert s.read_only  # restarted fenced
+            with VrodClient(s.address) as c:
+                with pytest.raises(VrodServerError, match="read-only"):
+                    c.insert("c", np.ones(DIM, np.float32), "x")
+                assert "promoted" in c._request(cmd="PROMOTE")
+                c.insert("c", np.ones(DIM, np.float32), "ok")
+        assert not (tmp_path / "fdb" / "vr_fence").exists()
+    finally:
+        db.close()
+
+
+def test_min_position_on_missing_collection_fails_fast(primary):
+    """On a server with no replicator, min_position + a wrong collection
+    name must raise the real not-found error immediately, not stall the
+    position timeout and blame replication lag."""
+    import time as _t
+    db, server = primary
+    _fill(db, tail=0)
+    with VrodClient(server.address) as c:
+        t0 = _t.monotonic()
+        with pytest.raises(VrodServerError, match="No collection"):
+            c.get("no_such", 1, min_position=5)
+        assert _t.monotonic() - t0 < 5.0

@@ -54,16 +54,24 @@ class Hit:
 
 class VrodClient:
     def __init__(self, addr, *, timeout: float | None = 600.0,
-                 auth_token: str | None = None):
+                 auth_token: str | None = None,
+                 connect_timeout: float | None = None):
         self._auth_token = auth_token
         spec = parse_addr(addr)
+        # Separate connect timeout: the op timeout is sized for slow
+        # first-compile searches (minutes), but a dead/blackholed host
+        # should fail the CONNECT in seconds (VrodPool failover relies on
+        # this). None = use the op timeout.
+        cto = timeout if connect_timeout is None else connect_timeout
         if spec[0] == "unix":
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            self._sock.settimeout(timeout)
+            self._sock.settimeout(cto)
             self._sock.connect(spec[1])
+            self._sock.settimeout(timeout)
         else:
             self._sock = socket.create_connection(
-                (spec[1], spec[2]), timeout=timeout)
+                (spec[1], spec[2]), timeout=cto)
+            self._sock.settimeout(timeout)
         self._rfile = self._sock.makefile("rb")
         self._lock = threading.Lock()
         self._next_id = 0
@@ -105,14 +113,18 @@ class VrodClient:
                 self._broken = (f"response desync: expected id "
                                 f"{req['id']}, got {resp.get('id')!r}")
                 raise VrodConnectionError(self._broken)
+            result = resp.get("result")
+            # Position high-water update stays under the lock: two
+            # concurrent mutators doing read-max-store outside it could
+            # REGRESS the recorded position (lost update), and a regressed
+            # min_position silently under-waits on a replica.
+            if (resp.get("ok") and isinstance(result, dict)
+                    and "position" in result and req.get("collection")):
+                c = str(req["collection"])
+                self._positions[c] = max(self._positions.get(c, 0),
+                                         int(result["position"]))
         if not resp.get("ok"):
             raise VrodServerError(resp.get("error", "unknown server error"))
-        result = resp.get("result")
-        if (isinstance(result, dict) and "position" in result
-                and req.get("collection")):
-            c = str(req["collection"])
-            self._positions[c] = max(self._positions.get(c, 0),
-                                     int(result["position"]))
         return result
 
     def close(self) -> None:

@@ -43,11 +43,16 @@ class VrodPool:
 
     def __init__(self, primary_addr, replica_addrs=(), *,
                  auth_token: str | None = None, timeout: float | None = 600.0,
+                 connect_timeout: float | None = 5.0,
                  cooldown_s: float = 5.0, read_your_writes: bool = True):
         self._primary = _Endpoint(primary_addr)
         self._replicas = [_Endpoint(a) for a in replica_addrs]
         self._auth_token = auth_token
         self._timeout = timeout
+        # Dead hosts must fail the connect in seconds, not the op timeout
+        # (which is sized for slow first-compile searches): failover speed
+        # is bounded by this.
+        self._connect_timeout = connect_timeout
         self.cooldown_s = cooldown_s
         self.read_your_writes = read_your_writes
         self._rr = 0
@@ -71,20 +76,40 @@ class VrodPool:
     # -- endpoint management ----------------------------------------------------
 
     def _connect(self, ep: _Endpoint) -> VrodClient:
-        if ep.client is None:
-            ep.client = VrodClient(ep.addr, timeout=self._timeout,
-                                   auth_token=self._auth_token)
-        return ep.client
-
-    def _mark_down(self, ep: _Endpoint) -> None:
-        ep.down_until = time.monotonic() + self.cooldown_s
-        c, ep.client = ep.client, None
+        with self._lock:
+            c = ep.client
         if c is not None:
-            c.close()
+            return c
+        # Connect OUTSIDE the lock (a slow connect must not stall other
+        # endpoints' reads), then install; a racing winner keeps its
+        # client and the loser's is closed.
+        c = VrodClient(ep.addr, timeout=self._timeout,
+                       connect_timeout=self._connect_timeout,
+                       auth_token=self._auth_token)
+        with self._lock:
+            if ep.client is None:
+                ep.client = c
+                return c
+            extra = c
+        extra.close()
+        with self._lock:
+            return ep.client
+
+    def _mark_down(self, ep: _Endpoint, client) -> None:
+        """Cool the endpoint and drop OUR failed client. Only the slot
+        reference is cleared — the client object is not force-closed,
+        because another thread may be mid-request on it (its own failure
+        will route it here too); the socket closes with the last ref."""
+        with self._lock:
+            ep.down_until = time.monotonic() + self.cooldown_s
+            if ep.client is client:
+                ep.client = None
 
     def _read_order(self) -> list[_Endpoint]:
-        """Healthy replicas starting at the round-robin cursor, then
-        cooled-down replicas as a long shot, then the primary."""
+        """Healthy replicas starting at the round-robin cursor, then the
+        primary; endpoints still cooling down come LAST — a read must
+        never wait on a known-dead host's connect before trying the
+        healthy primary."""
         now = time.monotonic()
         with self._lock:
             self._rr += 1
@@ -93,27 +118,41 @@ class VrodPool:
         rotated = [self._replicas[(start + i) % n] for i in range(n)]
         healthy = [ep for ep in rotated if ep.down_until <= now]
         cooling = [ep for ep in rotated if ep.down_until > now]
-        return healthy + cooling + [self._primary]
+        return healthy + [self._primary] + cooling
 
     def _read(self, fn):
         last_exc: Exception | None = None
         for ep in self._read_order():
+            client = None
             try:
-                return fn(self._connect(ep))
+                client = self._connect(ep)
+                return fn(client)
             except (VrodConnectionError, OSError) as e:
-                self._mark_down(ep)
+                self._mark_down(ep, client)
+                last_exc = e
+            except VrodServerError as e:
+                # A gracefully-draining server answers ok:false "shutting
+                # down" on a live socket: for an idempotent READ that is a
+                # failover event (rolling restarts), not an answer.
+                if "shutting down" not in str(e):
+                    raise
+                self._mark_down(ep, client)
                 last_exc = e
         raise VrodConnectionError(
             f"No endpoint reachable (last error: {last_exc})")
 
-    def _write(self, fn):
+    def _write(self, fn, collection=None):
         # Writes never fail over (a retried maybe-applied mutation would
         # duplicate records); the primary's cooldown only gates READS.
-        return fn(self._connect(self._primary))
+        c = self._connect(self._primary)
+        out = fn(c)
+        if collection is not None:
+            # Capture the position from THE client that served the write,
+            # before any concurrent failover can recycle the slot.
+            self._note_position(collection, c.position(collection))
+        return out
 
-    def _note_position(self, collection: str) -> None:
-        pos = self._primary.client._positions.get(str(collection), 0) \
-            if self._primary.client else 0
+    def _note_position(self, collection: str, pos: int) -> None:
         with self._lock:
             if pos > self._positions.get(str(collection), 0):
                 self._positions[str(collection)] = pos
@@ -133,28 +172,28 @@ class VrodPool:
             return self._positions.get(str(collection), 0)
 
     def insert(self, collection, vector, payload: str = "") -> int:
-        rid = self._write(lambda c: c.insert(collection, vector, payload))
-        self._note_position(collection)
-        return rid
+        return self._write(
+            lambda c: c.insert(collection, vector, payload), collection)
 
     def bulk_insert(self, collection, vectors, payloads=None) -> list[int]:
-        rids = self._write(
-            lambda c: c.bulk_insert(collection, vectors, payloads))
-        self._note_position(collection)
-        return rids
+        return self._write(
+            lambda c: c.bulk_insert(collection, vectors, payloads),
+            collection)
 
     def update(self, collection, record_id, vector, payload: str = "") -> None:
         self._write(
-            lambda c: c.update(collection, record_id, vector, payload))
-        self._note_position(collection)
+            lambda c: c.update(collection, record_id, vector, payload),
+            collection)
 
     def delete(self, collection, ids) -> int:
-        n = self._write(lambda c: c.delete(collection, ids))
-        self._note_position(collection)
-        return n
+        return self._write(lambda c: c.delete(collection, ids), collection)
 
     def execute(self, cmd, collection=None, arg=None):
-        """Verb strings are admin/mutating: always the primary."""
+        """Verb strings are admin/mutating: always the primary. NOTE: the
+        string parity path reports no durable position, so mutations made
+        this way are NOT covered by the pool's automatic read-your-writes
+        — use the structured methods (insert/update/delete) when a
+        subsequent replica read must see the write."""
         return self._write(lambda c: c.execute(cmd, collection, arg))
 
     def search_similar(self, collection, vector, k: int = 10, *,

@@ -151,8 +151,11 @@ class VrodServer:
         self.auth_token = auth_token
         # Read-only replicas reject client mutations; the attached
         # Replicator applies the primary's stream directly (library path,
-        # not the network dispatch). PROMOTE flips this off.
-        self.read_only = read_only
+        # not the network dispatch). PROMOTE flips this off. A durable
+        # fence marker (written by the FENCE verb) survives process
+        # restarts: a supervisor-restarted old primary mid-cutover must
+        # come back fenced, or two writable databases diverge.
+        self.read_only = read_only or self._fence_marker().exists()
         self._replicator = None
         # Snapshot pins served to bootstrapping followers: token ->
         # (context manager, hold dir, meta, deadline).
@@ -357,9 +360,7 @@ class VrodServer:
             # The other half of a zero-loss cutover: stop acking writes on
             # the old primary BEFORE promoting a replica (docs/operations.md
             # runbook). Idempotent; PROMOTE lifts it.
-            self.read_only = True
-            metrics.counters.inc("server.fences")
-            return "fenced: mutations rejected until PROMOTE"
+            return self._fence(float(req.get("drain_timeout_s", 30.0)))
         if cmd.startswith("REPL."):
             return self._dispatch_repl(cmd, req)
         if cmd == "SHUTDOWN":
@@ -459,6 +460,12 @@ class VrodServer:
             try:
                 pos = self._collection(name).repl_position()
             except VrodError:
+                # Transiently absent is only plausible mid-resync, i.e.
+                # when a replicator is attached; on a plain server a
+                # missing collection is just a wrong name — fail with the
+                # real error, not a 10 s stall + "Replica is behind".
+                if self._replicator is None:
+                    raise
                 pos = -1  # mid-resync (dropped): keep waiting
             if pos >= min_position:
                 return
@@ -509,6 +516,35 @@ class VrodServer:
     def attach_replicator(self, replicator) -> None:
         self._replicator = replicator
 
+    def _fence_marker(self) -> Path:
+        return Path(self.db.path) / "vr_fence"
+
+    def _fence(self, drain_timeout_s: float) -> str:
+        # Durable first: a fence that survives only in memory lets a
+        # supervisor-restarted old primary come back writable mid-cutover.
+        self.read_only = True
+        marker = self._fence_marker()
+        marker.touch()
+        from .snapshot import fsync_dir
+        fsync_dir(marker.parent)
+        metrics.counters.inc("server.fences")
+        # Drain: a mutation that passed the read_only check concurrently
+        # with this FENCE may still be mid-apply — it will be ACKED, so
+        # "fenced" must not return (and let the operator read replica
+        # positions) until it has landed in the WAL and the position it
+        # bumps is visible. In-flight searches count too (cheap wait;
+        # cannot tell them apart), bounded by the timeout.
+        deadline = time.monotonic() + max(0.0, drain_timeout_s)
+        with self._inflight_cv:
+            while self._inflight > 1:  # > 1: this FENCE is itself in-flight
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return (f"fenced, but {self._inflight - 1} requests "
+                            f"still in flight after {drain_timeout_s} s — "
+                            f"re-check replica positions before PROMOTE")
+                self._inflight_cv.wait(timeout=remaining)
+        return "fenced: mutations rejected and in-flight requests drained"
+
     def _promote(self) -> str:
         if not self.read_only and self._replicator is None:
             return "already a primary"
@@ -516,6 +552,14 @@ class VrodServer:
             self._replicator.stop()
             self._replicator = None
         self.read_only = False
+        try:
+            marker = self._fence_marker()
+            if marker.exists():
+                marker.unlink()
+                from .snapshot import fsync_dir
+                fsync_dir(marker.parent)
+        except OSError:
+            pass  # in-memory state is already writable; marker is advisory
         metrics.counters.inc("server.promotions")
         return "promoted: replication stopped, writes enabled"
 
