@@ -627,3 +627,63 @@ def test_min_position_on_missing_collection_fails_fast(primary):
         with pytest.raises(VrodServerError, match="No collection"):
             c.get("no_such", 1, min_position=5)
         assert _t.monotonic() - t0 < 5.0
+
+
+def test_chained_replication(primary, tmp_path):
+    """Cascading topology A -> B -> C: every server speaks REPL.*, and a
+    replica's WAL is a byte-identical suffix of its primary's, so a
+    replica can feed further replicas (fan-out without loading A)."""
+    db, aserver = primary
+    col, vecs = _fill(db)
+
+    bdb = Database.new(tmp_path / "b", "rdb")
+    brep = Replicator(bdb, aserver.address, poll_interval_s=0.05).start()
+    bserver = VrodServer(bdb, f"unix:{tmp_path}/b.sock",
+                         read_only=True).start()
+    bserver.attach_replicator(brep)
+
+    cdb = Database.new(tmp_path / "c", "rdb")
+    crep = Replicator(cdb, bserver.address, poll_interval_s=0.05).start()
+    try:
+        brep.wait_caught_up()
+        crep.wait_caught_up()
+        _assert_identical(col, cdb.collection("c"))
+
+        # Mutations flow down the whole chain.
+        rid = col.insert(vecs[0] * 0.3, "chained")
+        col.delete(3)
+        brep.wait_caught_up()
+        crep.wait_caught_up()
+        _assert_identical(col, cdb.collection("c"))
+        assert cdb.collection("c").get(rid).payload == "chained"
+    finally:
+        crep.stop()
+        cdb.close()
+        bserver.close()
+        brep.stop()
+        bdb.close()
+
+
+def test_crashed_hold_is_swept_on_reload(tmp_path):
+    """A server that dies holding a replication snapshot pin leaves a
+    .snap_hold_ dir; the next load sweeps it (disk space is reclaimed)."""
+    db = Database.new(tmp_path, "hdb")
+    col = db.create_collection("c", dim=DIM, segment_rows=64)
+    col.bulk_insert(np.eye(DIM, dtype=np.float32))
+    col.snapshot()
+    # Take the pin a bootstrapping follower would hold, then "crash":
+    # never __exit__ it (a graceful server close WOULD release it — that
+    # path is covered by VrodServer.close; this is the SIGKILL shape).
+    cm = col.hold_snapshot()  # keep referenced: GC would run the finally
+    assert cm.__enter__() is not None
+    db.close()
+    assert list((tmp_path / "hdb" / "collections" / "c").glob(
+        ".snap_hold_*"))  # still there: nothing cleaned it up
+
+    db = Database.load(tmp_path / "hdb")
+    try:
+        db.collection("c")  # load sweeps stale pins
+        assert not list((tmp_path / "hdb" / "collections" / "c").glob(
+            ".snap_hold_*"))
+    finally:
+        db.close()
