@@ -99,15 +99,31 @@ def test_read_order_puts_cooling_after_primary(tmp_path):
     assert order.index(b) < order.index(pool._primary)
 
 
-def test_pool_fails_over_on_graceful_shutdown_answer(cluster):
-    """A draining replica answers ok:false 'shutting down' on a live
-    socket; idempotent reads must fail over, not error out."""
-    pserver, rservers = cluster
-    with VrodPool(pserver.address,
-                  [rs.address for rs in rservers]) as pool:
-        rid = pool.insert("c", np.ones(DIM, np.float32), "x")
-        # Make replica 0 answer every request with the shutdown error
-        # (set the flag without tearing the socket down).
-        rservers[0]._closing.set()
-        for _ in range(4):  # hits replica 0 at least once in the rotation
+def test_pool_fails_over_on_graceful_shutdown_answer(tmp_db, tmp_path):
+    """A draining replica answers ok:false 'shutting down' on a live,
+    ALREADY-ESTABLISHED connection (its handler entered readline before
+    the flag was set); idempotent reads must fail over, not error out."""
+    col = tmp_db.create_collection("c", dim=DIM, segment_rows=64)
+    rid = int(col.bulk_insert(np.eye(DIM, dtype=np.float32)[:1], ["x"])[0])
+    pserver = VrodServer(tmp_db, f"unix:{tmp_path}/p.sock").start()
+    rdb = Database.new(tmp_path / "r", "rdb")
+    rep = Replicator(rdb, pserver.address, poll_interval_s=0.05).start()
+    rserver = VrodServer(rdb, f"unix:{tmp_path}/r.sock",
+                         read_only=True).start()
+    try:
+        rep.wait_caught_up()
+        with VrodPool(pserver.address, [rserver.address]) as pool:
+            # Establish the replica connection with a successful read
+            # (rotation order with one replica: [replica, primary]).
             assert pool.get("c", rid)[1] == "x"
+            # Drain: the blocked handler answers in-flight requests with
+            # the ok:false shutdown error on the live socket.
+            rserver._closing.set()
+            for _ in range(3):
+                assert pool.get("c", rid)[1] == "x"  # failed over
+            assert pool._replicas[0].down_until > 0  # replica cooled
+    finally:
+        rserver.close()
+        rep.stop()
+        rdb.close()
+        pserver.close()

@@ -512,7 +512,11 @@ def test_randomized_convergence(primary, tmp_path):
     import time as _t
 
     db, server = primary
-    col = db.create_collection("c", dim=DIM, segment_rows=64)
+    # auto_snapshot in the mix: snapshot-of-empty-WAL scenarios (REINDEX
+    # right after a snapshot) must keep the LSN high-water (the infinite-
+    # resync regression the 20-seed fuzz caught).
+    col = db.create_collection("c", dim=DIM, segment_rows=64,
+                               auto_snapshot_wal_bytes=6000)
     rng = np.random.default_rng(42)
     home = tmp_path / "rhome"
     rdb = Database.new(home, "rdb")
@@ -535,8 +539,10 @@ def test_randomized_convergence(primary, tmp_path):
                 target = live[int(rng.integers(0, len(live)))]
                 col.update(target, rng.standard_normal(DIM).astype(
                     np.float32), f"u{step}")
-            elif roll < 0.90:
+            elif roll < 0.85:
                 col.snapshot()  # truncates the primary WAL
+            elif roll < 0.90:
+                col.reindex()  # compaction + snapshot (may cut an empty WAL)
             else:
                 # Replica downtime across whatever happens next.
                 rep.stop()

@@ -210,3 +210,39 @@ def test_legacy_round1_snapshot_still_loads(tmp_path, rng):
     assert col2.count == 5
     assert col2.get(int(rids[4])).payload == "old4"
     col2.close()
+
+
+def test_snapshot_of_empty_wal_preserves_lsn_high_water(tmp_path, rng):
+    """A snapshot cut while the WAL is already empty (e.g. REINDEX right
+    after a snapshot) must record the durable LSN HIGH-WATER, not
+    wal.last_lsn == 0 — recording 0 resets LSN assignment after restore
+    (breaking cross-restart monotonicity) and hands replication
+    bootstraps a position of 0 below the primary's floor (infinite
+    resync loop; found by the replication fuzz)."""
+    import json
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "db")
+    col = db.create_collection("c", dim=4, segment_rows=64)
+    col.bulk_insert(rng.standard_normal((5, 4)).astype(np.float32))
+    col.snapshot()
+    floor = col.repl_position()
+    assert floor > 0 and col.wal.last_lsn == 0  # WAL truncated
+
+    col.reindex()  # snapshots again, with the WAL still empty
+    meta = json.loads(
+        (col.path / "snapshot" / "meta.json").read_text())
+    assert meta["last_lsn"] == floor  # high-water preserved
+    assert col.repl_position() == floor
+    db.close()
+
+    db = Database.load(tmp_path / "db")
+    try:
+        col = db.collection("c")
+        assert col.repl_position() == floor
+        rid = col.insert(np.ones(4, dtype=np.float32), "post")
+        # The new mutation's LSN continues ABOVE the pre-restart history.
+        assert col.wal.last_lsn > floor
+        assert col.get(rid).payload == "post"
+    finally:
+        db.close()

@@ -1019,7 +1019,15 @@ class Collection:
             live_slots = self.alloc.live_slots()
             rids = self.alloc.ids_of(live_slots.astype(np.uint64))
             next_id = self.next_id
-            last_lsn = self.wal.last_lsn
+            # The cut is the durable LSN HIGH-WATER, not just the last
+            # frame in the WAL: with an already-truncated (empty) WAL —
+            # e.g. a REINDEX right after a snapshot — wal.last_lsn is 0,
+            # and recording 0 would (a) reset LSN assignment after a
+            # restore (seed_lsn(0)), breaking cross-restart monotonicity,
+            # and (b) hand replication bootstraps a position of 0 below
+            # the primary's floor — an infinite resync loop (caught by
+            # the replication fuzz).
+            last_lsn = max(self.wal.last_lsn, self._wal_floor)
 
         # Phase 2 — chunked gather + streaming write, no write lock held.
         # Vectors persist in the STORED representation (f32/bf16/int8 +

@@ -21,7 +21,7 @@ from __future__ import annotations
 import threading
 import time
 
-from .client import VrodClient, VrodConnectionError
+from .client import VrodClient, VrodConnectionError, VrodServerError
 
 __all__ = ["VrodPool"]
 

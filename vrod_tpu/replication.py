@@ -287,12 +287,26 @@ class Replicator:
     def _tail(self, name: str) -> None:
         col = self.db.collection(name)
         pos = col.repl_position()
+        resyncs = 0
         while not self._stop.is_set():
             r = self._rpc(cmd="REPL.TAIL", collection=name, after=pos,
                           max_bytes=self.max_bytes)
             if r["resync"]:
                 # The primary truncated past us (or we are ahead of a
                 # rebuilt primary): local state cannot be patched forward.
+                resyncs += 1
+                if resyncs > 3:
+                    # Circuit breaker: a bootstrap that lands behind the
+                    # floor again points at a primary whose snapshot/floor
+                    # are inconsistent — hot-looping drop+bootstrap would
+                    # burn both hosts forever and hide the fault (the
+                    # pre-fix snapshot-of-empty-WAL bug did exactly this).
+                    # Surface it; the next poll pass retries.
+                    raise ReplicationError(
+                        f"Collection {name!r} resynced {resyncs - 1}x in "
+                        f"one pass and is still behind (local {pos}, "
+                        f"primary {r['position']}): the primary's snapshot "
+                        f"does not reach its own WAL floor")
                 metrics.counters.inc("repl.resyncs")
                 self.db.drop_collection(name)
                 with self._lock:
