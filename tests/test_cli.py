@@ -233,3 +233,41 @@ def test_shell_errors_do_not_stop_loop(tmp_path):
     db.close()
     assert rc == 1  # the bad verb failed the script
     assert "Inserted record 1" in out.getvalue()
+
+
+def test_torch_model_embed_fn_roundtrip(tmp_path, monkeypatch):
+    """A real ML-framework embedder (torch, like fastembed's ONNX runtime
+    in the reference, embeddings.rs:7) plugs into the ingest path: tensor
+    output converts cleanly through the file format into exact search.
+    Weights are random (no model egress in this environment) but fully
+    deterministic, so nearest-neighbor-of-own-embedding must hold."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "alice_in_wonderland.txt").write_text(
+        "the quick brown fox jumps over the lazy dog")
+    from vrod_tpu.utils.embeddings import process_embeddings
+
+    torch.manual_seed(0)
+    vocab_hash, dim = 997, 16
+    model = torch.nn.EmbeddingBag(vocab_hash, dim, mode="mean")
+    model.eval()
+
+    def torch_embed(words):
+        import zlib
+        with torch.no_grad():
+            idx = torch.tensor(
+                [[zlib.crc32(w.encode()) % vocab_hash,
+                  zlib.crc32(w[::-1].encode()) % vocab_hash]
+                 for w in words])
+            return model(idx).numpy().astype(np.float32)
+
+    out_path = process_embeddings(8, embed_fn=torch_embed, dim=dim)
+    assert main(["-i", str(tmp_path), "-n", "tdb"]) == 0
+    d = str(tmp_path / "tdb")
+    assert main(["-d", d, "-e", "create", "-a", f"c;dim={dim}"]) == 0
+    assert main(["-d", d, "-e", "bulkinsert", "-c", "c",
+                 "-a", str(out_path)]) == 0
+    q = ",".join(repr(float(x)) for x in torch_embed(["fox"])[0])
+    assert main(["-d", d, "-e", "searchsimilar", "-c", "c",
+                 "-a", f"{q};k=1"]) == 0
