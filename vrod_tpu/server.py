@@ -379,24 +379,26 @@ class VrodServer:
             # serving. On a primary this returns immediately.
             self._await_position(collection, int(req["min_position"]),
                                  float(req.get("position_timeout_s", 10.0)))
+        # Search responses serialize (id, score, payload) triples straight
+        # from the collection's tuple path — no per-hit objects, no
+        # re-walk (the host-side formatting cost used to exceed the device
+        # scan itself; see collection.search_triples).
         if cmd == "SEARCHSIMILAR" and "vector" in req:
-            hits = self._batcher(collection).search(
+            triples = self._batcher(collection).search_triples(
                 req["vector"], int(req.get("k", 10)),
                 timeout=self.search_timeout_s,
                 within_ids=req.get("within"), exclude_ids=req.get("exclude"))
-            return {"hits": [[h.record_id, h.score, h.payload]
-                             for h in hits]}
+            return {"hits": triples}
         if cmd == "SEARCHSIMILAR" and "vectors" in req:
             # A client-side batch is already a tile: one engine call.
             vecs = np.asarray(req["vectors"], dtype=np.float32)
             if vecs.ndim != 2:
                 raise ValueError(
                     f"'vectors' must be 2-D, got shape {vecs.shape}")
-            batches = self._collection(collection).search_similar(
+            batches = self._collection(collection).search_triples(
                 vecs, int(req.get("k", 10)),
                 within_ids=req.get("within"), exclude_ids=req.get("exclude"))
-            return {"batches": [[[h.record_id, h.score, h.payload]
-                                 for h in hits] for hits in batches]}
+            return {"batches": batches}
         if cmd == "SEARCH" and "record_id" in req:
             rec = self._collection(collection).get(int(req["record_id"]))
             return {"record_id": int(req["record_id"]),
