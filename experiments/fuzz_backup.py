@@ -91,11 +91,12 @@ def run_seed(seed, steps=50):
     shutil.rmtree(tmp, ignore_errors=True)
     return n_backups
 
-t0 = time.time()
-total = 0
-for seed in range(int(sys.argv[1]), int(sys.argv[2])):
-    s = time.time()
-    total += run_seed(seed)
-    print(f"seed {seed} OK ({time.time()-s:.1f}s)", flush=True)
-print(f"ALL SEEDS PASSED ({total} backups verified) in {time.time()-t0:.0f}s",
-      flush=True)
+if __name__ == "__main__":
+    t0 = time.time()
+    total = 0
+    for seed in range(int(sys.argv[1]), int(sys.argv[2])):
+        s = time.time()
+        total += run_seed(seed)
+        print(f"seed {seed} OK ({time.time()-s:.1f}s)", flush=True)
+    print(f"ALL SEEDS PASSED ({total} backups verified) in {time.time()-t0:.0f}s",
+          flush=True)

@@ -88,9 +88,10 @@ def run_seed(seed, steps=80):
         rep.stop(); rdb.close(); server.close(); db.close()
         import shutil; shutil.rmtree(tmp, ignore_errors=True)
 
-t0 = time.time()
-for seed in range(int(sys.argv[1]), int(sys.argv[2])):
-    s = time.time()
-    run_seed(seed)
-    print(f"seed {seed} OK ({time.time()-s:.1f}s)", flush=True)
-print(f"ALL SEEDS PASSED in {time.time()-t0:.0f}s", flush=True)
+if __name__ == "__main__":
+    t0 = time.time()
+    for seed in range(int(sys.argv[1]), int(sys.argv[2])):
+        s = time.time()
+        run_seed(seed)
+        print(f"seed {seed} OK ({time.time()-s:.1f}s)", flush=True)
+    print(f"ALL SEEDS PASSED in {time.time()-t0:.0f}s", flush=True)

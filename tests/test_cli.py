@@ -235,7 +235,7 @@ def test_shell_errors_do_not_stop_loop(tmp_path):
     assert "Inserted record 1" in out.getvalue()
 
 
-def test_torch_model_embed_fn_roundtrip(tmp_path, monkeypatch):
+def test_torch_model_embed_fn_roundtrip(tmp_path, monkeypatch, capsys):
     """A real ML-framework embedder (torch, like fastembed's ONNX runtime
     in the reference, embeddings.rs:7) plugs into the ingest path: tensor
     output converts cleanly through the file format into exact search.
@@ -269,5 +269,10 @@ def test_torch_model_embed_fn_roundtrip(tmp_path, monkeypatch):
     assert main(["-d", d, "-e", "bulkinsert", "-c", "c",
                  "-a", str(out_path)]) == 0
     q = ",".join(repr(float(x)) for x in torch_embed(["fox"])[0])
+    capsys.readouterr()
     assert main(["-d", d, "-e", "searchsimilar", "-c", "c",
                  "-a", f"{q};k=1"]) == 0
+    # The docstring's actual claim: nearest neighbor of "fox"'s own
+    # embedding is the record that embedded "fox" (the ingest file's
+    # payload is the word itself).
+    assert "fox" in capsys.readouterr().out

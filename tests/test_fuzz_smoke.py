@@ -6,6 +6,10 @@ import runpy
 import sys
 from pathlib import Path
 
+import pytest
+
+from vrod_tpu._native.build import load_native
+
 EXPERIMENTS = Path(__file__).resolve().parents[1] / "experiments"
 
 
@@ -19,6 +23,9 @@ def _run(name, lo, hi):
 
 
 def test_wal_corruption_fuzz_smoke():
+    if load_native() is None:
+        pytest.skip("native WAL unavailable (fallback leg): the harness "
+                    "checks native-vs-python parity, meaningless here")
     _run("fuzz_wal.py", 0, 50)
 
 

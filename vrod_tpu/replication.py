@@ -318,6 +318,8 @@ class Replicator:
             frames = r["frames"]
             if not frames:
                 break
+            resyncs = 0  # forward progress: the breaker counts only
+            #              consecutive resyncs WITHOUT applied frames
             for lsn, b64 in frames:
                 col.replica_apply(int(lsn), base64.b64decode(b64),
                                   sync=False)
