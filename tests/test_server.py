@@ -418,3 +418,44 @@ def test_auth_token(tmp_db, tmp_path):
             assert ok.search_similar("c", np.ones(8, np.float32),
                                      k=1)[0].record_id == rid
         assert metrics.counters.snapshot().get("server.auth_failure", 0) >= 3
+
+
+def test_binary_vector_protocol_parity(server):
+    """vector_b64 / vectors_b64 (packed little-endian f32) and JSON float
+    lists are interchangeable forms of the same request — identical
+    results; malformed binary fields fail cleanly."""
+    import base64
+    with VrodClient(server.address, binary_vectors=True) as b, \
+            VrodClient(server.address, binary_vectors=False) as j:
+        vecs, rids = _fill(b)  # CREATE via string path; bulk via b64 form
+        q = vecs[7]
+        hb = b.search_similar("c", q, k=3)
+        hj = j.search_similar("c", q, k=3)
+        assert [tuple(h) for h in hb] == [tuple(h) for h in hj]
+        assert hb[0].record_id == rids[7]
+        bb = b.search_similar_batch("c", vecs[:4], k=2)
+        bj = j.search_similar_batch("c", vecs[:4], k=2)
+        assert [[tuple(h) for h in hits] for hits in bb] == \
+               [[tuple(h) for h in hits] for hits in bj]
+        # Mutations through both forms, read back through either.
+        r1 = b.insert("c", q * 0.5, "bin")
+        r2 = j.insert("c", q * 0.25, "json")
+        assert j.get("c", r1)[1] == "bin"
+        assert b.get("c", r2)[1] == "json"
+        b.update("c", r1, q * 0.1, "bin2")
+        assert j.get("c", r1)[1] == "bin2"
+
+        # Malformed binary fields: clean errors, live connection.
+        with pytest.raises(VrodServerError, match="vector_b64"):
+            b._request(cmd="SEARCHSIMILAR", collection="c",
+                       vector_b64="!!!notbase64!!!", k=1)
+        with pytest.raises(VrodServerError, match="multiple of 4"):
+            b._request(cmd="SEARCHSIMILAR", collection="c",
+                       vector_b64=base64.b64encode(b"abc").decode(), k=1)
+        # Wrong-dim batch: the rows cross-check catches the silent reshape.
+        bad = np.zeros((2, DIM * 2), np.float32)
+        with pytest.raises(VrodServerError, match="rows=2"):
+            b._request(cmd="SEARCHSIMILAR", collection="c", rows=2, k=1,
+                       vectors_b64=base64.b64encode(
+                           bad.tobytes()).decode())
+        assert b.ping() == "pong"

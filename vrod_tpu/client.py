@@ -55,8 +55,15 @@ class Hit:
 class VrodClient:
     def __init__(self, addr, *, timeout: float | None = 600.0,
                  auth_token: str | None = None,
-                 connect_timeout: float | None = None):
+                 connect_timeout: float | None = None,
+                 binary_vectors: bool = True):
         self._auth_token = auth_token
+        # Send vectors as base64 little-endian float32 (vector_b64 /
+        # vectors_b64): ~17x cheaper for the server to parse and ~30x
+        # cheaper to encode than JSON float lists at dim 768, 3.8x
+        # smaller on the wire. False = plain JSON lists (any server that
+        # predates the binary fields, or wire-level debugging).
+        self._binary = binary_vectors
         spec = parse_addr(addr)
         # Separate connect timeout: the op timeout is sized for slow
         # first-compile searches (minutes), but a dead/blackholed host
@@ -161,6 +168,21 @@ class VrodClient:
             req["arg"] = arg
         return self._request(**req)
 
+    def _vec_field(self, vector, key: str = "vector") -> dict:
+        arr = np.ascontiguousarray(np.asarray(vector, np.float32))
+        if self._binary:
+            import base64
+            d = {f"{key}_b64":
+                 base64.b64encode(arr.astype("<f4").tobytes()).decode()}
+            if arr.ndim == 2:
+                # Packed rows carry no shape: the server infers the row
+                # width from the collection dim and cross-checks this
+                # count, so a wrong-dim batch errors instead of silently
+                # reshaping into the wrong number of queries.
+                d["rows"] = int(arr.shape[0])
+            return d
+        return {key: arr.tolist()}
+
     def position(self, collection: str) -> int:
         """Highest durable position this client's mutations reached (0 if
         it never mutated the collection). Pass to a REPLICA's search via
@@ -170,8 +192,8 @@ class VrodClient:
     def search_similar(self, collection: str, vector, k: int = 10, *,
                        within_ids=None, exclude_ids=None,
                        min_position: int | None = None) -> list[Hit]:
-        req = {"cmd": "SEARCHSIMILAR", "collection": collection,
-               "vector": np.asarray(vector, np.float32).tolist(), "k": k}
+        req = {"cmd": "SEARCHSIMILAR", "collection": collection, "k": k,
+               **self._vec_field(vector)}
         if within_ids is not None:
             req["within"] = [int(i) for i in within_ids]
         if exclude_ids is not None:
@@ -184,8 +206,9 @@ class VrodClient:
                              within_ids=None, exclude_ids=None,
                              min_position: int | None = None
                              ) -> list[list[Hit]]:
-        req = {"cmd": "SEARCHSIMILAR", "collection": collection,
-               "vectors": np.asarray(vectors, np.float32).tolist(), "k": k}
+        vecs = np.atleast_2d(np.asarray(vectors, np.float32))
+        req = {"cmd": "SEARCHSIMILAR", "collection": collection, "k": k,
+               **self._vec_field(vecs, "vectors")}
         if within_ids is not None:
             req["within"] = [int(i) for i in within_ids]
         if exclude_ids is not None:
@@ -207,26 +230,29 @@ class VrodClient:
 
     def insert(self, collection: str, vector, payload: str = "") -> int:
         r = self._request(cmd="INSERT", collection=collection,
-                          vector=np.asarray(vector, np.float32).tolist(),
-                          payload=payload)
+                          payload=payload, **self._vec_field(vector))
         return r["record_id"]
 
     def bulk_insert(self, collection: str, vectors, payloads=None
                     ) -> list[int]:
-        vecs = np.asarray(vectors, np.float32)
+        vecs = np.atleast_2d(np.asarray(vectors, np.float32))
         if payloads is None:
             payloads = [""] * len(vecs)
-        r = self._request(cmd="BULKINSERT", collection=collection,
-                          records=[[v.tolist(), p]
-                                   for v, p in zip(vecs, payloads)])
+        if self._binary:
+            r = self._request(cmd="BULKINSERT", collection=collection,
+                              payloads=[str(p) for p in payloads],
+                              **self._vec_field(vecs, "vectors"))
+        else:
+            r = self._request(cmd="BULKINSERT", collection=collection,
+                              records=[[v.tolist(), p]
+                                       for v, p in zip(vecs, payloads)])
         return r["record_ids"]
 
     def update(self, collection: str, record_id: int, vector,
                payload: str = "") -> None:
         self._request(cmd="UPDATE", collection=collection,
-                      record_id=int(record_id),
-                      vector=np.asarray(vector, np.float32).tolist(),
-                      payload=payload)
+                      record_id=int(record_id), payload=payload,
+                      **self._vec_field(vector))
 
     def delete(self, collection: str, ids) -> int:
         if np.isscalar(ids) or isinstance(ids, (int, np.integer)):

@@ -383,18 +383,17 @@ class VrodServer:
         # from the collection's tuple path — no per-hit objects, no
         # re-walk (the host-side formatting cost used to exceed the device
         # scan itself; see collection.search_triples).
-        if cmd == "SEARCHSIMILAR" and "vector" in req:
+        if cmd == "SEARCHSIMILAR" and ("vector" in req
+                                       or "vector_b64" in req):
             triples = self._batcher(collection).search_triples(
-                req["vector"], int(req.get("k", 10)),
+                self._req_vector(req), int(req.get("k", 10)),
                 timeout=self.search_timeout_s,
                 within_ids=req.get("within"), exclude_ids=req.get("exclude"))
             return {"hits": triples}
-        if cmd == "SEARCHSIMILAR" and "vectors" in req:
+        if cmd == "SEARCHSIMILAR" and ("vectors" in req
+                                       or "vectors_b64" in req):
             # A client-side batch is already a tile: one engine call.
-            vecs = np.asarray(req["vectors"], dtype=np.float32)
-            if vecs.ndim != 2:
-                raise ValueError(
-                    f"'vectors' must be 2-D, got shape {vecs.shape}")
+            vecs = self._req_vectors(req, collection)
             batches = self._collection(collection).search_triples(
                 vecs, int(req.get("k", 10)),
                 within_ids=req.get("within"), exclude_ids=req.get("exclude"))
@@ -407,12 +406,21 @@ class VrodServer:
         # Mutation responses carry "position" (the collection's durable LSN
         # after the ack) so clients can demand read-your-writes from a
         # replica via SEARCH*/min_position.
-        if cmd == "INSERT" and "vector" in req:
+        if cmd == "INSERT" and ("vector" in req or "vector_b64" in req):
             col = self._collection(collection)
-            rid = col.insert(
-                np.asarray(req["vector"], np.float32),
-                str(req.get("payload", "")))
+            rid = col.insert(self._req_vector(req),
+                             str(req.get("payload", "")))
             return {"record_id": int(rid), "position": col.repl_position()}
+        if cmd == "BULKINSERT" and "vectors_b64" in req:
+            # Binary bulk form: packed little-endian f32 rows + a parallel
+            # payload list (the [vec-list, payload] record form stays
+            # supported below for non-Python clients).
+            col = self._collection(collection)
+            vecs = self._req_vectors(req, collection)
+            payloads = req.get("payloads") or [""] * len(vecs)
+            rids = col.bulk_insert(vecs, [str(p) for p in payloads])
+            return {"record_ids": [int(r) for r in rids],
+                    "position": col.repl_position()}
         if cmd == "BULKINSERT" and "records" in req:
             records = req["records"]
             if not records:
@@ -423,12 +431,11 @@ class VrodServer:
             rids = col.bulk_insert(vecs, payloads)
             return {"record_ids": [int(r) for r in rids],
                     "position": col.repl_position()}
-        if cmd == "UPDATE" and "vector" in req:
+        if cmd == "UPDATE" and ("vector" in req or "vector_b64" in req):
             rid = int(req["record_id"])
             col = self._collection(collection)
-            col.update(
-                rid, np.asarray(req["vector"], np.float32),
-                str(req.get("payload", "")))
+            col.update(rid, self._req_vector(req),
+                       str(req.get("payload", "")))
             return {"record_id": rid, "position": col.repl_position()}
         if cmd == "DELETE" and "ids" in req:
             col = self._collection(collection)
@@ -448,6 +455,53 @@ class VrodServer:
         if not name:
             raise ValueError("Request requires a 'collection'")
         return self.db.collection(str(name))
+
+    @staticmethod
+    def _req_vector(req) -> np.ndarray:
+        """One query/record vector from a request: ``vector`` (JSON float
+        list — any client) or ``vector_b64`` (base64 of packed
+        little-endian float32 — ~17x cheaper to parse than a 768-float
+        JSON list and 3.8x smaller on the wire; what VrodClient sends by
+        default)."""
+        b64 = req.get("vector_b64")
+        if b64 is None:
+            return np.asarray(req["vector"], np.float32)
+        import base64
+        try:
+            buf = base64.b64decode(b64, validate=True)
+        except Exception as e:
+            raise ValueError(f"Bad vector_b64: {e}")
+        if len(buf) % 4:
+            raise ValueError(
+                f"vector_b64 must be packed little-endian float32 "
+                f"(got {len(buf)} bytes, not a multiple of 4)")
+        return np.frombuffer(buf, dtype="<f4")
+
+    def _req_vectors(self, req, collection) -> np.ndarray:
+        """A 2-D query/record matrix: ``vectors`` (JSON list of rows) or
+        ``vectors_b64`` (packed little-endian float32 rows; the row width
+        is the collection's dim)."""
+        b64 = req.get("vectors_b64")
+        if b64 is None:
+            vecs = np.asarray(req["vectors"], dtype=np.float32)
+            if vecs.ndim != 2:
+                raise ValueError(
+                    f"'vectors' must be 2-D, got shape {vecs.shape}")
+            return vecs
+        flat = self._req_vector({"vector_b64": b64})
+        dim = self._collection(collection).config.dim
+        if flat.size == 0 or flat.size % dim:
+            raise ValueError(
+                f"vectors_b64 holds {flat.size} float32s, not a multiple "
+                f"of the collection dim {dim}")
+        vecs = flat.reshape(-1, dim)
+        rows = req.get("rows")
+        if rows is not None and int(rows) != vecs.shape[0]:
+            raise ValueError(
+                f"vectors_b64 reshapes to {vecs.shape[0]} rows of the "
+                f"collection dim {dim}, but the request says rows={rows} "
+                f"— wrong-dim batch?")
+        return vecs
 
     def _await_position(self, name, min_position: int,
                         timeout_s: float) -> None:
