@@ -39,3 +39,7 @@ def test_replication_fuzz_smoke():
 
 def test_backup_fuzz_smoke():
     _run("fuzz_backup.py", 0, 2)
+
+
+def test_protocol_fuzz_smoke():
+    _run("fuzz_protocol.py", 0, 2)
