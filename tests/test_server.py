@@ -459,3 +459,23 @@ def test_binary_vector_protocol_parity(server):
                        vectors_b64=base64.b64encode(
                            bad.tobytes()).decode())
         assert b.ping() == "pong"
+
+
+def test_packed_batch_response_parity(server):
+    """binary_hits packed responses decode to exactly the JSON-triples
+    answer, including short rows (filters) and empty rows."""
+    with VrodClient(server.address, binary_vectors=True) as b, \
+            VrodClient(server.address, binary_vectors=False) as j:
+        vecs, rids = _fill(b)
+        qb = b.search_similar_batch("c", vecs[:5], k=3)   # packed
+        qj = j.search_similar_batch("c", vecs[:5], k=3)   # triples
+        assert [[tuple(h) for h in hits] for hits in qb] == \
+               [[tuple(h) for h in hits] for hits in qj]
+        # Filtered (short rows) through the packed path.
+        fb = b.search_similar_batch("c", vecs[:3], k=5,
+                                    within_ids=[int(rids[0]), int(rids[1])])
+        fj = j.search_similar_batch("c", vecs[:3], k=5,
+                                    within_ids=[int(rids[0]), int(rids[1])])
+        assert [[tuple(h) for h in hits] for hits in fb] == \
+               [[tuple(h) for h in hits] for hits in fj]
+        assert all(len(hits) == 2 for hits in fb)

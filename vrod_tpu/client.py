@@ -209,14 +209,32 @@ class VrodClient:
         vecs = np.atleast_2d(np.asarray(vectors, np.float32))
         req = {"cmd": "SEARCHSIMILAR", "collection": collection, "k": k,
                **self._vec_field(vecs, "vectors")}
+        if self._binary:
+            req["binary_hits"] = True  # packed arrays beat JSON triples
         if within_ids is not None:
             req["within"] = [int(i) for i in within_ids]
         if exclude_ids is not None:
             req["exclude"] = [int(i) for i in exclude_ids]
         if min_position is not None:
             req["min_position"] = int(min_position)
-        return [[Hit(*h) for h in hits]
-                for hits in self._request(**req)["batches"]]
+        result = self._request(**req)
+        packed = result.get("hits_b64")
+        if packed is None:
+            return [[Hit(*h) for h in hits] for hits in result["batches"]]
+        import base64
+        ids = np.frombuffer(base64.b64decode(packed["ids"]),
+                            dtype="<u8").tolist()
+        scores = np.frombuffer(base64.b64decode(packed["scores"]),
+                               dtype="<f4").tolist()
+        counts = np.frombuffer(base64.b64decode(packed["counts"]),
+                               dtype="<u4").tolist()
+        payloads = packed["payloads"]
+        out, pos = [], 0
+        for n in counts:
+            out.append([Hit(ids[i], scores[i], payloads[i])
+                        for i in range(pos, pos + n)])
+            pos += n
+        return out
 
     def get(self, collection: str, record_id: int, *,
             min_position: int | None = None):

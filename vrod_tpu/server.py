@@ -394,10 +394,27 @@ class VrodServer:
                                        or "vectors_b64" in req):
             # A client-side batch is already a tile: one engine call.
             vecs = self._req_vectors(req, collection)
-            batches = self._collection(collection).search_triples(
-                vecs, int(req.get("k", 10)),
-                within_ids=req.get("within"), exclude_ids=req.get("exclude"))
-            return {"batches": batches}
+            col = self._collection(collection)
+            kk = int(req.get("k", 10))
+            fkw = {"within_ids": req.get("within"),
+                   "exclude_ids": req.get("exclude")}
+            if req.get("binary_hits"):
+                # Packed response: at 256 x 100 the JSON triple encode
+                # costs ~41 ms — 2.5x the device scan. ids/scores ride as
+                # base64 arrays; payload strings stay a JSON list.
+                import base64
+                ids, scores, counts, payloads = col.search_packed(
+                    vecs, kk, **fkw)
+                return {"hits_b64": {
+                    "ids": base64.b64encode(
+                        ids.astype("<u8").tobytes()).decode(),
+                    "scores": base64.b64encode(
+                        scores.astype("<f4").tobytes()).decode(),
+                    "counts": base64.b64encode(
+                        counts.astype("<u4").tobytes()).decode(),
+                    "payloads": payloads,
+                }}
+            return {"batches": col.search_triples(vecs, kk, **fkw)}
         if cmd == "SEARCH" and "record_id" in req:
             rec = self._collection(collection).get(int(req["record_id"]))
             return {"record_id": int(req["record_id"]),
