@@ -479,3 +479,83 @@ def test_packed_batch_response_parity(server):
         assert [[tuple(h) for h in hits] for hits in fb] == \
                [[tuple(h) for h in hits] for hits in fj]
         assert all(len(hits) == 2 for hits in fb)
+
+
+def test_concurrent_clients_chaos(tmp_db, tmp_path):
+    """Search clients race mutator clients through real sockets while
+    auto-snapshots fire: every response is well-formed, searches only
+    ever return records that were live at some point, and the final
+    durable state matches a reload."""
+    import threading
+
+    col = tmp_db.create_collection("c", dim=DIM, segment_rows=64,
+                                   auto_snapshot_wal_bytes=20000)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((32, DIM)).astype(np.float32)
+    col.bulk_insert(base, [f"base{i}" for i in range(32)])
+
+    with VrodServer(tmp_db, f"unix:{tmp_path}/chaos.sock",
+                    max_wait_ms=1.0).start() as s:
+        stop = threading.Event()
+        errors = []
+
+        def searcher(seed):
+            r = np.random.default_rng(seed)
+            with VrodClient(s.address) as c:
+                while not stop.is_set():
+                    try:
+                        hits = c.search_similar(
+                            "c", r.standard_normal(DIM).astype(np.float32),
+                            k=3)
+                        for h in hits:
+                            assert h.record_id >= 1 and isinstance(
+                                h.payload, str)
+                    except Exception as e:
+                        errors.append(("search", e))
+                        return
+
+        def mutator(seed):
+            r = np.random.default_rng(1000 + seed)
+            mine = []
+            with VrodClient(s.address) as c:
+                while not stop.is_set():
+                    try:
+                        roll = r.random()
+                        if roll < 0.6 or not mine:
+                            mine.append(c.insert(
+                                "c", r.standard_normal(DIM).astype(
+                                    np.float32), f"m{seed}"))
+                        elif roll < 0.8:
+                            c.delete("c", mine.pop(
+                                int(r.integers(0, len(mine)))))
+                        else:
+                            c.update("c",
+                                     mine[int(r.integers(0, len(mine)))],
+                                     r.standard_normal(DIM).astype(
+                                         np.float32), f"u{seed}")
+                    except Exception as e:
+                        errors.append(("mutate", e))
+                        return
+
+        threads = [threading.Thread(target=searcher, args=(i,))
+                   for i in range(4)]
+        threads += [threading.Thread(target=mutator, args=(i,))
+                    for i in range(3)]
+        for t in threads:
+            t.start()
+        import time as _t
+        _t.sleep(4.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors[:3]
+        live_count = tmp_db.collection("c").count
+
+    tmp_db.close()
+    from vrod_tpu.database import Database
+    db2 = Database.load(tmp_db.path)
+    try:
+        assert db2.collection("c").count == live_count  # durable == live
+    finally:
+        db2.close()
+    # (the tmp_db fixture's teardown close() is idempotent)
