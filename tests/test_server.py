@@ -547,7 +547,10 @@ def test_concurrent_clients_chaos(tmp_db, tmp_path):
         _t.sleep(4.0)
         stop.set()
         for t in threads:
-            t.join(timeout=30)
+            t.join(timeout=60)
+        # A straggler past the join timeout could mutate after the count
+        # is read — fail loudly on the real problem, not on durability.
+        assert not any(t.is_alive() for t in threads)
         assert not errors, errors[:3]
         live_count = tmp_db.collection("c").count
 
@@ -559,3 +562,16 @@ def test_concurrent_clients_chaos(tmp_db, tmp_path):
     finally:
         db2.close()
     # (the tmp_db fixture's teardown close() is idempotent)
+
+
+def test_client_rejects_bad_shapes_and_empty_bulk(client):
+    """Both wire forms agree on shape validation: a 3-D tensor raises
+    (the packed form would silently reshape it into garbage queries
+    otherwise), and an empty bulk insert is a no-op returning []."""
+    client.execute("CREATE", arg=f"c;dim={DIM};segment_rows=64")
+    assert client.bulk_insert("c", []) == []
+    bad = np.zeros((2, DIM, 3), np.float32)
+    with pytest.raises(ValueError, match="2-D"):
+        client.search_similar_batch("c", bad, k=1)
+    with pytest.raises(ValueError, match="2-D"):
+        client.bulk_insert("c", bad)

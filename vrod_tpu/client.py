@@ -173,7 +173,8 @@ class VrodClient:
         if self._binary:
             import base64
             d = {f"{key}_b64":
-                 base64.b64encode(arr.astype("<f4").tobytes()).decode()}
+                 base64.b64encode(
+                     arr.astype("<f4", copy=False).tobytes()).decode()}
             if arr.ndim == 2:
                 # Packed rows carry no shape: the server infers the row
                 # width from the collection dim and cross-checks this
@@ -207,6 +208,11 @@ class VrodClient:
                              min_position: int | None = None
                              ) -> list[list[Hit]]:
         vecs = np.atleast_2d(np.asarray(vectors, np.float32))
+        if vecs.ndim != 2:
+            # Both wire forms must agree: the packed form would otherwise
+            # flatten a mis-shaped (e.g. 3-D) tensor into silently wrong
+            # queries — the exact failure the rows cross-check guards.
+            raise ValueError(f"'vectors' must be 2-D, got {vecs.shape}")
         req = {"cmd": "SEARCHSIMILAR", "collection": collection, "k": k,
                **self._vec_field(vecs, "vectors")}
         if self._binary:
@@ -253,7 +259,12 @@ class VrodClient:
 
     def bulk_insert(self, collection: str, vectors, payloads=None
                     ) -> list[int]:
-        vecs = np.atleast_2d(np.asarray(vectors, np.float32))
+        arr = np.asarray(vectors, np.float32)
+        if arr.size == 0:
+            return []  # Collection.bulk_insert([]) is a no-op too
+        vecs = np.atleast_2d(arr)
+        if vecs.ndim != 2:
+            raise ValueError(f"'vectors' must be 2-D, got {vecs.shape}")
         if payloads is None:
             payloads = [""] * len(vecs)
         if self._binary:

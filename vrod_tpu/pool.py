@@ -44,7 +44,8 @@ class VrodPool:
     def __init__(self, primary_addr, replica_addrs=(), *,
                  auth_token: str | None = None, timeout: float | None = 600.0,
                  connect_timeout: float | None = 5.0,
-                 cooldown_s: float = 5.0, read_your_writes: bool = True):
+                 cooldown_s: float = 5.0, read_your_writes: bool = True,
+                 binary_vectors: bool = True):
         self._primary = _Endpoint(primary_addr)
         self._replicas = [_Endpoint(a) for a in replica_addrs]
         self._auth_token = auth_token
@@ -53,6 +54,7 @@ class VrodPool:
         # (which is sized for slow first-compile searches): failover speed
         # is bounded by this.
         self._connect_timeout = connect_timeout
+        self._binary = binary_vectors  # passthrough (non-upgraded servers)
         self.cooldown_s = cooldown_s
         self.read_your_writes = read_your_writes
         self._rr = 0
@@ -85,7 +87,8 @@ class VrodPool:
         # client and the loser's is closed.
         c = VrodClient(ep.addr, timeout=self._timeout,
                        connect_timeout=self._connect_timeout,
-                       auth_token=self._auth_token)
+                       auth_token=self._auth_token,
+                       binary_vectors=self._binary)
         with self._lock:
             if ep.client is None:
                 ep.client = c

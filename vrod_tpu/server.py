@@ -393,8 +393,8 @@ class VrodServer:
         if cmd == "SEARCHSIMILAR" and ("vectors" in req
                                        or "vectors_b64" in req):
             # A client-side batch is already a tile: one engine call.
-            vecs = self._req_vectors(req, collection)
             col = self._collection(collection)
+            vecs = self._req_vectors(req, col)
             kk = int(req.get("k", 10))
             fkw = {"within_ids": req.get("within"),
                    "exclude_ids": req.get("exclude")}
@@ -407,11 +407,11 @@ class VrodServer:
                     vecs, kk, **fkw)
                 return {"hits_b64": {
                     "ids": base64.b64encode(
-                        ids.astype("<u8").tobytes()).decode(),
+                        ids.astype("<u8", copy=False).tobytes()).decode(),
                     "scores": base64.b64encode(
-                        scores.astype("<f4").tobytes()).decode(),
+                        scores.astype("<f4", copy=False).tobytes()).decode(),
                     "counts": base64.b64encode(
-                        counts.astype("<u4").tobytes()).decode(),
+                        counts.astype("<u4", copy=False).tobytes()).decode(),
                     "payloads": payloads,
                 }}
             return {"batches": col.search_triples(vecs, kk, **fkw)}
@@ -433,7 +433,7 @@ class VrodServer:
             # payload list (the [vec-list, payload] record form stays
             # supported below for non-Python clients).
             col = self._collection(collection)
-            vecs = self._req_vectors(req, collection)
+            vecs = self._req_vectors(req, col)
             payloads = req.get("payloads") or [""] * len(vecs)
             rids = col.bulk_insert(vecs, [str(p) for p in payloads])
             return {"record_ids": [int(r) for r in rids],
@@ -494,10 +494,11 @@ class VrodServer:
                 f"(got {len(buf)} bytes, not a multiple of 4)")
         return np.frombuffer(buf, dtype="<f4")
 
-    def _req_vectors(self, req, collection) -> np.ndarray:
+    def _req_vectors(self, req, col) -> np.ndarray:
         """A 2-D query/record matrix: ``vectors`` (JSON list of rows) or
         ``vectors_b64`` (packed little-endian float32 rows; the row width
-        is the collection's dim)."""
+        is the collection's dim). ``col`` is the already-resolved
+        Collection (callers need it anyway — no second registry lookup)."""
         b64 = req.get("vectors_b64")
         if b64 is None:
             vecs = np.asarray(req["vectors"], dtype=np.float32)
@@ -506,7 +507,7 @@ class VrodServer:
                     f"'vectors' must be 2-D, got shape {vecs.shape}")
             return vecs
         flat = self._req_vector({"vector_b64": b64})
-        dim = self._collection(collection).config.dim
+        dim = col.config.dim
         if flat.size == 0 or flat.size % dim:
             raise ValueError(
                 f"vectors_b64 holds {flat.size} float32s, not a multiple "
