@@ -120,3 +120,53 @@ def test_interior_empty_vector_component_rejected():
         parse_record("1,,2;p")
     # trailing comma stays tolerated
     np.testing.assert_array_equal(parse_record("1,2,;p").vector, [1, 2])
+
+
+def test_matrix_fast_path_bit_exact_parity(rng):
+    """The vectorized parse (np.fromstring over joined vector text) must
+    produce BIT-identical float32s to the per-token float() path, and the
+    block formatter's %.9g text must parse back bit-identically too."""
+    from vrod_tpu.records import (
+        _parse_record_file_slow, format_record, format_records_block,
+        parse_record_matrix,
+    )
+    vecs = rng.standard_normal((64, 24)).astype(np.float32)
+    vecs[0, 0] = np.float32(0.3)
+    vecs[1, 1] = np.float32(1e-38)   # subnormal-ish
+    vecs[2, 2] = np.float32(-1e38)
+    vecs[3, 3] = 0.0
+    payloads = [f"p;{i}\nx\\" for i in range(64)]  # escapes in the mix
+
+    for text in (
+        "\n".join(format_record(v, p) for v, p in zip(vecs, payloads)),
+        format_records_block(vecs, payloads),
+    ):
+        m, pls = parse_record_matrix(text + "\n")
+        np.testing.assert_array_equal(m, vecs)  # bitwise
+        assert pls == payloads
+        slow = _parse_record_file_slow(text)
+        np.testing.assert_array_equal(
+            np.stack([r.vector for r in slow]), m)
+        assert [r.payload for r in slow] == pls
+
+
+def test_matrix_fast_path_fallback_semantics():
+    """Irregular files fall back to the strict per-line parser: identical
+    errors for malformed input, identical tolerance for messy-but-legal
+    forms (trailing commas, token spaces, blank/whitespace lines)."""
+    from vrod_tpu.errors import RecordFormatError
+    from vrod_tpu.records import parse_record_matrix
+
+    messy = "1,2 ;a\n\n  \n3 ,4;b\n5,6,;c\n"  # spaces + trailing comma
+    m, pls = parse_record_matrix(messy)
+    assert m.shape == (3, 2) and pls == ["a", "b", "c"]
+    assert m[2].tolist() == [5.0, 6.0]
+
+    with pytest.raises(RecordFormatError, match="line 2"):
+        parse_record_matrix("1,2;a\n1,x;b\n")
+    with pytest.raises(RecordFormatError, match="dim"):
+        parse_record_matrix("1,2;a\n1,2,3;b\n")
+    with pytest.raises(RecordFormatError, match="Empty vector component"):
+        parse_record_matrix("1,,2;a\n")
+    m, pls = parse_record_matrix("")
+    assert m.size == 0 and pls == []

@@ -769,7 +769,7 @@ class Collection:
         inserts landing after the cut are not included — every record that
         stays live throughout IS exported. Memory is bounded (chunked
         device gathers, streaming writes)."""
-        from .records import format_record
+        from .records import format_records_block
 
         with self._rw.read():
             rids = self.alloc.ids_of(
@@ -791,10 +791,12 @@ class Collection:
                     vecs = self.engine.gather(slots[live].astype(np.int64))
                     pmap = self.payloads.get_many(
                         int(r) for r in rid_live.tolist())
-                for rid, vec in zip(rid_live.tolist(), vecs):
-                    f.write(format_record(vec, pmap.get(int(rid), "")))
+                if rid_live.size:
+                    f.write(format_records_block(
+                        vecs, [pmap.get(int(r), "")
+                               for r in rid_live.tolist()]))
                     f.write("\n")
-                    written += 1
+                    written += int(rid_live.size)
         finally:
             if f is not dest:
                 f.close()

@@ -30,7 +30,9 @@ import numpy as np
 
 from ..database import Database
 from ..errors import MissingCommandArgError, RecordFormatError
-from ..records import format_record, parse_query, parse_record, parse_record_file
+from ..records import (
+    format_record, parse_query, parse_record, parse_record_matrix,
+)
 
 
 @dataclasses.dataclass
@@ -155,11 +157,10 @@ class BulkInsertCommand(Command):
         except (OSError, UnicodeDecodeError) as e:
             raise RecordFormatError(
                 f"Cannot read records file {path}: {e}") from e
-        records = parse_record_file(text)
-        if not records:
+        vecs, payloads = parse_record_matrix(text)
+        if len(payloads) == 0:
             return "Inserted 0 records"
-        vecs = np.stack([r.vector for r in records])
-        rids = col.bulk_insert(vecs, [r.payload for r in records])
+        rids = col.bulk_insert(vecs, payloads)
         return f"Inserted {len(rids)} records (ids {rids[0]}..{rids[-1]})"
 
 
