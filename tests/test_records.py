@@ -170,3 +170,68 @@ def test_matrix_fast_path_fallback_semantics():
         parse_record_matrix("1,,2;a\n")
     m, pls = parse_record_matrix("")
     assert m.size == 0 and pls == []
+
+
+def test_matrix_fast_path_rejects_silent_divergences(rng):
+    """The fast path must NEVER accept input the strict parser rejects or
+    reads differently (review findings: last-token garbage slips past a
+    size check; split('\\n') disagrees with splitlines() on exotic
+    terminators)."""
+    from vrod_tpu.errors import RecordFormatError
+    from vrod_tpu.records import (
+        _parse_matrix_fast, _parse_record_file_slow, parse_record_matrix,
+    )
+
+    # Garbage in the FILE'S LAST token: fromstring stops silently there,
+    # and total float count still matches — the sentinel catches it.
+    for bad in ("1,2;a\n3,3.4.5;b\n", "1,2;a\n3,4x;b\n", "1,2;a\n3,1e;b\n"):
+        assert _parse_matrix_fast(bad) is None
+        with pytest.raises(RecordFormatError, match="line 2"):
+            parse_record_matrix(bad)
+
+    # Exotic line terminators: splitlines() structure differs from
+    # split('\n') — every such file must go to the per-line parser.
+    for text in ("1,2;a\r3,4;b\n",      # CR-only terminators
+                 "1,2;a\r\r\n3,4;b\n",  # multi-\r strip semantics
+                 "1,2;a\x853,4;b\n"):   # NEL
+        assert _parse_matrix_fast(text) is None
+        m, pls = parse_record_matrix(text)
+        slow = _parse_record_file_slow(text)
+        assert [r.payload for r in slow] == pls
+        np.testing.assert_array_equal(np.stack([r.vector for r in slow]), m)
+
+    # The fast path must actually RUN on canonical files (a silently
+    # disabled fast path would pass every parity test while the 2x claim
+    # rots — e.g. numpy removing the deprecated fromstring).
+    vecs = rng.standard_normal((8, 6)).astype(np.float32)
+    from vrod_tpu.records import format_records_block
+    text = format_records_block(vecs, [f"p{i}" for i in range(8)]) + "\n"
+    fast = _parse_matrix_fast(text)
+    assert fast is not None
+    np.testing.assert_array_equal(fast[0], vecs)
+
+    # parse_record_file Records own their vectors (no shared-matrix views).
+    from vrod_tpu.records import parse_record_file
+    recs = parse_record_file(text)
+    recs[0].vector[0] = 99.0
+    assert recs[1].vector[0] == vecs[1, 0]
+    assert recs[0].vector.base is None
+
+
+def test_matrix_fast_path_chunked(rng):
+    """Chunked fast parse (bounded memory) agrees across the chunk seam."""
+    import vrod_tpu.records as R
+    vecs = rng.standard_normal((50, 4)).astype(np.float32)
+    text = R.format_records_block(vecs, [f"p{i}" for i in range(50)]) + "\n"
+    old = R._FAST_PARSE_CHUNK
+    R._FAST_PARSE_CHUNK = 7  # force many chunks incl. a ragged tail
+    try:
+        out = R._parse_matrix_fast(text)
+        assert out is not None
+        np.testing.assert_array_equal(out[0], vecs)
+        assert out[1] == [f"p{i}" for i in range(50)]
+        # Garbage in a LATER chunk's final token still rejects the file.
+        bad = text.rstrip("\n").rsplit(";", 1)[0] + "junk;x\n"
+        assert R._parse_matrix_fast(bad) is None
+    finally:
+        R._FAST_PARSE_CHUNK = old

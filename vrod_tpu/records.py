@@ -138,46 +138,77 @@ def parse_record_matrix(text: str):
             [r.payload for r in records])
 
 
+# Line terminators str.splitlines() honors beyond "\n". A file containing
+# any of them has a different line structure under the fast path's
+# split("\n"), so it must take the per-line parser (CRLF included: the
+# historical parser strips ANY mix of trailing \r\n, e.g. "a\r\r\n").
+_EXOTIC_TERMINATORS = ("\r", "\v", "\f", "\x1c", "\x1d", "\x1e",
+                       "\x85", "\u2028", "\u2029")
+
+# Rows per fast-parse chunk: bounds the transient joined-text copy (and
+# its parsed float block) so a 10M-row ingest never doubles peak memory.
+_FAST_PARSE_CHUNK = 65536
+
+
 def _parse_matrix_fast(text: str):
-    vec_parts, payloads = [], []
+    """The strict fast path, or ``None`` for anything it cannot prove it
+    parses EXACTLY like the per-line parser. Two correctness devices:
+
+    - a per-record comma-count check before the joined parse (an evenly
+      dividing total could silently mis-split mixed-dim rows), and
+    - a trailing ``,1`` SENTINEL per chunk: ``np.fromstring`` stops
+      silently at the first unparseable character, so a parse only
+      reaches (and equals) the sentinel if it consumed every byte —
+      catching garbage in the final token ("3.4.5", "1e", "4x") that a
+      pure size check cannot see."""
+    for ch in _EXOTIC_TERMINATORS:
+        if ch in text:
+            return None
+    vec_parts, payloads_raw = [], []
     for line in text.split("\n"):
-        if line.endswith("\r"):
-            line = line[:-1]
         if not line:
             continue
         if line[0] in " \t" or line[-1] in " \t":
             return None  # whitespace-skip/strip semantics: slow path
         vp, sep, pl = line.partition(";")
         vec_parts.append(vp)
-        payloads.append(_unescape_payload(pl) if sep else "")
+        payloads_raw.append(pl)
     n = len(vec_parts)
     if n == 0:
         return np.empty((0, 0), dtype=np.float32), []
-    # Per-record token counts must agree BEFORE the joined parse: a size
-    # that merely divides evenly could silently mis-split mixed-dim rows.
     commas = vec_parts[0].count(",")
-    if any(vp.count(",") != commas for vp in vec_parts):
-        return None
-    joined = ",".join(vec_parts)
+    dim = commas + 1
     import warnings
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", DeprecationWarning)
-        try:
-            flat = np.fromstring(joined, dtype=np.float32, sep=",")
-        except Exception:
+    blocks = []
+    for start in range(0, n, _FAST_PARSE_CHUNK):
+        part = vec_parts[start:start + _FAST_PARSE_CHUNK]
+        if any(vp.count(",") != commas for vp in part):
             return None
-    # fromstring stops silently at the first unparseable token: the exact
-    # count check rejects any such file to the strict per-line parser.
-    if flat.size != n * (commas + 1):
-        return None
-    return flat.reshape(n, commas + 1), payloads
+        joined = ",".join(part) + ",1"  # sentinel (see docstring)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            try:
+                flat = np.fromstring(joined, dtype=np.float32, sep=",")
+            except Exception:
+                return None
+        if flat.size != len(part) * dim + 1 or flat[-1] != 1.0:
+            return None
+        blocks.append(flat[:-1].reshape(len(part), dim))
+    vecs = blocks[0] if len(blocks) == 1 else np.vstack(blocks)
+    # Unescape only once the whole file validated (a late bail would
+    # discard the work and the slow path redoes it anyway).
+    return vecs, [_unescape_payload(p) for p in payloads_raw]
 
 
 def parse_record_file(text: str) -> list[Record]:
     """Parse a BULKINSERT payload: one record per non-empty line. All
-    records must share one vector dimension (the first line sets it)."""
+    records must share one vector dimension (the first line sets it).
+    Each Record owns an independent vector (historical contract — no
+    views into a shared matrix that writes would alias or holds would
+    pin)."""
     vecs, payloads = parse_record_matrix(text)
-    return [Record(vector=v, payload=p) for v, p in zip(vecs, payloads)]
+    return [Record(vector=np.array(v), payload=p)
+            for v, p in zip(vecs, payloads)]
 
 
 def _parse_record_file_slow(text: str) -> list[Record]:
