@@ -575,3 +575,17 @@ def test_client_rejects_bad_shapes_and_empty_bulk(client):
         client.search_similar_batch("c", bad, k=1)
     with pytest.raises(ValueError, match="2-D"):
         client.bulk_insert("c", bad)
+
+
+def test_stats_latency_histogram(client):
+    """STATS reports per-event latency quantiles from the log2 histogram."""
+    _fill(client, n=4)
+    for _ in range(5):
+        client.search_similar("c", np.zeros(DIM, np.float32), k=2)
+    st = client.stats()
+    lat = st["latencies"]
+    assert "server.request" in lat
+    sr = lat["server.request"]
+    assert sr["count"] >= 6
+    assert 0 < sr["p50_ms"] <= sr["p99_ms"]
+    assert "collection.search" in lat  # engine-path timing flows in too

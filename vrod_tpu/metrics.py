@@ -44,6 +44,64 @@ class Counters:
 counters = Counters()
 
 
+class LatencyHistogram:
+    """Fixed log2-bucket latency histograms, keyed by event name
+    (thread-safe, O(1) record, bounded memory). Buckets are powers of two
+    in microseconds from 1 us to ~17 min; quantiles interpolate inside a
+    bucket, so p99 is exact to within a 2x bucket edge — plenty for ops
+    dashboards, with none of a reservoir's memory churn."""
+
+    N_BUCKETS = 31  # 2^0 .. 2^30 us
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._h: dict[str, list[int]] = {}
+
+    def record(self, event: str, seconds: float) -> None:
+        us = seconds * 1e6
+        b = 0 if us < 1 else min(int(us).bit_length(), self.N_BUCKETS - 1)
+        with self._lock:
+            h = self._h.get(event)
+            if h is None:
+                h = self._h[event] = [0] * self.N_BUCKETS
+            h[b] += 1
+
+    def quantiles(self, event: str, qs=(0.5, 0.95, 0.99)) -> dict:
+        """{'p50_ms': ..., 'p95_ms': ..., 'p99_ms': ..., 'count': n} or
+        {} if the event was never recorded."""
+        with self._lock:
+            h = list(self._h.get(event, ()))
+        total = sum(h)
+        if total == 0:
+            return {}
+        out = {"count": total}
+        for q in qs:
+            target = q * total
+            acc = 0
+            for b, c in enumerate(h):
+                if acc + c >= target:
+                    lo = 0.0 if b == 0 else float(1 << (b - 1))
+                    hi = float(1 << b)
+                    frac = (target - acc) / c
+                    out[f"p{int(q * 100)}_ms"] = round(
+                        (lo + frac * (hi - lo)) / 1e3, 3)
+                    break
+                acc += c
+        return out
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            events = list(self._h)
+        return {e: self.quantiles(e) for e in events}
+
+    def reset(self) -> None:
+        with self._lock:
+            self._h.clear()
+
+
+latencies = LatencyHistogram()
+
+
 class QueryLog:
     """JSON-lines structured log. A sink is a file path or a callable."""
 
@@ -95,6 +153,7 @@ def timed(event: str, **fields):
     finally:
         dt = time.perf_counter() - t0
         counters.inc(event)
+        latencies.record(event, dt)
         query_log.emit(event, latency_ms=round(dt * 1e3, 3), **fields)
 
 

@@ -300,8 +300,10 @@ class VrodServer:
                 return {"ok": False, "error": "Server is shutting down"}
             self._inflight += 1
         metrics.counters.inc("server.request")
+        t0 = time.monotonic()
         try:
             result = self._dispatch(req)
+            metrics.latencies.record("server.request", time.monotonic() - t0)
             return {"ok": True, "result": result}
         except (VrodError, ValueError, TypeError, KeyError) as e:
             metrics.counters.inc("server.error")
@@ -346,7 +348,10 @@ class VrodServer:
                      "address": self.address,
                      "read_only": self.read_only,
                      "collections": self.db.list_collections(),
-                     "counters": metrics.counters.snapshot()}
+                     "counters": metrics.counters.snapshot(),
+                     # p50/p95/p99 per timed event (server.request =
+                     # whole-request wall time incl. batching wait).
+                     "latencies": metrics.latencies.snapshot()}
             if self._replicator is not None:
                 stats["replication"] = self._replicator.status()
             return stats
