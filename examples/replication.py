@@ -8,6 +8,7 @@ read-your-writes. Ends with the zero-loss cutover runbook
     python examples/replication.py
 """
 
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -51,9 +52,9 @@ with VrodPool(primary.address, [replica.address]) as pool:
 
 # --- cutover runbook: FENCE old primary -> catch up -> PROMOTE replica ----
 with VrodClient(primary.address) as pc, VrodClient(replica.address) as rc:
-    print(pc._request(cmd="FENCE"))
+    print(pc.execute("FENCE"))
     rep.wait_caught_up()
-    print(rc._request(cmd="PROMOTE"))
+    print(rc.execute("PROMOTE"))
     new_rid = rc.insert("docs", q * 0.5, "post-cutover")
     print(f"replica promoted; first write on the new primary: id {new_rid}")
 
@@ -61,4 +62,5 @@ replica.close()
 primary.close()
 replica_db.close()
 primary_db.close()
+shutil.rmtree(tmp, ignore_errors=True)
 print("done")

@@ -83,7 +83,7 @@ class LatencyHistogram:
                     lo = 0.0 if b == 0 else float(1 << (b - 1))
                     hi = float(1 << b)
                     frac = (target - acc) / c
-                    out[f"p{int(q * 100)}_ms"] = round(
+                    out[f"p{q * 100:g}_ms"] = round(
                         (lo + frac * (hi - lo)) / 1e3, 3)
                     break
                 acc += c

@@ -179,7 +179,10 @@ def _parse_matrix_fast(text: str):
     commas = vec_parts[0].count(",")
     dim = commas + 1
     import warnings
-    blocks = []
+    # Preallocate once and fill per chunk: keeping per-chunk blocks for a
+    # final vstack would hold ~2x the matrix transiently — the exact spike
+    # _FAST_PARSE_CHUNK exists to avoid.
+    vecs = np.empty((n, dim), dtype=np.float32)
     for start in range(0, n, _FAST_PARSE_CHUNK):
         part = vec_parts[start:start + _FAST_PARSE_CHUNK]
         if any(vp.count(",") != commas for vp in part):
@@ -193,8 +196,7 @@ def _parse_matrix_fast(text: str):
                 return None
         if flat.size != len(part) * dim + 1 or flat[-1] != 1.0:
             return None
-        blocks.append(flat[:-1].reshape(len(part), dim))
-    vecs = blocks[0] if len(blocks) == 1 else np.vstack(blocks)
+        vecs[start:start + len(part)] = flat[:-1].reshape(len(part), dim)
     # Unescape only once the whole file validated (a late bail would
     # discard the work and the slow path redoes it anyway).
     return vecs, [_unescape_payload(p) for p in payloads_raw]

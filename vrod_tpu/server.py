@@ -303,7 +303,6 @@ class VrodServer:
         t0 = time.monotonic()
         try:
             result = self._dispatch(req)
-            metrics.latencies.record("server.request", time.monotonic() - t0)
             return {"ok": True, "result": result}
         except (VrodError, ValueError, TypeError, KeyError) as e:
             metrics.counters.inc("server.error")
@@ -317,6 +316,9 @@ class VrodServer:
             metrics.counters.inc("server.error")
             return {"ok": False, "error": f"Internal error: {e!r}"}
         finally:
+            # Record ALL outcomes: errored requests — search timeouts above
+            # all — are the slow tail a p99 exists to surface.
+            metrics.latencies.record("server.request", time.monotonic() - t0)
             with self._inflight_cv:
                 self._inflight -= 1
                 self._inflight_cv.notify_all()
@@ -446,7 +448,10 @@ class VrodServer:
         if cmd == "BULKINSERT" and "records" in req:
             records = req["records"]
             if not records:
-                return {"record_ids": []}
+                # position included even for the no-op: clients track the
+                # read-your-writes high-water off every mutation response.
+                col = self._collection(collection)
+                return {"record_ids": [], "position": col.repl_position()}
             vecs = np.asarray([r[0] for r in records], dtype=np.float32)
             payloads = [str(r[1]) if len(r) > 1 else "" for r in records]
             col = self._collection(collection)
