@@ -330,7 +330,10 @@ def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
         all_lat = sorted(x for per in lat for x in per)
         p50 = all_lat[len(all_lat) // 2]
         p99 = all_lat[min(len(all_lat) - 1, int(len(all_lat) * 0.99))]
-        return (queries / dt, queries / max(batches, 1), p50, p99)
+        # Server-side view (excludes client codec + socket): the spread
+        # vs client-observed latency is the transport/codec cost.
+        srv = metrics.latencies.quantiles("server.request")
+        return (queries / dt, queries / max(batches, 1), p50, p99, srv)
 
 
 def main():
@@ -428,7 +431,7 @@ def main():
         # what separates this from the ~100-300 QPS a batch-1 loop gets.
         n_rows = args.rows or (32768 if args.quick else 262144)
         per_client = args.iters or (4 if args.quick else 40)
-        qps, batch_ratio, p50, p99 = serve_workload(
+        qps, batch_ratio, p50, p99, srv = serve_workload(
             n_rows, args.dim, args.k, args.clients, per_client,
             dtype=args.dtype)
         print(json.dumps({
@@ -440,6 +443,7 @@ def main():
             "extra": {"avg_queries_per_tile": round(batch_ratio, 1),
                       "client_p50_ms": round(p50 * 1e3, 2),
                       "client_p99_ms": round(p99 * 1e3, 2),
+                      "server_request": srv,
                       "recall_spotcheck": 1.0},
         }))
         return
