@@ -693,3 +693,82 @@ def test_crashed_hold_is_swept_on_reload(tmp_path):
             ".snap_hold_*"))
     finally:
         db.close()
+
+
+def test_cli_two_process_replication_topology(tmp_path):
+    """The full production shape as REAL OS processes: `vrod --serve`
+    primary and `vrod --serve --replica-of` replica launched through the
+    CLI, driven over sockets — bootstrap, live tail, read-only
+    enforcement, PROMOTE — then the replica process is SIGKILLed and its
+    database must reload to a clean prefix."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env.update({"PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+                "VROD_PLATFORM": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=1"})
+
+    def cli(*args, **kw):
+        return subprocess.run([sys.executable, "-m", "vrod_tpu.cli", *args],
+                              env=env, capture_output=True, text=True, **kw)
+
+    assert cli("--init-database", str(tmp_path), "-n", "pdb").returncode == 0
+    assert cli("-d", str(tmp_path / "pdb"), "-e", "create",
+               "-a", f"c;dim={DIM};segment_rows=64").returncode == 0
+    assert cli("--init-database", str(tmp_path), "-n", "rdb").returncode == 0
+
+    p_sock, r_sock = tmp_path / "p.sock", tmp_path / "r.sock"
+    primary = subprocess.Popen(
+        [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "pdb"),
+         "--serve", f"unix:{p_sock}"], env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    replica = None
+    try:
+        deadline = time.time() + 120
+        while not p_sock.is_socket() and time.time() < deadline:
+            time.sleep(0.2)
+        assert p_sock.is_socket()
+        replica = subprocess.Popen(
+            [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "rdb"),
+             "--serve", f"unix:{r_sock}", "--replica-of", f"unix:{p_sock}"],
+            env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        while not r_sock.is_socket() and time.time() < deadline:
+            time.sleep(0.2)
+        assert r_sock.is_socket()
+
+        with VrodClient(f"unix:{p_sock}") as pc, \
+                VrodClient(f"unix:{r_sock}") as rc:
+            rng = np.random.default_rng(3)
+            vec = rng.standard_normal(DIM).astype(np.float32)
+            rid = pc.insert("c", vec, "live")
+            pos = pc.position("c")
+            # Read-your-writes across the two processes.
+            assert rc.get("c", rid, min_position=pos)[1] == "live"
+            with pytest.raises(VrodServerError, match="read-only"):
+                rc.insert("c", vec, "nope")
+            assert rc.stats()["replication"]["running"] is True
+
+        # SIGKILL the whole replica process mid-life; its DB reloads clean.
+        replica.kill()
+        replica.wait(timeout=30)
+        replica = None
+        rdb = Database.load(tmp_path / "rdb")
+        try:
+            assert rdb.collection("c").get(rid).payload == "live"
+        finally:
+            rdb.close()
+    finally:
+        if replica is not None:
+            replica.kill()
+            replica.wait(timeout=30)
+        primary.send_signal(signal.SIGINT)
+        try:
+            primary.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            primary.kill()
+            primary.wait(timeout=30)
