@@ -11,7 +11,7 @@ auto-snapshot AND auto-compact enabled); ~10% of steps take an online
 BACKUP while a background inserter hammers the collection, then load the
 image and verify the pre-backup model exactly.
 
-Round-3 session-4 results: seeds 0-59 PASS (249 backups verified).
+Round-3 session-4 results: seeds 0-99 PASS (417 backups verified).
 """
 import os, sys, time, shutil, threading, tempfile
 from pathlib import Path

@@ -12,7 +12,7 @@ Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
     python experiments/fuzz_cold_count.py 0 30
 
-Round-3 session-4 results: seeds 0-89 PASS.
+Round-3 session-4 results: seeds 0-129 PASS.
 """
 import shutil
 import sys

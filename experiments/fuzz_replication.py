@@ -9,7 +9,7 @@ Each seed: 80 random ops on a served primary (bulk insert / bulk delete /
 update / snapshot / REINDEX / replica restart) with auto-snapshot enabled,
 asserting the replica is bit-identical every 20 steps.
 
-Round-3 session-4 results: seeds 0-59 PASS after the fix below; pre-fix,
+Round-3 session-4 results: seeds 0-199 PASS after the fix below; pre-fix,
 seed 6 hung forever — snapshots cut on an ALREADY-EMPTY WAL recorded
 last_lsn=0 (losing the durable LSN high-water), which reset LSN assignment
 after restore and trapped replication in a drop/bootstrap/resync loop
