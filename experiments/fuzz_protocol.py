@@ -13,7 +13,7 @@ Usage:
     XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
     python experiments/fuzz_protocol.py 0 30
 
-Round-3 session-4 results: 160 seeds PASS (~13,000 hostile lines; the
+Round-3 session-4 results: 300 seeds PASS (~24,000 hostile lines; the
 server answered every complete line or closed cleanly, and stayed
 correct for a control client after every seed).
 """

@@ -8,7 +8,7 @@ make the file clean, and post-repair appends must replay.
 Usage:
     VROD_PLATFORM=cpu python experiments/fuzz_wal.py 0 200
 
-Round-3 session-4 results: 140,000 seeds PASS (native vs python identical
+Round-3 session-4 results: 200,000 seeds PASS (native vs python identical
 on every corrupted image; engine-free — no jax import; ~40 s for 10k).
 """
 import os
