@@ -14,10 +14,60 @@ Usage: python bench.py [--quick]
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+
+def wait_for_backend(attempts=None, probe_timeout_s=None, backoff_s=None):
+    """Block until the JAX backend initializes, with bounded retries.
+
+    The dev TPU tunnel fails in two modes: a raw ``UNAVAILABLE`` error at
+    first dispatch, or an indefinite HANG inside the plugin's connect-retry
+    loop (round 3 lost its driver capture to the former — BENCH_r03.json is
+    an unparseable traceback). An in-process retry cannot survive the hang
+    mode, so each probe runs ``jax.devices()`` in a killable subprocess
+    with a timeout. Returns None on success, else the last error string.
+    """
+    attempts = attempts or int(os.environ.get("VROD_PROBE_ATTEMPTS", "5"))
+    probe_timeout_s = probe_timeout_s or float(
+        os.environ.get("VROD_PROBE_TIMEOUT_S", "45"))
+    backoff_s = backoff_s or float(os.environ.get("VROD_PROBE_BACKOFF_S", "15"))
+    probe = ("import jax; ds = jax.devices(); "
+             "print('VROD_BACKEND_OK', len(ds), ds[0].platform)")
+    platform = os.environ.get("VROD_PLATFORM")
+    if platform:
+        probe = (f"import jax; ds = jax.devices({platform!r}); "
+                 "print('VROD_BACKEND_OK', len(ds), ds[0].platform)")
+    last_err = "backend probe never ran"
+    for attempt in range(attempts):
+        if attempt:
+            time.sleep(backoff_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=probe_timeout_s)
+        except subprocess.TimeoutExpired:
+            last_err = (f"backend probe hung >{probe_timeout_s}s "
+                        "(tunnel connect-retry loop)")
+            continue
+        if r.returncode == 0 and "VROD_BACKEND_OK" in r.stdout:
+            return None
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        last_err = tail[-1] if tail else f"probe rc={r.returncode}"
+    return f"backend unavailable after {attempts} attempts: {last_err}"
+
+
+def fail_json(workload, error, code=1):
+    """Driver contract on failure: still ONE parseable JSON line."""
+    print(json.dumps({
+        "metric": f"bench {workload} (failed)", "value": None,
+        "unit": "queries/s", "vs_baseline": None, "error": str(error)[:2000],
+    }))
+    sys.exit(code)
 
 
 def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
@@ -379,6 +429,14 @@ def main():
         # driver contract (one JSON line, never a traceback) holds.
         args.dtype = ("bfloat16" if args.metric == "l2" and args.dim > 1040
                       else "int8")
+    global _WORKLOAD
+    _WORKLOAD = args.workload
+
+    # Driver-capture resilience (VERDICT r3 item 1): never die on a raw
+    # traceback because the tunnel was down at capture time.
+    err = wait_for_backend()
+    if err:
+        fail_json(args.workload, err)
 
     if args.workload == "batch-sweep":
         # BASELINE config 3: top-100 over a large collection, batch sweep.
@@ -494,5 +552,18 @@ def main():
     }))
 
 
+_WORKLOAD = "search"
+
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:
+        # A mid-run backend loss (or any other crash) must still leave the
+        # driver one parseable JSON line instead of a traceback.
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        fail_json(_WORKLOAD, f"{type(e).__name__}: {e}", code=2)
