@@ -313,17 +313,27 @@ class Collection:
                 f"{jax.process_index()}): copy the leader's collection "
                 "directory to all ranks, then load collectively")
 
-    def _check_single_process(self, what: str) -> None:
-        """Fail fast instead of deadlocking: snapshot/reindex gather device
-        rows to ONE host, but on a process-spanning mesh the collection
-        arrays are not fully addressable from any single process — the
-        gather would stall waiting for ranks that never dispatched it."""
-        if self.engine.multiprocess:
+    def _broadcast_cut(self, last_lsn: int, n_live: int, next_id: int) -> int:
+        """Collective snapshot on a process-spanning mesh: the LSN cut is
+        the LEADER's. Followers never append to their WALs (rank 0 owns
+        durability), so their local ``last_lsn`` is whatever the last
+        distributed load left behind — stamping it into meta.json would
+        fork LSN assignment after a restore. One tiny allgather ships the
+        leader's cut, and cross-checks that the replicated host state
+        (live count, next_id) really is identical on every rank BEFORE
+        anything is written — a rank that missed a mutation would
+        otherwise persist a diverged image."""
+        import jax
+        from jax.experimental import multihost_utils
+        fp = np.array([last_lsn, n_live, next_id], dtype=np.int64)
+        all_fp = np.asarray(multihost_utils.process_allgather(fp))
+        if not (all_fp[:, 1:] == all_fp[0, 1:]).all():
             raise RuntimeError(
-                f"{what} is not supported on a process-spanning mesh: "
-                "device rows are not fully addressable from one process. "
-                "Persist durability on the leader with a single-process "
-                "mesh, then distribute the snapshot files to all ranks.")
+                "Collective snapshot requires identical replicated host "
+                "state on every rank ((live, next_id) by rank: "
+                f"{all_fp[:, 1:].tolist()}, this rank "
+                f"{jax.process_index()}): a rank missed a mutation")
+        return int(all_fp[0, 0])
 
     def _fragmented(self) -> bool:
         """True only when compaction would ACTUALLY reclaim a segment: the
@@ -346,8 +356,9 @@ class Collection:
         if self.engine.multiprocess:
             # Background maintenance dispatches collective device programs;
             # firing asynchronously on ONE rank would deadlock the mesh.
-            # Multi-host maintenance must be invoked explicitly and
-            # collectively (and snapshot/reindex fail fast there anyway).
+            # Multi-host maintenance works, but must be invoked explicitly
+            # and collectively (snapshot/reindex/truncate_wal on every
+            # rank, no concurrent device ops — see _snapshot_impl).
             return
         budget = self.config.auto_snapshot_wal_bytes
         if self._closing:
@@ -817,7 +828,10 @@ class Collection:
         return moved
 
     def _reindex_impl(self) -> int:
-        self._check_single_process("reindex")
+        # Collective on a process-spanning mesh (invoke on every rank):
+        # the compaction plan comes from the replicated allocator, the
+        # move/shrink dispatches are SPMD scatter programs every rank
+        # runs, and _snapshot_impl handles the collective persist.
         with self._rw.write():
             src, dst = self.alloc.plan_compaction()
             if src.size:
@@ -1057,7 +1071,15 @@ class Collection:
         return p
 
     def _snapshot_impl(self) -> Path:
-        self._check_single_process("snapshot")
+        # On a process-spanning mesh this is a COLLECTIVE operation:
+        # invoke it on EVERY rank (like mutations). Each rank dispatches
+        # the same chunked replicated gather and writes its OWN local
+        # snapshot files with the leader's LSN cut, so after it the rank
+        # directories are byte-identical again (a later collective load's
+        # fingerprint check passes without re-distributing files). The
+        # caller must not interleave other device-dispatching operations
+        # from other threads during a collective maintenance op — cross-
+        # rank dispatch order is the SPMD contract.
         snap_dir = self.path / SNAPSHOT_DIR
         old_dir = self.path / (SNAPSHOT_DIR + ".old")
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")
@@ -1081,6 +1103,9 @@ class Collection:
             # the primary's floor — an infinite resync loop (caught by
             # the replication fuzz).
             last_lsn = max(self.wal.last_lsn, self._wal_floor)
+            if self.engine.multiprocess:
+                last_lsn = self._broadcast_cut(
+                    last_lsn, int(live_slots.size), next_id)
 
         # Phase 2 — chunked gather + streaming write, no write lock held.
         # Vectors persist in the STORED representation (f32/bf16/int8 +

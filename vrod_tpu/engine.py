@@ -377,6 +377,22 @@ def _and_masks(valid, filter_mask):
     return jnp.logical_and(valid, filter_mask)
 
 
+@functools.lru_cache(maxsize=64)
+def _replicated_gather(mesh_key):
+    """Collective snapshot gather for a process-spanning mesh: the output
+    replicates to EVERY process (each rank then writes its own local
+    snapshot files), because device rows are not addressable from any
+    single host there. One compile per mesh (chunk shapes add a couple)."""
+    mesh = _MESHES[mesh_key]
+    rep = replicated(mesh)
+
+    @functools.partial(jax.jit, out_shardings=(rep, rep))
+    def g(x, aux, slots):
+        return x[slots], aux[slots]
+
+    return g
+
+
 @jax.jit
 def _gather_rows(x, slots):
     return x[slots].astype(jnp.float32)
@@ -585,8 +601,16 @@ class DeviceEngine:
                     self.x, self.aux, self.valid, sl, rc, ac)
 
     def gather_raw(self, slots: np.ndarray):
-        """Fetch (stored rows, aux) without conversion (snapshot writer)."""
+        """Fetch (stored rows, aux) without conversion (snapshot writer).
+
+        On a process-spanning mesh this is a COLLECTIVE program (every
+        rank must call it with identical slots in the same order) whose
+        replicated output lets each rank read the full chunk locally."""
         slots = np.asarray(slots, dtype=np.int32)
+        if self.multiprocess:
+            g = _replicated_gather(_mesh_key(self.mesh))
+            rows, auxv = g(self.x, self.aux, slots)
+            return np.asarray(rows), np.asarray(auxv)
         rows = self.x[slots]
         auxv = self.aux[slots]
         return np.asarray(rows), np.asarray(auxv)
