@@ -224,3 +224,123 @@ def test_backup_after_crash_recovered_fallback_snapshot(tmp_path, rng):
         assert db2.collection("c").get(int(rids[0])).payload == "p0"
     finally:
         db2.close()
+
+
+# -- BACKUP;verify: offline image verification (vrod_tpu/verify_image.py) --
+
+
+def _made_image(tmp_db, tmp_path, rng):
+    """Standard three-shape image: snapshot+tail, WAL-only, cold-ish."""
+    a = tmp_db.create_collection("a", dim=8, segment_rows=64)
+    _fill(a, 20, 8, rng, "a")
+    a.snapshot()
+    a.bulk_insert(rng.standard_normal((5, 8)).astype(np.float32),
+                  [f"t{i}" for i in range(5)])
+    b = tmp_db.create_collection("b", dim=4, metric="l2", segment_rows=64)
+    _fill(b, 7, 4, rng, "b")
+    tmp_db.backup(tmp_path / "bk")
+    return tmp_path / "bk"
+
+
+def test_verify_clean_image(tmp_db, tmp_path, rng):
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    rep = verify_image(img)
+    assert rep["ok"], rep
+    assert rep["collections"] == 2
+    assert rep["snapshot_files"] == 4  # vectors/aux/payloads/ids (meta's crc map)
+    assert rep["wal_frames"] > 0
+    assert rep["errors"] == []
+
+
+def test_verify_verb_surface(tmp_db, tmp_path, rng):
+    """BACKUP -a <path>;verify returns an OK line; bad option rejected."""
+    from vrod_tpu.errors import RecordFormatError
+    img = _made_image(tmp_db, tmp_path, rng)
+    builder = CommandBuilder(tmp_db)
+    out = builder.build(None, "BACKUP", f"{img};verify").execute()
+    assert "OK" in out and "2 collections" in out
+    with pytest.raises(RecordFormatError):
+        builder.build(None, "BACKUP", f"{img};frobnicate").execute()
+
+
+def test_verify_detects_snapshot_bit_flip(tmp_db, tmp_path, rng):
+    from vrod_tpu.errors import WalCorruptionError
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    vec = img / "collections" / "a" / SNAPSHOT_DIR / "vectors.bin"
+    data = bytearray(vec.read_bytes())
+    data[len(data) // 2] ^= 0x40
+    vec.write_bytes(bytes(data))
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("vectors.bin crc32" in e for e in rep["errors"])
+    with pytest.raises(WalCorruptionError):
+        CommandBuilder(tmp_db).build(
+            None, "BACKUP", f"{img};verify").execute()
+
+
+def test_verify_detects_wal_corruption(tmp_db, tmp_path, rng):
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    wal = img / "collections" / "b" / WAL_FILE
+    data = bytearray(wal.read_bytes())
+    data[-3] ^= 0xFF  # flip a byte inside the LAST frame's payload
+    wal.write_bytes(bytes(data))
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("torn/corrupt tail" in e and "collections/b" in e
+               for e in rep["errors"])
+
+
+def test_verify_detects_lost_snapshot_coverage(tmp_db, tmp_path, rng):
+    """A WAL that starts past the snapshot cut means acked mutations are on
+    neither the snapshot nor the log: the image cannot restore them."""
+    import shutil
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    # Collection 'a' was snapshotted (WAL truncated to the tail), so its
+    # WAL starts at cut+1; deleting every snapshot dir breaks coverage.
+    for suffix in ("", ".old", ".tmp"):
+        d = img / "collections" / "a" / (SNAPSHOT_DIR + suffix)
+        if d.exists():
+            shutil.rmtree(d)
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("frames" in e and "missing" in e for e in rep["errors"])
+
+
+def test_verify_detects_missing_collection_dir(tmp_db, tmp_path, rng):
+    import shutil
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    shutil.rmtree(img / "collections" / "b")
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("'b'" in e and "no directory" in e for e in rep["errors"])
+
+
+def test_verify_warns_unlisted_dir_and_rejects_meta_mismatch(
+        tmp_db, tmp_path, rng):
+    import json as _json
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    (img / "collections" / "zzz").mkdir()
+    (img / "collections" / "zzz" / CONFIG_FILE).write_text("{}")
+    # Tamper with meta count (keeping its crc map intact is impossible for
+    # ids.npy length, so this trips the structural check, not the crc one).
+    meta_p = img / "collections" / "a" / SNAPSHOT_DIR / "meta.json"
+    meta = _json.loads(meta_p.read_text())
+    meta["count"] += 1
+    meta_p.write_text(_json.dumps(meta))
+    rep = verify_image(img)
+    assert any("zzz" in w for w in rep["warnings"])
+    assert not rep["ok"]  # sizes no longer match the recorded count
+    assert any("expected" in e or "ids.npy holds" in e
+               for e in rep["errors"])
+
+
+def test_verify_missing_root(tmp_path):
+    from vrod_tpu.verify_image import verify_image
+    with pytest.raises(FileNotFoundError):
+        verify_image(tmp_path / "nope")

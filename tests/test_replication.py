@@ -772,3 +772,45 @@ def test_cli_two_process_replication_topology(tmp_path):
         except subprocess.TimeoutExpired:
             primary.kill()
             primary.wait(timeout=30)
+
+
+def test_status_reports_per_collection_lag(primary, replica_db, tmp_path):
+    """STATS observability: lag = primary position - applied position per
+    collection; 0 when caught up, the full primary position before the
+    first tail, and surfaced through a replica server's STATS verb."""
+    db, server = primary
+    col, vecs = _fill(db)
+
+    # Before any sync pass, status is empty but well-formed.
+    rep = Replicator(replica_db, server.address)
+    st = rep.status()
+    assert st["lag"] == {} and st["max_lag"] == 0
+
+    with rep.start():
+        rep.wait_caught_up()
+        st = rep.status()
+        assert st["lag"] == {"c": 0}
+        assert st["max_lag"] == 0
+        assert st["positions"]["c"] == st["primary_positions"]["c"] > 0
+
+        # A replica server exposes the same through STATS.
+        rserver = VrodServer(replica_db, f"unix:{tmp_path}/replica.sock",
+                             read_only=True)
+        rserver.attach_replicator(rep)
+        with rserver.start():
+            with VrodClient(rserver.address) as cli:
+                stats = cli.stats()
+            repl = stats["replication"]
+            assert repl["lag"]["c"] == 0
+            assert repl["max_lag"] == 0
+            rserver._replicator = None  # fixture owns the replicator's stop
+
+    # Lag mechanics (pure computation): behind by 3 frames and a
+    # not-yet-bootstrapped collection both surface.
+    rep2 = Replicator(replica_db, server.address)
+    with rep2._lock:
+        rep2._primary_pos = {"c": 10, "new": 4}
+        rep2._positions = {"c": 7}
+    st = rep2.status()
+    assert st["lag"] == {"c": 3, "new": 4}
+    assert st["max_lag"] == 4

@@ -273,14 +273,33 @@ class BackupCommand(Command):
     """Extension verb (no reference counterpart): online point-in-time
     backup of the whole database into a new directory, restorable with
     ``Database.load`` / ``vrod -n``. See ``Database.backup`` for the
-    consistency contract (per-collection cuts; serving continues)."""
+    consistency contract (per-collection cuts; serving continues).
+
+    ``BACKUP -a <path>;verify`` re-walks an EXISTING image's checksums
+    (snapshot file CRCs, WAL frame CRCs, structural consistency) without
+    restoring anything — see ``vrod_tpu.verify_image``. Verification of an
+    image whose bytes are damaged returns a CORRUPT report (the command
+    raises so scripted ``vrod -e 'BACKUP ...'`` exits nonzero)."""
 
     arg: str | None = None
 
     def execute(self) -> str:
         from pathlib import Path
-        dest = Path(self._require(
-            self.arg, "a destination directory path (-a)"))
+        arg = self._require(
+            self.arg, "a destination directory path (-a)")
+        path_part, _, opt = arg.partition(";")
+        if opt:
+            if opt.strip().lower() != "verify":
+                raise RecordFormatError(
+                    f"Unknown BACKUP option {opt!r}; expected 'verify'")
+            from ..errors import WalCorruptionError
+            from ..verify_image import format_report, verify_image
+            report = verify_image(Path(path_part))
+            line = format_report(report, path_part)
+            if not report["ok"]:
+                raise WalCorruptionError(line)
+            return line
+        dest = Path(path_part)
         stats = self.db.backup(dest)
         return (f"Backed up {stats['collections']} collections to {dest} "
                 f"({stats['wal_bytes']} WAL bytes, "

@@ -113,12 +113,22 @@ class Replicator:
 
     def status(self) -> dict:
         with self._lock:
+            # Per-collection lag = primary position minus applied position
+            # (in LSNs): 0 = caught up; > 0 = frames behind; a collection
+            # known to the primary but not yet bootstrapped locally shows
+            # its full primary position. Negative would mean the replica is
+            # AHEAD (a rebuilt primary) — surfaced raw, the next tail pass
+            # resyncs it.
+            lag = {n: p - self._positions.get(n, 0)
+                   for n, p in self._primary_pos.items()}
             return {
                 "primary": str(self.primary_addr),
                 "running": self._thread is not None
                 and self._thread.is_alive(),
                 "positions": dict(self._positions),
                 "primary_positions": dict(self._primary_pos),
+                "lag": lag,
+                "max_lag": max(lag.values(), default=0),
                 "last_error": self._last_error,
             }
 

@@ -1,0 +1,339 @@
+"""Offline integrity verification of a backup image (or any quiesced DB dir).
+
+Extension capability (no reference counterpart; the reference's durability
+layer is an unimplemented stub — ``/root/reference/src/command/types.rs``):
+``BACKUP`` produces a point-in-time image, and this module re-walks every
+checksum in that image WITHOUT restoring it — no device arrays, no engine,
+no WAL repair, nothing is written. It answers "would ``Database.load``
+accept this image, and are its bytes the ones the backup wrote?"
+
+Checks performed:
+
+- ``vr_config`` parses and every listed collection has a directory
+  (extra, unlisted directories are warnings — load ignores them).
+- The DB-level WAL's frame prefix is CRC-clean with strictly increasing
+  LSNs (read-only scan; a torn tail in an image is an error — backups copy
+  only the valid prefix, so torn bytes mean the image was not produced by
+  BACKUP or was itself truncated mid-copy).
+- Per collection: the config parses; the newest snapshot directory whose
+  ``meta.json`` validates (committed, else ``.old``, else ``.tmp`` — the
+  same precedence restore uses) has every file's crc32 re-computed and
+  matched, plus structural consistency (ids count == meta count, vectors/
+  aux byte sizes match count x dim x storage dtype, payload stream header
+  count matches); the collection WAL scans clean; and the WAL connects to
+  the snapshot cut (first frame LSN <= snapshot last_lsn + 1 — a gap means
+  mutations between the snapshot and the WAL are missing).
+
+The walk is streaming (bounded memory) and safe to run on multi-GB images.
+Intended for offline images: files must be static for the duration (verify
+a LIVE database via ``BACKUP`` first, then verify the image).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+from pathlib import Path
+
+from .config import (COLLECTIONS_DIR, CONFIG_FILE, SNAPSHOT_DIR, WAL_FILE,
+                     CollectionConfig, DatabaseConfig)
+
+_WAL_HEADER = struct.Struct("<IQII")  # magic, lsn, payload_len, crc
+_WAL_CRC_FIELDS = struct.Struct("<QI")
+_WAL_MAGIC = 0x315F4C57
+_CHUNK = 4 << 20
+
+
+class ImageReport:
+    """Mutable accumulator; ``to_dict()`` is the stable result shape."""
+
+    def __init__(self) -> None:
+        self.collections = 0
+        self.snapshot_files = 0
+        self.snapshot_bytes = 0
+        self.wal_frames = 0
+        self.wal_bytes = 0
+        self.errors: list[str] = []
+        self.warnings: list[str] = []
+
+    @property
+    def ok(self) -> bool:
+        return not self.errors
+
+    def error(self, msg: str) -> None:
+        self.errors.append(msg)
+
+    def warn(self, msg: str) -> None:
+        self.warnings.append(msg)
+
+    def to_dict(self) -> dict:
+        return {
+            "ok": self.ok,
+            "collections": self.collections,
+            "snapshot_files": self.snapshot_files,
+            "snapshot_bytes": self.snapshot_bytes,
+            "wal_frames": self.wal_frames,
+            "wal_bytes": self.wal_bytes,
+            "errors": list(self.errors),
+            "warnings": list(self.warnings),
+        }
+
+
+def _crc32_of_file(path: Path) -> int:
+    c = 0
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(_CHUNK)
+            if not b:
+                break
+            c = zlib.crc32(b, c)
+    return c & 0xFFFFFFFF
+
+
+def _scan_wal(path: Path, rep: ImageReport, label: str):
+    """Read-only CRC walk of a WAL file. Returns (frames, first_lsn,
+    last_lsn, valid_bytes); reports torn/corrupt tails as errors (an image
+    holds only BACKUP-copied valid prefixes — trailing garbage means the
+    image itself is damaged, unlike a live log where a torn tail is a
+    normal crash artifact that repair() trims)."""
+    frames = 0
+    first_lsn = last_lsn = 0
+    off = 0
+    file_size = path.stat().st_size
+    with open(path, "rb") as f:
+        while off + _WAL_HEADER.size <= file_size:
+            f.seek(off)
+            hdr = f.read(_WAL_HEADER.size)
+            if len(hdr) < _WAL_HEADER.size:
+                break
+            magic, lsn, plen, crc = _WAL_HEADER.unpack(hdr)
+            if magic != _WAL_MAGIC:
+                break
+            end = off + _WAL_HEADER.size + plen
+            if end > file_size:
+                break
+            c = zlib.crc32(_WAL_CRC_FIELDS.pack(lsn, plen))
+            remaining = plen
+            while remaining > 0:
+                chunk = f.read(min(remaining, _CHUNK))
+                if not chunk:
+                    break
+                c = zlib.crc32(chunk, c)
+                remaining -= len(chunk)
+            if remaining > 0 or (c & 0xFFFFFFFF) != crc:
+                break
+            if frames and lsn <= last_lsn:
+                rep.error(f"{label}: LSN not increasing at offset {off} "
+                          f"({last_lsn} -> {lsn})")
+                return frames, first_lsn, last_lsn, off
+            if frames and lsn != last_lsn + 1:
+                rep.error(f"{label}: LSN gap at offset {off} "
+                          f"({last_lsn} -> {lsn}; frames lost)")
+                return frames, first_lsn, last_lsn, off
+            if not frames:
+                first_lsn = lsn
+            last_lsn = lsn
+            frames += 1
+            off = end
+    if off != file_size:
+        rep.error(f"{label}: {file_size - off} bytes of torn/corrupt tail "
+                  f"after {frames} valid frames (a BACKUP image copies only "
+                  f"the valid prefix — this image is damaged)")
+    return frames, first_lsn, last_lsn, off
+
+
+def _pick_snapshot(cdir: Path, rep: ImageReport, label: str):
+    """Newest snapshot dir whose meta parses — SAME precedence as restore
+    (``Collection._pick_snapshot``) so the verifier validates the dir that
+    a load would actually use. Unlike restore, a CRC mismatch in the chosen
+    dir is reported as an error here rather than silently falling through:
+    the point of verification is to surface damaged bytes."""
+    for name in (SNAPSHOT_DIR, SNAPSHOT_DIR + ".old", SNAPSHOT_DIR + ".tmp"):
+        d = cdir / name
+        meta_p = d / "meta.json"
+        if not meta_p.exists():
+            continue
+        try:
+            meta = json.loads(meta_p.read_text())
+        except (OSError, ValueError) as e:
+            rep.error(f"{label}: {name}/meta.json unreadable: {e}")
+            continue
+        return d, meta, name
+    return None, None, None
+
+
+def _verify_snapshot(d: Path, meta: dict, name: str, cfg, rep: ImageReport,
+                     label: str) -> None:
+    import numpy as np
+    from .snapshot import PAYLOAD_MAGIC, storage_dtype
+
+    checksums = meta.get("crc32", {})
+    if not checksums:
+        rep.error(f"{label}: {name}/meta.json has no crc32 map")
+        return
+    for fname, expect in sorted(checksums.items()):
+        p = d / fname
+        if "/" in fname or "\\" in fname or fname in ("", ".", ".."):
+            rep.error(f"{label}: {name} meta names unsafe file {fname!r}")
+            continue
+        if not p.exists():
+            rep.error(f"{label}: {name}/{fname} missing")
+            continue
+        got = _crc32_of_file(p)
+        if got != int(expect):
+            rep.error(f"{label}: {name}/{fname} crc32 {got:#010x} != "
+                      f"recorded {int(expect):#010x}")
+            continue
+        rep.snapshot_files += 1
+        rep.snapshot_bytes += p.stat().st_size
+
+    # Structural consistency (cheap; catches a snapshot whose files all
+    # match their CRCs but were recorded against a wrong count/dim).
+    count = int(meta.get("count", -1))
+    if count < 0:
+        rep.error(f"{label}: {name}/meta.json missing count")
+        return
+    storage = meta.get("storage", {})
+    dim = int(storage.get("dim", cfg.dim if cfg else 0))
+    dt = str(storage.get("dtype", cfg.dtype if cfg else "float32"))
+    try:
+        itemsize = storage_dtype(dt).itemsize
+    except Exception as e:
+        rep.error(f"{label}: {name} has unknown storage dtype {dt!r}: {e}")
+        return
+    expected = {
+        "vectors.bin": count * dim * itemsize,
+        "aux.bin": count * 4,  # f32 scalar lane per row
+    }
+    for fname, want in expected.items():
+        p = d / fname
+        if p.exists() and p.stat().st_size != want:
+            rep.error(f"{label}: {name}/{fname} is {p.stat().st_size} B, "
+                      f"expected {want} (count {count} x dim {dim} x "
+                      f"{dt})")
+    ids_p = d / "ids.npy"
+    if ids_p.exists():
+        try:
+            ids = np.load(ids_p, mmap_mode="r")
+            if ids.shape[0] != count:
+                rep.error(f"{label}: {name}/ids.npy holds {ids.shape[0]} "
+                          f"ids, meta says {count}")
+        except Exception as e:
+            rep.error(f"{label}: {name}/ids.npy unreadable: {e}")
+    pay_p = d / "payloads.bin"
+    if pay_p.exists():
+        with open(pay_p, "rb") as f:
+            head = f.read(len(PAYLOAD_MAGIC) + 8)
+        if head[:len(PAYLOAD_MAGIC)] != PAYLOAD_MAGIC:
+            rep.error(f"{label}: {name}/payloads.bin bad magic")
+        else:
+            (pcount,) = struct.unpack_from("<Q", head, len(PAYLOAD_MAGIC))
+            if pcount != count:
+                rep.error(f"{label}: {name}/payloads.bin header says "
+                          f"{pcount} records, meta says {count}")
+
+
+def _verify_collection(cdir: Path, rep: ImageReport) -> None:
+    label = f"collections/{cdir.name}"
+    cfg = None
+    cfg_p = cdir / CONFIG_FILE
+    if not cfg_p.exists():
+        rep.error(f"{label}: missing {CONFIG_FILE}")
+    else:
+        try:
+            cfg = CollectionConfig.from_json(json.loads(cfg_p.read_text()))
+            if cfg.name != cdir.name:
+                rep.error(f"{label}: config names {cfg.name!r}")
+        except Exception as e:
+            rep.error(f"{label}: config unreadable: {e}")
+
+    snap_dir, meta, snap_name = _pick_snapshot(cdir, rep, label)
+    if snap_dir is not None:
+        _verify_snapshot(snap_dir, meta, snap_name, cfg, rep, label)
+        if snap_name != SNAPSHOT_DIR and (cdir / SNAPSHOT_DIR).exists():
+            rep.warn(f"{label}: committed snapshot dir present but its "
+                     f"meta is unreadable; restore would fall back to "
+                     f"{snap_name}")
+
+    wal_p = cdir / WAL_FILE
+    if not wal_p.exists():
+        rep.error(f"{label}: missing {WAL_FILE}")
+        return
+    frames, first_lsn, last_lsn, valid = _scan_wal(
+        wal_p, rep, f"{label}/{WAL_FILE}")
+    rep.wal_frames += frames
+    rep.wal_bytes += valid
+    snap_lsn = int(meta.get("last_lsn", 0)) if meta else 0
+    if frames and first_lsn > snap_lsn + 1:
+        # Frames (snap_lsn+1 .. first_lsn-1) exist on neither the snapshot
+        # nor the log: acked mutations are unrecoverable from this image.
+        rep.error(f"{label}: WAL starts at LSN {first_lsn} but the "
+                  f"snapshot covers only through {snap_lsn} — frames "
+                  f"{snap_lsn + 1}..{first_lsn - 1} are missing")
+
+
+def verify_image(path) -> dict:
+    """Verify a backup image (or quiesced DB directory) at ``path``.
+
+    Returns the report dict (see :class:`ImageReport`); never raises for
+    content problems — a missing/invalid root is the only exception."""
+    root = Path(path)
+    rep = ImageReport()
+    if not root.is_dir():
+        raise FileNotFoundError(f"No database image at {root}")
+
+    db_cfg = None
+    cfg_p = root / CONFIG_FILE
+    if not cfg_p.exists():
+        rep.error(f"missing {CONFIG_FILE}")
+    else:
+        try:
+            db_cfg = DatabaseConfig.from_json(json.loads(cfg_p.read_text()))
+        except Exception as e:
+            rep.error(f"{CONFIG_FILE} unreadable: {e}")
+
+    wal_p = root / WAL_FILE
+    if wal_p.exists():
+        frames, _, _, valid = _scan_wal(wal_p, rep, WAL_FILE)
+        rep.wal_frames += frames
+        rep.wal_bytes += valid
+    else:
+        rep.error(f"missing {WAL_FILE}")
+
+    cols_dir = root / COLLECTIONS_DIR
+    listed = set(db_cfg.collections) if db_cfg else set()
+    present = set()
+    if cols_dir.is_dir():
+        for cdir in sorted(cols_dir.iterdir()):
+            if not cdir.is_dir() or cdir.name.startswith("."):
+                continue  # staging dirs (.repl_boot_*) are not collections
+            present.add(cdir.name)
+            rep.collections += 1
+            _verify_collection(cdir, rep)
+    elif listed:
+        rep.error(f"missing {COLLECTIONS_DIR}/ directory")
+    for name in sorted(listed - present):
+        rep.error(f"collection {name!r} is in {CONFIG_FILE} but has no "
+                  f"directory")
+    for name in sorted(present - listed):
+        rep.warn(f"collection dir {name!r} is not listed in {CONFIG_FILE} "
+                 f"(load would recover or ignore it via the DB WAL)")
+    return rep.to_dict()
+
+
+def format_report(report: dict, path) -> str:
+    """One-line human summary for the CLI/server result string."""
+    status = "OK" if report["ok"] else "CORRUPT"
+    line = (f"Backup image {path}: {status} — {report['collections']} "
+            f"collections, {report['snapshot_files']} snapshot files "
+            f"({report['snapshot_bytes']} B) verified, "
+            f"{report['wal_frames']} WAL frames ({report['wal_bytes']} B) "
+            f"scanned")
+    if report["errors"]:
+        line += "; errors: " + " | ".join(report["errors"][:10])
+        if len(report["errors"]) > 10:
+            line += f" | (+{len(report['errors']) - 10} more)"
+    if report["warnings"]:
+        line += "; warnings: " + " | ".join(report["warnings"][:5])
+    return line
