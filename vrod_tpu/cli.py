@@ -47,7 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-g", "--generate-embeddings", metavar="AMOUNT", type=int,
                    help="development utility: embed the first AMOUNT words of "
                         "a sample text and write alice_embeddings.txt "
-                        "(reference: src/utils/embeddings.rs)")
+                        "(reference: src/utils/embeddings.rs). Uses a local "
+                        "model if VROD_EMBED_MODEL (or ./.vrod_embed_model) "
+                        "points at a transformers dir / torch .pt / .onnx; "
+                        "otherwise the builtin hash embedder")
     p.add_argument("--shell", action="store_true",
                    help="interactive mode: load the database once and read "
                         "'VERB [-c COLLECTION] [-a ARG]' lines from stdin "

@@ -11,8 +11,12 @@ The reference uses fastembed's default ONNX model (BGESmallENV15, 384-dim,
 ``embeddings.rs:7``), which needs a model download. This environment has no
 egress, so the default embedder is a deterministic feature-hashed character
 n-gram model (384-dim, L2-normalized) — fully offline, stable across runs,
-and adequate for exercising the ingest + search pipeline. If a local
-sentence-transformers model is available it can be passed via ``embed_fn``.
+and adequate for exercising the ingest + search pipeline. A LOCAL model is
+auto-detected by :func:`resolve_embed_fn` (``VROD_EMBED_MODEL`` env var or
+``./.vrod_embed_model``): a ``transformers`` checkpoint directory
+(CLS-pooled + L2-normalized, the BGE recipe), a TorchScript/pickled torch
+module, or — with a locally installed onnxruntime — the reference's actual
+ONNX form. A custom callable can also be passed via ``embed_fn``.
 """
 
 from __future__ import annotations
@@ -55,6 +59,141 @@ def hash_embed(texts: list[str], dim: int = DEFAULT_DIM) -> np.ndarray:
         if norm > 0:
             out[i] /= norm
     return out
+
+
+def word_hash_features(words: list[str], vocab: int) -> "np.ndarray":
+    """Deterministic (n, 2) int64 token-id featurization for word-level
+    torch/ONNX embedders: crc32 of the word and of its reversal, modulo the
+    model's vocabulary. This is the documented input contract for model
+    FILES passed to :func:`resolve_embed_fn` (directories use the model's
+    own tokenizer instead)."""
+    import zlib
+    return np.array(
+        [[zlib.crc32(w.encode()) % vocab,
+          zlib.crc32(w[::-1].encode()) % vocab] for w in words],
+        dtype=np.int64).reshape(len(words), 2)
+
+
+def _chunked(embed, texts: list[str], chunk: int = 256) -> np.ndarray:
+    outs = [embed(texts[i:i + chunk]) for i in range(0, len(texts), chunk)]
+    return (np.concatenate(outs, axis=0) if outs
+            else np.zeros((0, DEFAULT_DIM), np.float32))
+
+
+def _hf_embed_fn(path: Path):
+    """Local ``transformers`` model directory (the real-model analogue of
+    the reference's fastembed BGESmallENV15, ``embeddings.rs:7``): CLS-pool
+    the last hidden state and L2-normalize — the BGE family's recipe."""
+    import torch
+    from transformers import AutoModel, AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(str(path))
+    model = AutoModel.from_pretrained(str(path))
+    model.eval()
+
+    def embed_batch(texts):
+        with torch.no_grad():
+            enc = tok(texts, padding=True, truncation=True, max_length=512,
+                      return_tensors="pt")
+            out = model(**enc).last_hidden_state[:, 0]
+            out = torch.nn.functional.normalize(out, dim=-1)
+        return out.numpy().astype(np.float32)
+
+    return lambda texts: _chunked(embed_batch, texts)
+
+
+def _torch_embed_fn(path: Path):
+    """TorchScript (.pt via ``torch.jit.load``) or pickled ``nn.Module``:
+    must map a (n, 2) int64 tensor of :func:`word_hash_features` ids to
+    (n, dim) embeddings (e.g. an ``EmbeddingBag``)."""
+    import torch
+    try:
+        model = torch.jit.load(str(path), map_location="cpu")
+    except Exception:
+        model = torch.load(str(path), map_location="cpu",
+                           weights_only=False)
+    if not callable(model):
+        from ..errors import VrodError
+        raise VrodError(
+            f"Torch embed model at {path} is not a callable module")
+    if hasattr(model, "eval"):
+        model.eval()
+    vocab = getattr(model, "num_embeddings", None)
+    if vocab is None:
+        for m in (model.modules() if hasattr(model, "modules") else ()):
+            vocab = getattr(m, "num_embeddings", None)
+            if vocab is not None:
+                break
+    vocab = int(vocab or 997)
+
+    def embed_batch(texts):
+        with torch.no_grad():
+            ids = torch.from_numpy(word_hash_features(texts, vocab))
+            return model(ids).numpy().astype(np.float32)
+
+    return lambda texts: _chunked(embed_batch, texts)
+
+
+def _onnx_embed_fn(path: Path):
+    """ONNX model (the reference's actual runtime) — gated on a locally
+    available onnxruntime (this environment has no egress to install one).
+    Contract: single int64 input fed :func:`word_hash_features` ids."""
+    try:
+        import onnxruntime  # not baked into this image; user-provided
+    except ImportError as e:
+        from ..errors import VrodError
+        raise VrodError(
+            "An .onnx embed model needs onnxruntime, which is not "
+            "installed in this environment; export the model for torch "
+            "(TorchScript .pt) or point VROD_EMBED_MODEL at a local "
+            "transformers directory instead") from e
+    sess = onnxruntime.InferenceSession(str(path))
+    inp = sess.get_inputs()[0].name
+    import os
+    vocab = int(os.environ.get("VROD_EMBED_VOCAB", "997"))
+
+    def embed_batch(texts):
+        (out,) = sess.run(None, {inp: word_hash_features(texts, vocab)})
+        return np.asarray(out, dtype=np.float32)
+
+    return lambda texts: _chunked(embed_batch, texts)
+
+
+def resolve_embed_fn(model_path=None):
+    """Locate a LOCAL embedding model for the ingest path and return
+    ``(embed_fn, description)``; ``(None, ...)`` means the builtin
+    feature-hash fallback.
+
+    Search order: explicit ``model_path`` argument, the
+    ``VROD_EMBED_MODEL`` environment variable, then a ``.vrod_embed_model``
+    file/directory in the working directory. Model kinds by shape:
+    a DIRECTORY is a ``transformers`` checkpoint (tokenizer + model,
+    CLS-pooled and L2-normalized like the reference's BGE default);
+    ``.pt``/``.pth`` is a TorchScript or pickled torch module over
+    :func:`word_hash_features` ids; ``.onnx`` needs a locally installed
+    onnxruntime. An explicitly named model that cannot be loaded is an
+    error (never silently fall back to the hash embedder); only the
+    ABSENCE of any model selects the fallback."""
+    import os
+    cand = model_path or os.environ.get("VROD_EMBED_MODEL")
+    if not cand:
+        probe = Path(".vrod_embed_model")
+        cand = probe if probe.exists() else None
+    if not cand:
+        return None, "builtin feature-hash embedder (384-dim)"
+    p = Path(cand)
+    if not p.exists():
+        from ..errors import VrodError
+        raise VrodError(f"Embed model not found: {p}")
+    if p.is_dir():
+        return _hf_embed_fn(p), f"transformers model at {p}"
+    if p.suffix in (".pt", ".pth"):
+        return _torch_embed_fn(p), f"torch model at {p}"
+    if p.suffix == ".onnx":
+        return _onnx_embed_fn(p), f"onnx model at {p}"
+    from ..errors import VrodError
+    raise VrodError(
+        f"Unrecognized embed model {p}: expected a transformers "
+        f"directory, a .pt/.pth torch module, or a .onnx file")
 
 
 def extract_words(text: str, n: int) -> list[str]:
@@ -104,7 +243,14 @@ def process_embeddings(n: int, source: str | Path | None = None,
         raise VrodError(f"Embeddings source file not found: {src}")
     text = src.read_text() if src.exists() else _FALLBACK_TEXT
     words = extract_words(text, n)
-    embed = embed_fn or (lambda ws: hash_embed(ws, dim))
+    embed = embed_fn
+    if embed is None:
+        # CLI path: auto-detect a local model (VROD_EMBED_MODEL env var or
+        # ./.vrod_embed_model), falling back to the builtin hash embedder.
+        embed, desc = resolve_embed_fn()
+        print(f"Embedder: {desc}")
+        if embed is None:
+            embed = lambda ws: hash_embed(ws, dim)  # noqa: E731
     embeddings = np.asarray(embed(words), dtype=np.float32)
     print_embeddings_info(embeddings, words)
     return write_embeddings_to_file(embeddings, words, output)
