@@ -1,0 +1,107 @@
+"""Config-5 (8-chip) QPS projection from measured single-chip constants.
+
+Real multi-chip hardware is unavailable in this environment (one v5e chip
+through a tunnel; the 8-device mesh is CPU-virtual and anti-scales from
+host core contention), so BASELINE config 5's "near-linear to 8 chips"
+claim is backed by (a) the dryrun + shard_map correctness leg and (b) THIS
+model — a projection, clearly labeled as such, auditable the day real
+chips exist.
+
+Model
+-----
+Per-chip batch latency for a row-sharded search:
+
+    t(N) = t_fixed + t_row * rows / N + t_merge(N) + t_final(N)
+
+- ``t_fixed`` + ``t_row``: affine fit of MEASURED single-chip int8
+  batch-256 top-16 latencies (docs/performance.md headline table, all
+  recall 1.0 on device):
+      1.0 M rows -> 4.65 ms     (55.1k QPS, r3 capture)
+      8.4 M rows -> 22.4 ms
+     10.0 M rows -> 25.7 ms
+  Least squares gives t_fixed ~= 2.3 ms (Mosaic while-entry ~1.1 ms +
+  extraction + rescore + dispatch glue — all row-count-invariant) and
+  t_row ~= 2.34 ms per million rows (the int8 HBM stream at ~330 GB/s
+  effective; the pure mm+max floor is higher, extraction interleaves).
+  Sharding divides only the t_row term: every shard still pays the fixed
+  cost, runs the same k_scan extraction, and rescores its own candidates.
+
+- ``t_merge(N)``: ring all-gather of each shard's (vals f32, idx i32)
+  top-k_scan block — shards x k_scan x 8 B per query (engine.py
+  merge_shards). Ring all-gather of S bytes per chip over N chips costs
+  (N-1) x (S / bw_link + hop_lat). ICI constants are the public v5e
+  numbers (jax-ml.github.io/scaling-book: ~4.5e10 B/s one-way per link,
+  ~1 us per hop); the conclusion is insensitive to 2x error here — the
+  merge is microseconds against a multi-millisecond scan.
+
+- ``t_final(N)``: the replicated lax.top_k over N x k_scan candidates per
+  query after the gather — modeled at 0.1 ms per 256-query batch at N=8
+  (a 256 x 192 top-k; generous).
+
+What the model says (and performance.md records): at 10M x 768 int8
+batch 256, 8 chips project to ~5.3 ms/batch (~48k QPS) vs 25.7 ms
+measured on one chip — a 4.9x speedup, 61% parallel efficiency, because
+per-shard rows (1.25M) no longer dwarf the fixed cost. Near-linear
+(>90%) row-sharded scaling needs rows/chip >= ~10M (t_row term >= 9x
+fixed), i.e. config 5's own 10M rows are near-linear on 1-2 chips and
+fixed-cost-bound at 8. For collections that FIT one chip, scale-out is
+REPLICATION (vrod_tpu/replication.py): N replicas serve N independent
+query streams — linear by construction, no merge term at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Measured single-chip points (rows in millions, batch-256 latency in ms).
+MEASURED = [(1.0, 4.65), (8.4, 22.4), (10.0, 25.7)]
+
+BATCH = 256
+K_SCAN = 24          # top-16 scans k + margin-8 candidates
+BYTES_PER_CAND = 8   # f32 score + i32 index
+ICI_BW = 4.5e10      # B/s one-way per link (public v5e, scaling-book)
+HOP_LAT = 1e-6       # s per ICI hop
+T_FINAL_8 = 0.1e-3   # s, replicated 256 x (8 x 24) lax.top_k at N=8
+
+
+def fit_affine():
+    a = np.array([[1.0, r] for r, _ in MEASURED])
+    b = np.array([t for _, t in MEASURED])
+    (fixed, slope), *_ = np.linalg.lstsq(a, b, rcond=None)
+    return float(fixed), float(slope)  # ms, ms per M rows
+
+
+def project(rows_m: float, shards: int, fixed: float, slope: float,
+            batch: int = BATCH, k_scan: int = K_SCAN) -> float:
+    """Batch latency in ms for rows_m million rows over `shards` chips."""
+    scan = fixed + slope * rows_m / shards
+    if shards == 1:
+        return scan
+    per_chip = batch * k_scan * BYTES_PER_CAND  # S bytes contributed
+    merge = (shards - 1) * (per_chip / ICI_BW + HOP_LAT) * 1e3  # ms
+    final = T_FINAL_8 * 1e3 * (shards / 8)
+    return scan + merge + final
+
+
+def main():
+    fixed, slope = fit_affine()
+    print(f"affine fit: t = {fixed:.2f} ms + {slope:.3f} ms/Mrow "
+          f"(residuals: "
+          + ", ".join(f"{t - (fixed + slope * r):+.2f}" for r, t in MEASURED)
+          + " ms)")
+    for rows_m, label in ((10.0, "config 5: 10M x 768 int8 top-16"),
+                          (1.0, "north star: 1M x 768 int8 top-16"),
+                          (80.0, "capacity case: 80M x 768 int8")):
+        print(f"\n{label} (batch {BATCH}):")
+        print(f"{'shards':>7} {'ms/batch':>9} {'QPS':>8} {'speedup':>8} "
+              f"{'efficiency':>10}")
+        t1 = project(rows_m, 1, fixed, slope)
+        for n in (1, 2, 4, 8):
+            t = project(rows_m, n, fixed, slope)
+            qps = BATCH / t * 1e3
+            print(f"{n:>7} {t:>9.2f} {qps:>8.0f} {t1 / t:>7.2f}x "
+                  f"{t1 / t / n:>9.0%}")
+
+
+if __name__ == "__main__":
+    main()
