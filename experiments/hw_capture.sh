@@ -17,9 +17,19 @@ OUT=/tmp/hw_capture.jsonl
 step() {
   local name="$1"; shift
   echo "=== $name: $* ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT.log"
-  timeout 1200 "$@" 2>>"$OUT.log" | tee -a "$OUT.log" | grep -E '^\{' | \
-    while read -r line; do echo "{\"step\": \"$name\", \"out\": $line}" >> "$OUT"; done
-  echo "=== $name done rc=$? ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT.log"
+  local tmp rc
+  tmp=$(mktemp)
+  timeout 1200 "$@" > "$tmp" 2>>"$OUT.log"; rc=$?
+  cat "$tmp" >> "$OUT.log"
+  if grep -qE '^\{' "$tmp"; then
+    grep -E '^\{' "$tmp" | while read -r line; do
+      echo "{\"step\": \"$name\", \"rc\": $rc, \"out\": $line}" >> "$OUT"
+    done
+  else
+    echo "{\"step\": \"$name\", \"rc\": $rc, \"out\": null}" >> "$OUT"
+  fi
+  rm -f "$tmp"
+  echo "=== $name done rc=$rc ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT.log"
 }
 
 # 1. Headline (int8 cosine top-16 batch-256, 1M x 768) — the scoreboard row.

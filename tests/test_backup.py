@@ -254,14 +254,21 @@ def test_verify_clean_image(tmp_db, tmp_path, rng):
 
 
 def test_verify_verb_surface(tmp_db, tmp_path, rng):
-    """BACKUP -a <path>;verify returns an OK line; bad option rejected."""
-    from vrod_tpu.errors import RecordFormatError
+    """BACKUP -a <path>;verify returns an OK line; any other semicolon
+    argument is a destination PATH (-a is a filesystem path — an unknown-
+    option error would make semicolon paths unreachable)."""
     img = _made_image(tmp_db, tmp_path, rng)
     builder = CommandBuilder(tmp_db)
     out = builder.build(None, "BACKUP", f"{img};verify").execute()
     assert "OK" in out and "2 collections" in out
-    with pytest.raises(RecordFormatError):
-        builder.build(None, "BACKUP", f"{img};frobnicate").execute()
+    semi_dest = tmp_path / "2026;08"
+    out2 = builder.build(None, "BACKUP", str(semi_dest)).execute()
+    assert "Backed up" in out2
+    db2 = Database.load(semi_dest)
+    try:
+        assert set(db2.config.collections) == {"a", "b"}
+    finally:
+        db2.close()
 
 
 def test_verify_detects_snapshot_bit_flip(tmp_db, tmp_path, rng):
@@ -307,7 +314,98 @@ def test_verify_detects_lost_snapshot_coverage(tmp_db, tmp_path, rng):
             shutil.rmtree(d)
     rep = verify_image(img)
     assert not rep["ok"]
-    assert any("frames" in e and "missing" in e for e in rep["errors"])
+    assert any("no usable snapshot" in e and "missing" in e
+               for e in rep["errors"])
+
+
+def test_verify_tolerates_rewind_lsn_holes(tmp_db, tmp_path, rng):
+    """A failed (never-acked) apply rewinds its WAL frame but LSN
+    assignment stays monotonic, leaving a hole in the sequence — a LEGAL
+    image shape that must verify ok=True (warned, not errored). Both hole
+    positions are exercised: mid-log and abutting the snapshot cut."""
+    from vrod_tpu.verify_image import verify_image
+
+    def fail_next_apply(col):
+        orig = col._apply_insert
+
+        def failing(*a, **kw):
+            col._apply_insert = orig
+            raise RuntimeError("simulated device failure")
+
+        col._apply_insert = failing
+
+    a = tmp_db.create_collection("a", dim=8, segment_rows=64)
+    _fill(a, 6, 8, rng, "a")
+    fail_next_apply(a)
+    with pytest.raises(RuntimeError):
+        a.insert(rng.standard_normal(8), "phantom-mid")
+    _fill(a, 3, 8, rng, "a2")  # mid-log hole
+
+    b = tmp_db.create_collection("b", dim=4, segment_rows=64)
+    _fill(b, 5, 4, rng, "b")
+    b.snapshot()
+    b.truncate_wal()
+    fail_next_apply(b)
+    with pytest.raises(RuntimeError):
+        b.insert(rng.standard_normal(4), "phantom-cut")
+    _fill(b, 2, 4, rng, "b2")  # hole abutting the snapshot cut
+
+    tmp_db.backup(tmp_path / "bk")
+    rep = verify_image(tmp_path / "bk")
+    assert rep["ok"], rep["errors"]
+    assert any("LSN hole" in w for w in rep["warnings"])
+    assert any("on neither" in w for w in rep["warnings"])
+    # And the image loads with every ACKED record intact.
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("a").count == 9
+        assert db2.collection("b").count == 7
+    finally:
+        db2.close()
+
+
+def test_verify_flags_committed_snapshot_without_meta(tmp_db, tmp_path,
+                                                      rng):
+    """meta.json is written before the snapshot swap, so a committed dir
+    without one can only mean damage (it is also what restore keys on)."""
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    (img / "collections" / "a" / SNAPSHOT_DIR / "meta.json").unlink()
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("without meta.json" in e for e in rep["errors"])
+
+
+def test_backup_cold_collection_excludes_torn_tail(tmp_path, rng):
+    """A cold (never-loaded) collection whose last process crashed
+    mid-append carries a torn WAL tail; BACKUP must copy only the valid
+    prefix — the image verifies clean and loads every durable record."""
+    from vrod_tpu.verify_image import verify_image
+    db = Database.new(tmp_path, "db")
+    col = db.create_collection("c", dim=8, segment_rows=64)
+    _fill(col, 6, 8, rng, "c")
+    db.close()
+
+    wal_p = tmp_path / "db" / "collections" / "c" / WAL_FILE
+    clean = wal_p.stat().st_size
+    with open(wal_p, "ab") as f:
+        f.write(b"\x57\x4c\x5f\x31torn-mid-append")  # magic + short junk
+
+    db2 = Database.load(tmp_path / "db")  # 'c' stays cold: never touched
+    try:
+        stats = db2.backup(tmp_path / "bk")
+        assert stats["wal_bytes"] == clean
+    finally:
+        db2.close()
+    img_wal = tmp_path / "bk" / "collections" / "c" / WAL_FILE
+    assert img_wal.stat().st_size == clean
+    rep = verify_image(tmp_path / "bk")
+    assert rep["ok"], rep["errors"]
+    db3 = Database.load(tmp_path / "bk")
+    try:
+        assert db3.collection("c").count == 6
+    finally:
+        db3.close()
 
 
 def test_verify_detects_missing_collection_dir(tmp_db, tmp_path, rng):

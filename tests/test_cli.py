@@ -367,14 +367,20 @@ def test_resolve_embed_fn_torchscript_file(tmp_path, monkeypatch, capsys):
             word_hash_features(["fox", "dog"], 101))).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
-    # Probe file in cwd (no env var) is picked up too, via the CLI.
+    # Probe in cwd (no env var): the exact name .vrod_embed_model has no
+    # suffix of its own, so it points at a model either as a SYMLINK
+    # (dispatch on the resolved target) or as a small text file naming
+    # the model's path (relative to the file's directory).
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("VROD_EMBED_MODEL", raising=False)
-    import shutil
-    shutil.copy(path, tmp_path / ".vrod_embed_model.pt")
-    # the probe name is exact: .vrod_embed_model (no suffix) — use env var
-    monkeypatch.setenv("VROD_EMBED_MODEL", str(path))
+    probe = tmp_path / ".vrod_embed_model"
+    probe.symlink_to(path)
     (tmp_path / "alice_in_wonderland.txt").write_text("hello world")
+    assert main(["-g", "2"]) == 0
+    assert "Embedder: torch model" in capsys.readouterr().out
+
+    probe.unlink()
+    probe.write_text("word_model.pt\n")  # indirection file, relative path
     assert main(["-g", "2"]) == 0
     assert "Embedder: torch model" in capsys.readouterr().out
 

@@ -279,7 +279,13 @@ class BackupCommand(Command):
     (snapshot file CRCs, WAL frame CRCs, structural consistency) without
     restoring anything — see ``vrod_tpu.verify_image``. Verification of an
     image whose bytes are damaged returns a CORRUPT report (the command
-    raises so scripted ``vrod -e 'BACKUP ...'`` exits nonzero)."""
+    raises so scripted ``vrod -e 'BACKUP ...'`` exits nonzero).
+
+    Only the exact trailing ``;verify`` token is special: any other
+    argument — semicolons included — is a destination path (``-a`` is a
+    filesystem path, so an unknown-option error here would make such
+    paths unreachable; a path that itself ends in ``;verify`` can be
+    verified via the ``verify_image`` API)."""
 
     arg: str | None = None
 
@@ -287,11 +293,8 @@ class BackupCommand(Command):
         from pathlib import Path
         arg = self._require(
             self.arg, "a destination directory path (-a)")
-        path_part, _, opt = arg.partition(";")
-        if opt:
-            if opt.strip().lower() != "verify":
-                raise RecordFormatError(
-                    f"Unknown BACKUP option {opt!r}; expected 'verify'")
+        path_part, sep, opt = arg.rpartition(";")
+        if sep and opt.strip().lower() == "verify":
             from ..errors import WalCorruptionError
             from ..verify_image import format_report, verify_image
             report = verify_image(Path(path_part))
@@ -299,7 +302,7 @@ class BackupCommand(Command):
             if not report["ok"]:
                 raise WalCorruptionError(line)
             return line
-        dest = Path(path_part)
+        dest = Path(arg)
         stats = self.db.backup(dest)
         return (f"Backed up {stats['collections']} collections to {dest} "
                 f"({stats['wal_bytes']} WAL bytes, "

@@ -511,16 +511,23 @@ class Database:
         its files are static, so a plain copy is consistent. Snapshot
         fallback dirs (.old/.tmp — a crash mid-swap) are copied too;
         restore picks the newest CRC-valid one exactly as a local load
-        would."""
+        would.
+
+        Only the WAL's CRC-valid prefix is copied (like the hot path's
+        ``copy_file_prefix(valid_size)``): a cold collection that last
+        crashed mid-append carries a torn tail which load would repair —
+        but an IMAGE must hold only valid frames, or ``verify_image``
+        rightly calls it damaged."""
         import shutil
         from . import snapshot as snapio
+        from .wal.wal import valid_prefix_size
         csrc = self._collection_dir(name)
         cdest.mkdir(parents=True)
         shutil.copy2(csrc / CONFIG_FILE, cdest / CONFIG_FILE)
         snapio.fsync_file(cdest / CONFIG_FILE)
-        wal_bytes = (csrc / WAL_FILE).stat().st_size
-        shutil.copy2(csrc / WAL_FILE, cdest / WAL_FILE)
-        snapio.fsync_file(cdest / WAL_FILE)
+        wal_bytes = snapio.copy_file_prefix(
+            csrc / WAL_FILE, cdest / WAL_FILE,
+            valid_prefix_size(csrc / WAL_FILE))
         snap_files = 0
         from .config import SNAPSHOT_DIR
         for snap in (SNAPSHOT_DIR, SNAPSHOT_DIR + ".old",

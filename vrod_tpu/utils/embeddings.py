@@ -184,6 +184,22 @@ def resolve_embed_fn(model_path=None):
     if not p.exists():
         from ..errors import VrodError
         raise VrodError(f"Embed model not found: {p}")
+    # The ./.vrod_embed_model probe has no suffix of its own, so "points
+    # at" works two ways: a SYMLINK dispatches on its resolved target's
+    # shape, and a small TEXT FILE holds the real model's path (relative
+    # to the file's directory). Both also work for VROD_EMBED_MODEL.
+    p = p.resolve()
+    if (p.is_file() and p.suffix not in (".pt", ".pth", ".onnx")
+            and p.stat().st_size <= 4096):
+        try:
+            text = p.read_text().strip()
+        except (OSError, UnicodeDecodeError):
+            text = ""
+        if text and "\x00" not in text and "\n" not in text:
+            t = Path(text).expanduser()
+            ind = t if t.is_absolute() else (p.parent / t)
+            if ind.exists():
+                p = ind.resolve()
     if p.is_dir():
         return _hf_embed_fn(p), f"transformers model at {p}"
     if p.suffix in (".pt", ".pth"):

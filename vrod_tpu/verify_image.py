@@ -33,16 +33,12 @@ from __future__ import annotations
 
 import json
 import struct
-import zlib
 from pathlib import Path
 
 from .config import (COLLECTIONS_DIR, CONFIG_FILE, SNAPSHOT_DIR, WAL_FILE,
                      CollectionConfig, DatabaseConfig)
-
-_WAL_HEADER = struct.Struct("<IQII")  # magic, lsn, payload_len, crc
-_WAL_CRC_FIELDS = struct.Struct("<QI")
-_WAL_MAGIC = 0x315F4C57
-_CHUNK = 4 << 20
+from .snapshot import crc32_of_file as _crc32_of_file
+from .wal.wal import iter_valid_frames
 
 
 class ImageReport:
@@ -80,62 +76,36 @@ class ImageReport:
         }
 
 
-def _crc32_of_file(path: Path) -> int:
-    c = 0
-    with open(path, "rb") as f:
-        while True:
-            b = f.read(_CHUNK)
-            if not b:
-                break
-            c = zlib.crc32(b, c)
-    return c & 0xFFFFFFFF
-
-
 def _scan_wal(path: Path, rep: ImageReport, label: str):
-    """Read-only CRC walk of a WAL file. Returns (frames, first_lsn,
-    last_lsn, valid_bytes); reports torn/corrupt tails as errors (an image
-    holds only BACKUP-copied valid prefixes — trailing garbage means the
-    image itself is damaged, unlike a live log where a torn tail is a
-    normal crash artifact that repair() trims)."""
+    """Read-only CRC walk of a WAL file (the same frame walk replay uses —
+    ``wal.iter_valid_frames``). Returns (frames, first_lsn, last_lsn,
+    valid_bytes); reports torn/corrupt tails as errors (an image holds
+    only BACKUP-copied valid prefixes — trailing garbage means the image
+    itself is damaged, unlike a live log where a torn tail is a normal
+    crash artifact that repair() trims). LSN *holes* between clean frames
+    are only warnings: the primary rewinds failed, never-acked ops, which
+    legally leaves holes in the sequence (``Collection.replica_apply``
+    documents the same rule) — but a strictly NON-increasing LSN cannot
+    come from any legal writer and stays an error."""
     frames = 0
     first_lsn = last_lsn = 0
     off = 0
     file_size = path.stat().st_size
-    with open(path, "rb") as f:
-        while off + _WAL_HEADER.size <= file_size:
-            f.seek(off)
-            hdr = f.read(_WAL_HEADER.size)
-            if len(hdr) < _WAL_HEADER.size:
-                break
-            magic, lsn, plen, crc = _WAL_HEADER.unpack(hdr)
-            if magic != _WAL_MAGIC:
-                break
-            end = off + _WAL_HEADER.size + plen
-            if end > file_size:
-                break
-            c = zlib.crc32(_WAL_CRC_FIELDS.pack(lsn, plen))
-            remaining = plen
-            while remaining > 0:
-                chunk = f.read(min(remaining, _CHUNK))
-                if not chunk:
-                    break
-                c = zlib.crc32(chunk, c)
-                remaining -= len(chunk)
-            if remaining > 0 or (c & 0xFFFFFFFF) != crc:
-                break
-            if frames and lsn <= last_lsn:
-                rep.error(f"{label}: LSN not increasing at offset {off} "
-                          f"({last_lsn} -> {lsn})")
-                return frames, first_lsn, last_lsn, off
-            if frames and lsn != last_lsn + 1:
-                rep.error(f"{label}: LSN gap at offset {off} "
-                          f"({last_lsn} -> {lsn}; frames lost)")
-                return frames, first_lsn, last_lsn, off
-            if not frames:
-                first_lsn = lsn
-            last_lsn = lsn
-            frames += 1
-            off = end
+    for lsn, end in iter_valid_frames(path):
+        if frames and lsn <= last_lsn:
+            rep.error(f"{label}: LSN not increasing at offset {off} "
+                      f"({last_lsn} -> {lsn})")
+            return frames, first_lsn, last_lsn, off
+        if frames and lsn != last_lsn + 1:
+            rep.warn(f"{label}: LSN hole at offset {off} "
+                     f"({last_lsn} -> {lsn}) — a rewound never-acked op "
+                     f"(legal) or an excised frame (investigate if no "
+                     f"apply ever failed here)")
+        if not frames:
+            first_lsn = lsn
+        last_lsn = lsn
+        frames += 1
+        off = end
     if off != file_size:
         rep.error(f"{label}: {file_size - off} bytes of torn/corrupt tail "
                   f"after {frames} valid frames (a BACKUP image copies only "
@@ -153,6 +123,11 @@ def _pick_snapshot(cdir: Path, rep: ImageReport, label: str):
         d = cdir / name
         meta_p = d / "meta.json"
         if not meta_p.exists():
+            if name == SNAPSHOT_DIR and d.is_dir():
+                # A COMMITTED snapshot dir always has meta.json (it is
+                # written and fsynced before the dir is swapped in); only
+                # .old/.tmp may legally lack one (crash mid-write).
+                rep.error(f"{label}: {name}/ exists without meta.json")
             continue
         try:
             meta = json.loads(meta_p.read_text())
@@ -264,13 +239,28 @@ def _verify_collection(cdir: Path, rep: ImageReport) -> None:
         wal_p, rep, f"{label}/{WAL_FILE}")
     rep.wal_frames += frames
     rep.wal_bytes += valid
-    snap_lsn = int(meta.get("last_lsn", 0)) if meta else 0
-    if frames and first_lsn > snap_lsn + 1:
-        # Frames (snap_lsn+1 .. first_lsn-1) exist on neither the snapshot
-        # nor the log: acked mutations are unrecoverable from this image.
-        rep.error(f"{label}: WAL starts at LSN {first_lsn} but the "
-                  f"snapshot covers only through {snap_lsn} — frames "
-                  f"{snap_lsn + 1}..{first_lsn - 1} are missing")
+    if frames and meta is None and first_lsn > 1:
+        # No usable snapshot AND a log that does not reach back to
+        # genesis: everything before first_lsn is on neither — a missing/
+        # unreadable snapshot in an image that depended on one. (The only
+        # legal writer shape producing this is every pre-first_lsn op
+        # having been rewound unacked, which cannot include a snapshot-
+        # then-truncate; erring here is what catches a deleted meta.json.)
+        rep.error(f"{label}: no usable snapshot and the WAL starts at "
+                  f"LSN {first_lsn}, not 1 — records before it are "
+                  f"missing from the image")
+    elif frames and meta is not None:
+        snap_lsn = int(meta.get("last_lsn", 0))
+        if first_lsn > snap_lsn + 1:
+            # LSNs (snap_lsn+1 .. first_lsn-1) are on neither the snapshot
+            # nor the log. If they were ACKED mutations the image lost
+            # them — but rewound never-acked ops leave the same hole
+            # legally (see _scan_wal), so this cannot soundly be an error.
+            rep.warn(f"{label}: WAL starts at LSN {first_lsn}, snapshot "
+                     f"covers through {snap_lsn} — LSNs "
+                     f"{snap_lsn + 1}..{first_lsn - 1} are on neither "
+                     f"(rewound never-acked ops, or lost frames if any "
+                     f"of them was acked)")
 
 
 def verify_image(path) -> dict:

@@ -35,6 +35,53 @@ def _frame_crc(lsn: int, payload: bytes) -> int:
     return zlib.crc32(payload, c) & 0xFFFFFFFF
 
 
+def iter_valid_frames(path, chunk: int = 4 << 20):
+    """Read-only CRC walk of a WAL file at ``path``: yields
+    ``(lsn, end_offset)`` for each CRC-clean frame of the valid prefix,
+    stopping at the first torn or corrupt byte. Payloads are CRC'd in
+    ``chunk``-sized pieces (bounded memory on multi-GB logs) and never
+    materialized. Unlike opening a :class:`Wal`, this NEVER writes — safe
+    on a file another process owns (backup of a cold collection,
+    offline image verification)."""
+    path = Path(path)
+    file_size = path.stat().st_size
+    off = 0
+    with open(path, "rb") as f:
+        while off + _HEADER.size <= file_size:
+            f.seek(off)
+            hdr = f.read(_HEADER.size)
+            if len(hdr) < _HEADER.size:
+                return
+            magic, lsn, plen, crc = _HEADER.unpack(hdr)
+            if magic != WAL_MAGIC:
+                return
+            end = off + _HEADER.size + plen
+            if end > file_size:
+                return
+            c = zlib.crc32(_CRC_FIELDS.pack(lsn, plen))
+            remaining = plen
+            while remaining > 0:
+                piece = f.read(min(remaining, chunk))
+                if not piece:
+                    return
+                c = zlib.crc32(piece, c)
+                remaining -= len(piece)
+            if (c & 0xFFFFFFFF) != crc:
+                return
+            yield lsn, end
+            off = end
+
+
+def valid_prefix_size(path) -> int:
+    """Byte length of the CRC-valid frame prefix of the WAL at ``path``
+    (0 for an empty or immediately-torn log). Read-only — the durable-
+    prefix answer without opening (and possibly repairing) the log."""
+    size = 0
+    for _, end in iter_valid_frames(path):
+        size = end
+    return size
+
+
 class _NativeWal:
     def __init__(self, path: Path):
         self._lib = load_native()
