@@ -364,6 +364,42 @@ def test_verify_tolerates_rewind_lsn_holes(tmp_db, tmp_path, rng):
         db2.close()
 
 
+def test_verify_flags_meta_semantic_tamper(tmp_db, tmp_path, rng):
+    """A byte flip inside meta.json that keeps the JSON parseable (found
+    by the verify fuzz: 'storage' -> 'storaQe') must fail the meta
+    self-checksum — the per-file crc map cannot protect meta itself, and
+    restore keys on those fields."""
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    meta_p = img / "collections" / "a" / SNAPSHOT_DIR / "meta.json"
+    meta_p.write_text(meta_p.read_text().replace('"storage"', '"storaQe"'))
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("self-checksum mismatch" in e for e in rep["errors"])
+
+
+def test_restore_rejects_meta_semantic_tamper(tmp_path, rng):
+    """Restore must skip a snapshot whose meta self-checksum fails (and
+    error loudly when no fallback validates) instead of keying on
+    tampered fields."""
+    from vrod_tpu.errors import WalCorruptionError
+    db = Database.new(tmp_path, "db")
+    col = db.create_collection("c", dim=8, segment_rows=64)
+    _fill(col, 9, 8, rng, "c")
+    col.snapshot()
+    db.close()
+    meta_p = (tmp_path / "db" / "collections" / "c" / SNAPSHOT_DIR
+              / "meta.json")
+    meta_p.write_text(
+        meta_p.read_text().replace('"count": 9', '"count": 8'))
+    db2 = Database.load(tmp_path / "db")
+    try:
+        with pytest.raises(WalCorruptionError, match="corrupt"):
+            db2.collection("c").count
+    finally:
+        db2.close()
+
+
 def test_verify_flags_committed_snapshot_without_meta(tmp_db, tmp_path,
                                                       rng):
     """meta.json is written before the snapshot swap, so a committed dir
@@ -430,6 +466,10 @@ def test_verify_warns_unlisted_dir_and_rejects_meta_mismatch(
     meta_p = img / "collections" / "a" / SNAPSHOT_DIR / "meta.json"
     meta = _json.loads(meta_p.read_text())
     meta["count"] += 1
+    # Restamp the self-checksum so the STRUCTURAL layer is what trips
+    # (the self-checksum layer has its own dedicated test).
+    from vrod_tpu.snapshot import meta_self_crc
+    meta["meta_crc"] = meta_self_crc(meta)
     meta_p.write_text(_json.dumps(meta))
     rep = verify_image(img)
     assert any("zzz" in w for w in rep["warnings"])

@@ -1142,13 +1142,22 @@ class Collection:
         np.save(tmp_dir / "ids.npy", rids.astype(np.uint64))
         snapio.fsync_file(tmp_dir / "ids.npy")
         checksums["ids.npy"] = snapio.crc32_of_file(tmp_dir / "ids.npy")
-        (tmp_dir / "meta.json").write_text(json.dumps({
+        # meta.json self-checksum: the per-file crc32 map protects every
+        # OTHER file, but restore keys on meta's own semantic fields
+        # (count, last_lsn, storage...) — a flipped byte that keeps the
+        # JSON parseable could silently change restore behavior (found by
+        # the verify fuzz: "storage" -> "storaQe" verified OK but broke
+        # the load). meta_crc covers the canonical serialization of all
+        # other fields; _pick_snapshot and verify_image recheck it.
+        meta = {
             "next_id": next_id,
             "count": n,
             "last_lsn": last_lsn,
             "storage": {"dtype": self.config.dtype, "dim": self.config.dim},
             "crc32": checksums,
-        }))
+        }
+        meta["meta_crc"] = snapio.meta_self_crc(meta)
+        (tmp_dir / "meta.json").write_text(json.dumps(meta))
         snapio.fsync_file(tmp_dir / "meta.json")
         snapio.fsync_dir(tmp_dir)
 
@@ -1195,7 +1204,12 @@ class Collection:
                 main_present = True
             try:
                 meta = json.loads(meta_p.read_text())
-                ok = all(
+                # meta's own fields first (absent = legacy, accepted):
+                # restore keys on count/last_lsn/storage, which the
+                # per-file crc map cannot protect.
+                ok = ("meta_crc" not in meta
+                      or int(meta["meta_crc"]) == snapio.meta_self_crc(meta))
+                ok = ok and all(
                     snapio.crc32_of_file(d / f) == expect
                     for f, expect in meta.get("crc32", {}).items())
             except Exception:

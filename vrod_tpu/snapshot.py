@@ -6,7 +6,8 @@ A snapshot directory holds:
     vectors.bin    stored-representation rows (f32/bf16/int8), raw
     aux.bin        float32 (n,)     per-row aux (inv-norm / |x|^2 / scale)
     payloads.bin   length-prefixed UTF-8 payloads, aligned with ids.npy order
-    meta.json      next_id, count, last_lsn, storage dtype/dim, crc32 per file
+    meta.json      next_id, count, last_lsn, storage dtype/dim, crc32 per
+                   file, meta_crc (self-checksum of the other meta fields)
 
 (Round-1 snapshots used vectors.npy + payloads.json; restore still reads
 them, new snapshots always write the layout above.)
@@ -54,6 +55,20 @@ def crc32_of_file(path, chunk: int = CRC_CHUNK) -> int:
                 break
             c = zlib.crc32(b, c)
     return c & 0xFFFFFFFF
+
+
+def meta_self_crc(meta: dict) -> int:
+    """Self-checksum of a snapshot ``meta.json`` dict: crc32 of the
+    canonical (sorted-key, compact) JSON serialization of every field
+    except ``meta_crc`` itself. The per-file crc32 map inside meta
+    protects the data files; this protects meta's OWN semantic fields,
+    which restore keys on. Writers stamp it; ``Collection._pick_snapshot``
+    and ``verify_image`` recompute it (absent = legacy snapshot,
+    accepted)."""
+    import json
+    body = {k: v for k, v in meta.items() if k != "meta_crc"}
+    s = json.dumps(body, sort_keys=True, separators=(",", ":"))
+    return zlib.crc32(s.encode()) & 0xFFFFFFFF
 
 
 def copy_file_prefix(src, dest, nbytes: int, chunk: int = CRC_CHUNK) -> int:

@@ -134,6 +134,16 @@ def _pick_snapshot(cdir: Path, rep: ImageReport, label: str):
         except (OSError, ValueError) as e:
             rep.error(f"{label}: {name}/meta.json unreadable: {e}")
             continue
+        from .snapshot import meta_self_crc
+        if "meta_crc" not in meta:
+            rep.warn(f"{label}: {name}/meta.json has no self-checksum "
+                     f"(legacy snapshot; semantic fields unverifiable)")
+        elif int(meta["meta_crc"]) != meta_self_crc(meta):
+            # Restore would skip this dir (same check) and fall back or
+            # fail — either way the image is not what BACKUP wrote.
+            rep.error(f"{label}: {name}/meta.json self-checksum mismatch "
+                      f"(a semantic field was altered)")
+            continue
         return d, meta, name
     return None, None, None
 
