@@ -452,6 +452,9 @@ def test_legacy_dot_snapshot_aux_recomputed(tmp_path, rng):
     crc = w.close()
     meta = json.loads((snap / "meta.json").read_text())
     meta["crc32"]["aux.bin"] = crc
+    # Legacy (round <= 2) metas predate the meta_crc self-checksum;
+    # dropping it exercises the accepted-legacy restore path too.
+    meta.pop("meta_crc", None)
     (snap / "meta.json").write_text(json.dumps(meta))
 
     col2 = Collection.load(tmp_path / "ld")
