@@ -21,7 +21,7 @@ import numpy as np
 
 import pathlib
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
-from vrod_tpu.wal.wal import Wal  # noqa: E402
+from vrod_tpu.wal.wal import Wal, iter_valid_frames, valid_prefix_size  # noqa: E402
 
 
 def build_log(path, rng):
@@ -81,6 +81,16 @@ def run_seed(seed):
         rn = scan(tmp / "n" / "vr_wal", native=True)
         rp = scan(tmp / "p" / "vr_wal", native=False)
         assert rn == rp, (seed, rn[1:], rp[1:])
+
+        # The read-only walker (backup of cold collections, verify_image)
+        # must agree with both scanners on the durable prefix — same
+        # valid size, same LSN sequence — without touching the file.
+        ro_frames = list(iter_valid_frames(tmp / "n" / "vr_wal"))
+        assert valid_prefix_size(tmp / "n" / "vr_wal") == rn[1], seed
+        assert [lsn for lsn, _ in ro_frames] == [lsn for lsn, _ in rn[0]], \
+            seed
+        assert (tmp / "n" / "vr_wal").read_bytes() == img, \
+            (seed, "read-only walker wrote!")
 
         # repair() then append on both: identical bytes end to end.
         outs = []
