@@ -71,6 +71,21 @@ def build_image(seed, tmp):
 
 
 def loads_with_model(img, model) -> bool:
+    # Load a COPY: opening a database MUTATES its directory (DB-WAL
+    # recovery truncation, payload-cache rebuild, lock file), so loading
+    # the image in place would make every later verify_image pass see a
+    # load-touched tree — the backup manifest check rightly flags files
+    # whose sizes moved, misattributing the fuzz's own probe as damage.
+    work = Path(tempfile.mkdtemp(prefix="vfuzz_load_"))
+    try:
+        shutil.rmtree(work)
+        shutil.copytree(img, work)
+        return _loads_with_model_inplace(work, model)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _loads_with_model_inplace(img, model) -> bool:
     try:
         db = Database.load(img)
     except Exception:
@@ -107,6 +122,12 @@ def corrupt_once(img: Path, rng) -> str:
         with open(p, "r+b") as f:
             f.truncate(keep)
         return f"truncate {rel}->{keep}"
+    if mode < 0.9 and p.parent.name.startswith("snapshot"):
+        # Delete the WHOLE snapshot dir: indistinguishable from a never-
+        # snapshotted collection by per-file checksums alone — only the
+        # backup manifest witnesses it.
+        shutil.rmtree(p.parent)
+        return f"rmdir {rel.parent}"
     p.unlink()
     return f"delete {rel}"
 

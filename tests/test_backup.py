@@ -301,9 +301,12 @@ def test_verify_detects_wal_corruption(tmp_db, tmp_path, rng):
 
 
 def test_verify_detects_lost_snapshot_coverage(tmp_db, tmp_path, rng):
-    """A WAL that starts past the snapshot cut means acked mutations are on
-    neither the snapshot nor the log: the image cannot restore them."""
+    """A deleted snapshot directory means acked records exist on neither
+    the snapshot nor the log. The backup manifest witnesses the deletion
+    (per-file checksums cannot — the bytes are simply gone); without a
+    manifest the verifier must err conservatively on the same shape."""
     import shutil
+    from vrod_tpu.config import BACKUP_MANIFEST_FILE
     from vrod_tpu.verify_image import verify_image
     img = _made_image(tmp_db, tmp_path, rng)
     # Collection 'a' was snapshotted (WAL truncated to the tail), so its
@@ -314,8 +317,83 @@ def test_verify_detects_lost_snapshot_coverage(tmp_db, tmp_path, rng):
             shutil.rmtree(d)
     rep = verify_image(img)
     assert not rep["ok"]
-    assert any("no usable snapshot" in e and "missing" in e
+    assert any("backup manifest but missing from the image" in e
                for e in rep["errors"])
+    # Legacy image (no manifest): the shape is ambiguous with a rewound
+    # genesis op, and the verifier must still flag it — conservatively.
+    (img / BACKUP_MANIFEST_FILE).unlink()
+    rep2 = verify_image(img)
+    assert not rep2["ok"]
+    assert any("no usable snapshot" in e for e in rep2["errors"])
+
+
+def test_verify_accepts_rewound_genesis_ops(tmp_db, tmp_path, rng):
+    """A never-snapshotted collection whose FIRST op failed at apply (WAL
+    frame rewound, LSN consumed — next_lsn stays monotonic) legally has a
+    WAL starting at LSN 2 and no snapshot. With the backup manifest ruling
+    out a deleted snapshot dir, this healthy image must verify ok=True
+    (warned); the pre-manifest verifier false-positived here."""
+    from vrod_tpu.verify_image import verify_image
+    a = tmp_db.create_collection("a", dim=8, segment_rows=64)
+    orig = a._apply_insert
+
+    def failing(*args, **kw):
+        a._apply_insert = orig
+        raise RuntimeError("simulated device failure")
+
+    a._apply_insert = failing
+    with pytest.raises(RuntimeError):
+        a.insert(rng.standard_normal(8), "phantom-genesis")
+    _fill(a, 4, 8, rng, "a")  # WAL now starts at LSN 2
+    tmp_db.backup(tmp_path / "bk")
+    rep = verify_image(tmp_path / "bk")
+    assert rep["ok"], rep["errors"]
+    assert any("rewound never-acked genesis" in w for w in rep["warnings"])
+    db2 = Database.load(tmp_path / "bk")
+    try:
+        assert db2.collection("a").count == 4
+    finally:
+        db2.close()
+
+
+def test_verify_flags_manifest_tamper_and_size_drift(tmp_db, tmp_path,
+                                                     rng):
+    from vrod_tpu.config import BACKUP_MANIFEST_FILE
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    man_p = img / BACKUP_MANIFEST_FILE
+    # Semantic tamper that keeps the JSON parseable: self-checksum fails.
+    original = man_p.read_text()
+    man_p.write_text(original.replace('"format": 1', '"format": 2', 1)
+                     if '"format": 1' in original
+                     else original.replace('"format":1', '"format":2', 1))
+    rep = verify_image(img)
+    assert not rep["ok"]
+    assert any("self-checksum mismatch" in e and "manifest" in e
+               for e in rep["errors"])
+    # Size drift on a listed file (appended bytes after the backup).
+    man_p.write_text(original)
+    with open(img / "collections" / "b" / WAL_FILE, "ab") as f:
+        f.write(b"\x00" * 7)
+    rep2 = verify_image(img)
+    assert not rep2["ok"]
+    assert any("backup manifest recorded" in e for e in rep2["errors"])
+
+
+def test_verify_truncated_payload_header_is_report_not_crash(
+        tmp_db, tmp_path, rng):
+    """payloads.bin cut inside its own header (magic intact, count torn)
+    must come back as a report error — verify_image's contract is 'never
+    raises for content problems', and this shape used to escape as a raw
+    struct.error."""
+    from vrod_tpu.verify_image import verify_image
+    img = _made_image(tmp_db, tmp_path, rng)
+    pay = img / "collections" / "a" / SNAPSHOT_DIR / "payloads.bin"
+    head = pay.read_bytes()[:8]  # 5-byte magic + 3 of the 8 count bytes
+    pay.write_bytes(head)
+    rep = verify_image(img)  # must not raise
+    assert not rep["ok"]
+    assert any("truncated inside the header" in e for e in rep["errors"])
 
 
 def test_verify_tolerates_rewind_lsn_holes(tmp_db, tmp_path, rng):

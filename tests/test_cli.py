@@ -316,7 +316,9 @@ def test_resolve_embed_fn_transformers_dir(tmp_path, monkeypatch):
     assert e1.shape == (2, dim)
     np.testing.assert_array_equal(e1, e2)  # deterministic
     np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0, rtol=1e-5)
-    assert fn([]).shape[0] == 0
+    # Empty batch still reports the MODEL's dim (16), not DEFAULT_DIM:
+    # `-g 0` against this model must not claim 384-dim output.
+    assert fn([]).shape == (0, dim)
 
 
 def test_cli_generate_with_local_model_end_to_end(tmp_path, monkeypatch,

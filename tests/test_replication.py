@@ -344,6 +344,72 @@ def test_fetch_refreshes_hold_ttl(primary):
         assert snap["token"] not in server._repl_holds
 
 
+def test_raw_wire_forms_match_base64(primary):
+    """The raw continuation forms of REPL.FETCH / REPL.TAIL must carry
+    byte-identical content to their base64-in-JSON forms (the raw path is
+    a codec change only — ~23x faster ship, same bytes)."""
+    import base64
+    db, server = primary
+    _fill(db)  # snapshot + WAL tail
+    with VrodClient(server.address) as c:
+        snap = c._request(cmd="REPL.SNAPSHOT", collection="c")
+        fname, fsize, _crc = snap["files"][0]
+        rb = c._request(cmd="REPL.FETCH", token=snap["token"], file=fname,
+                        offset=0, size=fsize)
+        rr = c._request(cmd="REPL.FETCH", token=snap["token"], file=fname,
+                        offset=0, size=fsize, raw=True)
+        assert rr["raw"] == base64.b64decode(rb["data"])
+        assert rr["eof"] == rb["eof"]
+        assert "data" not in rr and "raw_bytes" not in rr
+        c._request(cmd="REPL.RELEASE", token=snap["token"])
+
+        # Tail from the snapshot floor (after=0 is below it -> resync).
+        floor = int(snap["floor"])
+        tb = c._request(cmd="REPL.TAIL", collection="c", after=floor)
+        tr = c._request(cmd="REPL.TAIL", collection="c", after=floor,
+                        raw=True)
+        assert not tb["resync"] and not tr["resync"]
+        want = [(int(lsn), base64.b64decode(b64))
+                for lsn, b64 in tb["frames"]]
+        assert Replicator._decode_frames(tr) == want
+        assert tr["position"] == tb["position"]
+        assert tr["frames_n"] == len(want) > 0
+
+
+def test_decode_frames_rejects_torn_raw():
+    from vrod_tpu.replication import ReplicationError
+    import struct
+    good = struct.pack("<QI", 7, 3) + b"abc"
+    assert Replicator._decode_frames({"raw": good, "frames_n": 1}) \
+        == [(7, b"abc")]
+    with pytest.raises(ReplicationError, match="header"):
+        Replicator._decode_frames({"raw": good[:8]})
+    with pytest.raises(ReplicationError, match="payload"):
+        Replicator._decode_frames({"raw": good[:-1]})
+    with pytest.raises(ReplicationError, match="announced"):
+        Replicator._decode_frames({"raw": good, "frames_n": 2})
+
+
+def test_replication_against_pre_raw_primary(primary, replica_db,
+                                             monkeypatch):
+    """A primary that predates the raw extension ignores the flag and
+    answers in base64 — the replicator must converge identically through
+    the fallback branch."""
+    from vrod_tpu.server import VrodServer as VS
+    db, server = primary
+    col, _ = _fill(db)
+    orig = VS.handle_request
+
+    def strip_raw(self, req):
+        req.pop("raw", None)
+        return orig(self, req)
+
+    monkeypatch.setattr(VS, "handle_request", strip_raw)
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+        _assert_identical(col, replica_db.collection("c"))
+
+
 REPL_CHILD = """
 import os, sys, time
 os.environ["JAX_PLATFORMS"] = "cpu"

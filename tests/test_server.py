@@ -176,6 +176,37 @@ def test_bad_json_closes_connection(server):
     s.close()
 
 
+def test_client_caps_hostile_raw_frames(tmp_path):
+    """A hostile/broken server announcing an absurd raw_bytes must fail
+    the request (connection marked broken) instead of allocating it."""
+    import socketserver
+    import threading
+    from vrod_tpu.client import VrodConnectionError
+
+    class Evil(socketserver.StreamRequestHandler):
+        def handle(self):
+            req = json.loads(self.rfile.readline())
+            resp = {"ok": True, "id": req["id"],
+                    "result": {"raw_bytes": 1 << 40}}
+            self.wfile.write(json.dumps(resp).encode() + b"\n")
+            self.wfile.flush()
+
+    srv = socketserver.ThreadingUnixStreamServer(
+        str(tmp_path / "evil.sock"), Evil)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = VrodClient(f"unix:{tmp_path}/evil.sock")
+        with pytest.raises(VrodConnectionError, match="unreasonable"):
+            c._request(cmd="PING")
+        with pytest.raises(VrodConnectionError, match="broken"):
+            c._request(cmd="PING")  # framing is unrecoverable
+        c.close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_correlation_id_echo(server):
     spec = parse_addr(server.address)
     s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)

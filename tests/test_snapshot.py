@@ -170,6 +170,62 @@ def test_snapshot_concurrent_with_searches_and_inserts(tmp_path, rng):
     col2.close()
 
 
+def test_multiprocess_snapshot_holds_write_lock(tmp_path, rng):
+    """On a process-spanning mesh the snapshot gather is COLLECTIVE: every
+    rank must dispatch it in the same position of its command stream, so
+    the write lock is held across the whole gather — a concurrent mutation
+    must NOT interleave between gather chunks (on a single-process mesh it
+    may: that non-blocking path is covered above). Simulated by flipping
+    engine.multiprocess on a 1-rank engine (allgather degenerates)."""
+    col = new_col(tmp_path, "mp", segment_rows=64)
+    col.bulk_insert(rng.standard_normal((30, 16)).astype(np.float32),
+                    [f"b{i}" for i in range(30)])
+    col.SNAPSHOT_CHUNK_ROWS = 8  # several gather chunks
+    col.engine.multiprocess = True
+    in_gather = threading.Event()
+    release = threading.Event()
+    orig_gather = col.engine.gather_raw
+
+    def slow_gather(slots):
+        in_gather.set()
+        release.wait(10)
+        return orig_gather(slots)
+
+    col.engine.gather_raw = slow_gather
+    snap_err = []
+
+    def snap():
+        try:
+            col.snapshot()
+        except Exception as e:  # pragma: no cover
+            snap_err.append(e)
+
+    t = threading.Thread(target=snap)
+    t.start()
+    try:
+        assert in_gather.wait(30)
+        mutated = threading.Event()
+
+        def mutate():
+            col.insert(rng.standard_normal(16), "late")
+            mutated.set()
+
+        m = threading.Thread(target=mutate)
+        m.start()
+        # The write lock is held through the gather: the insert must stay
+        # blocked until the snapshot finishes.
+        assert not mutated.wait(0.5)
+    finally:
+        release.set()
+        t.join(60)
+    m.join(60)
+    assert mutated.is_set() and not snap_err, snap_err
+    col.engine.gather_raw = orig_gather
+    col.engine.multiprocess = False
+    assert col.count == 31
+    col.close()
+
+
 def test_payload_stream_roundtrip(tmp_path):
     payloads = ["", "hello", "semi;colon", "new\nline", "uni: éß☃",
                 "x" * 10000]

@@ -22,6 +22,11 @@ import numpy as np
 from .errors import VrodError
 from .netaddr import parse_addr  # NOT server.py: keep clients engine-free
 
+# Upper bound on a single raw continuation frame a server may announce
+# (mirrors the server's MAX_LINE_BYTES): a hostile/broken peer must not
+# make the client allocate unbounded memory.
+MAX_RAW_BYTES = 256 * 1024 * 1024
+
 
 class VrodServerError(VrodError):
     """The server answered ``ok: false``; the message is its error text."""
@@ -121,6 +126,30 @@ class VrodClient:
                                 f"{req['id']}, got {resp.get('id')!r}")
                 raise VrodConnectionError(self._broken)
             result = resp.get("result")
+            # Raw continuation: the response line announced raw_bytes — N
+            # verbatim bytes follow the newline (replication bulk frames;
+            # base64-in-JSON caps at ~40 MB/s of pure codec). Must be
+            # consumed under the lock: the bytes are part of THIS
+            # response's framing.
+            if (resp.get("ok") and isinstance(result, dict)
+                    and "raw_bytes" in result):
+                n = int(result.pop("raw_bytes"))
+                if n < 0 or n > MAX_RAW_BYTES:
+                    self._broken = (f"server announced an unreasonable "
+                                    f"raw frame of {n} bytes")
+                    raise VrodConnectionError(self._broken)
+                buf = bytearray()
+                while len(buf) < n:
+                    try:
+                        piece = self._rfile.read(n - len(buf))
+                    except OSError as e:
+                        self._broken = f"transport error mid raw frame: {e}"
+                        raise VrodConnectionError(self._broken) from e
+                    if not piece:
+                        self._broken = "connection closed mid raw frame"
+                        raise VrodConnectionError(self._broken)
+                    buf.extend(piece)
+                result["raw"] = bytes(buf)
             # Position high-water update stays under the lock: two
             # concurrent mutators doing read-max-store outside it could
             # REGRESS the recorded position (lost update), and a regressed

@@ -1055,13 +1055,19 @@ class Collection:
         redundant and are dropped (``truncate_until`` keeps any tail
         appended concurrently with the snapshot).
 
-        Non-blocking: a brief write lock fixes the cut (live slots, ids,
-        last durable LSN), then the device->host gather and disk writes run
-        chunk-at-a-time taking only short read locks — searches and
-        mutations proceed throughout. The snapshot is fuzzy (a concurrently
-        rebound slot may be captured with stale data) and the preserved WAL
-        tail re-establishes exactness on restore, because replay is
-        idempotent and ordered."""
+        Non-blocking on single-process meshes: a brief write lock fixes
+        the cut (live slots, ids, last durable LSN), then the device->host
+        gather and disk writes run chunk-at-a-time taking only short read
+        locks — searches and mutations proceed throughout. The snapshot is
+        fuzzy (a concurrently rebound slot may be captured with stale data)
+        and the preserved WAL tail re-establishes exactness on restore,
+        because replay is idempotent and ordered.
+
+        On a PROCESS-SPANNING mesh the snapshot is collective (call it on
+        every rank) and BLOCKING: the write lock is held across the whole
+        gather so this rank cannot interleave another collective dispatch
+        between gather chunks — cross-rank dispatch order is the SPMD
+        correctness contract (see ``_snapshot_impl``)."""
         with self._maint:
             p = self._snapshot_impl()
         # A compaction budget crossed during this snapshot was deferred
@@ -1076,10 +1082,25 @@ class Collection:
         # the same chunked replicated gather and writes its OWN local
         # snapshot files with the leader's LSN cut, so after it the rank
         # directories are byte-identical again (a later collective load's
-        # fingerprint check passes without re-distributing files). The
-        # caller must not interleave other device-dispatching operations
-        # from other threads during a collective maintenance op — cross-
-        # rank dispatch order is the SPMD contract.
+        # fingerprint check passes without re-distributing files).
+        # Collective XLA programs must be dispatched in the SAME order on
+        # every rank; a concurrent mutation/search thread could slot in
+        # between gather chunks on one rank but not another (undefined
+        # behavior: hang, or a snapshot gathered from mixed states). So on
+        # a multiprocess mesh the WRITE lock is held for the whole gather —
+        # this rank's dispatch order is exactly its command order, which
+        # the SPMD contract already requires to agree across ranks. The
+        # chunked short-read-lock (non-blocking) form is single-process
+        # only.
+        if self.engine.multiprocess:
+            with self._rw.write():
+                return self._snapshot_run(locked=True)
+        return self._snapshot_run(locked=False)
+
+    def _snapshot_run(self, locked: bool) -> Path:
+        import contextlib
+        wlock = contextlib.nullcontext if locked else self._rw.write
+        rlock = contextlib.nullcontext if locked else self._rw.read
         snap_dir = self.path / SNAPSHOT_DIR
         old_dir = self.path / (SNAPSHOT_DIR + ".old")
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")
@@ -1088,7 +1109,7 @@ class Collection:
         tmp_dir.mkdir(parents=True)
 
         # Phase 1 — plan the cut under a brief write lock.
-        with self._rw.write():
+        with wlock():
             self.wal.sync()  # everything applied so far is durable
             self._commit.mark_synced()
             live_slots = self.alloc.live_slots()
@@ -1121,7 +1142,7 @@ class Collection:
             for start in range(0, n, chunk):
                 sl = live_slots[start:start + chunk].astype(np.int64)
                 rid_chunk = rids[start:start + chunk]
-                with self._rw.read():
+                with rlock():
                     rows, auxv = self.engine.gather_raw(sl)
                     pmap = self.payloads.get_many(rid_chunk.tolist())
                     pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
@@ -1177,7 +1198,7 @@ class Collection:
         # so appends (write lock) and in-flight group fsyncs (exclusive)
         # are locked out for its brief duration; the rewrite itself fsyncs
         # the surviving tail, which mark_synced records.
-        with self._rw.write():
+        with wlock():
             with self._commit.exclusive():
                 self.wal.truncate_until(last_lsn)
             self.wal.sync()  # covers the no-op case (nothing dropped)

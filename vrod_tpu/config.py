@@ -43,6 +43,9 @@ CONFIG_FILE = "vr_config"
 WAL_FILE = "vr_wal"
 COLLECTIONS_DIR = "collections"
 SNAPSHOT_DIR = "snapshot"
+# Extension: BACKUP stamps every image with a self-checksummed file list
+# so verify_image can witness DELETED files (no per-file checksum can).
+BACKUP_MANIFEST_FILE = "vr_backup_manifest.json"
 
 
 @dataclasses.dataclass

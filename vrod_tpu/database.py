@@ -16,8 +16,8 @@ from pathlib import Path
 
 from .collection import Collection
 from .config import (
-    COLLECTIONS_DIR, CONFIG_FILE, WAL_FILE, CollectionConfig, DatabaseConfig,
-    read_config, write_config,
+    BACKUP_MANIFEST_FILE, COLLECTIONS_DIR, CONFIG_FILE, WAL_FILE,
+    CollectionConfig, DatabaseConfig, read_config, write_config,
 )
 from .errors import (
     CollectionExistsError, CollectionNotFoundError, DatabaseExistsError,
@@ -496,6 +496,23 @@ class Database:
                     stats["collections"] += 1
                     stats["wal_bytes"] += st["wal_bytes"]
                     stats["snapshot_files"] += st["snapshot_files"]
+                # Last: a self-checksummed manifest of every file in the
+                # image (relative path -> size). Per-file checksums cannot
+                # witness a DELETED file — a lost snapshot directory looks
+                # identical to a collection that never snapshotted —
+                # so verify_image checks presence/size against this list
+                # and can then treat a genesis LSN hole as the legal
+                # rewound-op shape it is. ``Database.load`` ignores it.
+                import json as _json
+                files = {
+                    p.relative_to(tmp).as_posix(): p.stat().st_size
+                    for p in sorted(tmp.rglob("*")) if p.is_file()
+                }
+                manifest = {"format": 1, "files": files}
+                manifest["meta_crc"] = snapio.meta_self_crc(manifest)
+                (tmp / BACKUP_MANIFEST_FILE).write_text(
+                    _json.dumps(manifest))
+                snapio.fsync_file(tmp / BACKUP_MANIFEST_FILE)
                 snapio.fsync_dir(tmp / COLLECTIONS_DIR)
                 snapio.fsync_dir(tmp)
             except BaseException:

@@ -263,8 +263,11 @@ class Replicator:
                             r = self._rpc(cmd="REPL.FETCH",
                                           token=snap["token"], file=fname,
                                           offset=offset,
-                                          size=self.fetch_bytes)
-                            data = base64.b64decode(r["data"])
+                                          size=self.fetch_bytes, raw=True)
+                            # raw continuation when the primary supports
+                            # it (socket-speed); base64 from older ones.
+                            data = (r["raw"] if "raw" in r
+                                    else base64.b64decode(r["data"]))
                             if not data:
                                 raise ReplicationError(
                                     f"Short fetch of {fname} at {offset}")
@@ -294,13 +297,50 @@ class Replicator:
 
     # -- tail (WAL frame stream) ----------------------------------------------
 
+    @staticmethod
+    def _decode_frames(r: dict) -> list[tuple[int, bytes]]:
+        """REPL.TAIL frames in either wire form: raw-packed
+        ``<u64 lsn><u32 len><payload>`` (a primary honoring ``raw=True``)
+        or ``[lsn, base64]`` pairs (older primaries, and the caught-up
+        cold-collection fast path, which answers in JSON regardless)."""
+        import struct
+        if "raw" in r:
+            data = r["raw"]
+            want = int(r.get("frames_n", -1))
+            frames = []
+            off = 0
+            while off < len(data):
+                if off + 12 > len(data):
+                    raise ReplicationError(
+                        "Torn raw frame header in REPL.TAIL response")
+                lsn, plen = struct.unpack_from("<QI", data, off)
+                off += 12
+                if off + plen > len(data):
+                    raise ReplicationError(
+                        "Torn raw frame payload in REPL.TAIL response")
+                frames.append((lsn, data[off:off + plen]))
+                off += plen
+            if want >= 0 and want != len(frames):
+                raise ReplicationError(
+                    f"REPL.TAIL announced {want} frames, raw stream "
+                    f"held {len(frames)}")
+            return frames
+        return [(int(lsn), base64.b64decode(b64))
+                for lsn, b64 in r["frames"]]
+
     def _tail(self, name: str) -> None:
         col = self.db.collection(name)
         pos = col.repl_position()
         resyncs = 0
+        primary_head = None
         while not self._stop.is_set():
             r = self._rpc(cmd="REPL.TAIL", collection=name, after=pos,
-                          max_bytes=self.max_bytes)
+                          max_bytes=self.max_bytes, raw=True)
+            # The TAIL answer carries the primary's head AT SERVE TIME —
+            # fresher than the pass-start manifest, whose staleness would
+            # otherwise show a spurious NEGATIVE lag in status() right
+            # after frames newer than the manifest apply.
+            primary_head = max(primary_head or 0, int(r["position"]))
             if r["resync"]:
                 # The primary truncated past us (or we are ahead of a
                 # rebuilt primary): local state cannot be patched forward.
@@ -325,16 +365,18 @@ class Replicator:
                 col = self.db.collection(name)
                 pos = col.repl_position()
                 continue
-            frames = r["frames"]
+            frames = self._decode_frames(r)
             if not frames:
                 break
             resyncs = 0  # forward progress: the breaker counts only
             #              consecutive resyncs WITHOUT applied frames
-            for lsn, b64 in frames:
-                col.replica_apply(int(lsn), base64.b64decode(b64),
-                                  sync=False)
+            for lsn, payload in frames:
+                col.replica_apply(int(lsn), payload, sync=False)
             col.replica_sync(int(frames[-1][0]))
             pos = int(frames[-1][0])
             metrics.counters.inc("repl.frames_applied", len(frames))
         with self._lock:
             self._positions[name] = pos
+            if primary_head is not None and name in self._primary_pos:
+                self._primary_pos[name] = max(self._primary_pos[name],
+                                              primary_head)

@@ -105,8 +105,22 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
 
     def _send(self, obj) -> bool:
+        # Raw continuation frames (protocol extension): a handler returns
+        # bulk bytes under "__raw__"; the response line then announces
+        # "raw_bytes": N and the N bytes follow the newline VERBATIM. The
+        # base64-in-JSON forms cap at ~40 MB/s of pure codec on one core
+        # (measured; a 4 MiB chunk costs ~100 ms to encode+decode) —
+        # replication bootstrap/tail use this to ship at socket speed.
+        # Requests remain pure JSON lines; only responses carry raw.
+        raw = None
+        result = obj.get("result")
+        if isinstance(result, dict) and "__raw__" in result:
+            raw = result.pop("__raw__")
+            result["raw_bytes"] = len(raw)
         try:
             self.wfile.write(json.dumps(obj).encode() + b"\n")
+            if raw is not None:
+                self.wfile.write(raw)
             self.wfile.flush()
             return True
         except OSError:
@@ -678,6 +692,17 @@ class VrodServer:
                 max_bytes=min(int(req.get("max_bytes", self.REPL_FETCH_MAX)),
                               self.REPL_FETCH_MAX))
             metrics.counters.inc("repl.frames_served", len(r["frames"]))
+            if req.get("raw"):
+                # Packed frame stream: <u64 lsn><u32 len><payload> each,
+                # shipped as one raw continuation (see _Handler._send).
+                import struct as _struct
+                parts = []
+                for lsn, p in r["frames"]:
+                    parts.append(_struct.pack("<QI", lsn, len(p)))
+                    parts.append(p)
+                return {"__raw__": b"".join(parts),
+                        "frames_n": len(r["frames"]),
+                        "position": r["position"], "resync": r["resync"]}
             return {"frames": [[lsn, base64.b64encode(p).decode()]
                                for lsn, p in r["frames"]],
                     "position": r["position"], "resync": r["resync"]}
@@ -739,8 +764,10 @@ class VrodServer:
                 f.seek(offset)
                 data = f.read(size)
             metrics.counters.inc("repl.bytes_served", len(data))
-            return {"data": base64.b64encode(data).decode(),
-                    "eof": offset + len(data) >= path.stat().st_size}
+            eof = offset + len(data) >= path.stat().st_size
+            if req.get("raw"):
+                return {"__raw__": data, "eof": eof}
+            return {"data": base64.b64encode(data).decode(), "eof": eof}
         if cmd == "REPL.RELEASE":
             with self._repl_lock:
                 ent = self._repl_holds.pop(str(req.get("token")), None)

@@ -76,8 +76,13 @@ def word_hash_features(words: list[str], vocab: int) -> "np.ndarray":
 
 def _chunked(embed, texts: list[str], chunk: int = 256) -> np.ndarray:
     outs = [embed(texts[i:i + chunk]) for i in range(0, len(texts), chunk)]
-    return (np.concatenate(outs, axis=0) if outs
-            else np.zeros((0, DEFAULT_DIM), np.float32))
+    if outs:
+        return np.concatenate(outs, axis=0)
+    # Empty batch: the result's dim must still be the MODEL's output dim
+    # (hardcoding DEFAULT_DIM here made `-g 0` report 384 for a 16-dim
+    # local model, disagreeing with every non-empty run). One probe call
+    # answers it; only the empty path pays for it.
+    return np.zeros((0, np.asarray(embed(["a"])).shape[1]), np.float32)
 
 
 def _hf_embed_fn(path: Path):

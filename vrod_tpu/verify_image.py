@@ -9,6 +9,12 @@ accept this image, and are its bytes the ones the backup wrote?"
 
 Checks performed:
 
+- ``vr_backup_manifest.json`` (stamped by BACKUP, self-checksummed):
+  every file the backup wrote still exists with its recorded size — the
+  only check that can witness DELETED files (e.g. a lost snapshot
+  directory, which per-file checksums cannot see because the bytes are
+  simply gone). Absent manifest (pre-manifest image / live dir) is a
+  warning and makes the delete-shaped ambiguities below conservative.
 - ``vr_config`` parses and every listed collection has a directory
   (extra, unlisted directories are warnings — load ignores them).
 - The DB-level WAL's frame prefix is CRC-clean with strictly increasing
@@ -26,7 +32,11 @@ Checks performed:
 
 The walk is streaming (bounded memory) and safe to run on multi-GB images.
 Intended for offline images: files must be static for the duration (verify
-a LIVE database via ``BACKUP`` first, then verify the image).
+a LIVE database via ``BACKUP`` first, then verify the image). Note that
+``Database.load`` MUTATES the directory it opens (DB-WAL recovery
+truncation, payload-cache rebuild, lock file) — restore-test a COPY of the
+image, or verify before any load, or the manifest size checks will rightly
+report the load's own writes as drift.
 """
 
 from __future__ import annotations
@@ -35,8 +45,9 @@ import json
 import struct
 from pathlib import Path
 
-from .config import (COLLECTIONS_DIR, CONFIG_FILE, SNAPSHOT_DIR, WAL_FILE,
-                     CollectionConfig, DatabaseConfig)
+from .config import (BACKUP_MANIFEST_FILE, COLLECTIONS_DIR, CONFIG_FILE,
+                     SNAPSHOT_DIR, WAL_FILE, CollectionConfig,
+                     DatabaseConfig)
 from .snapshot import crc32_of_file as _crc32_of_file
 from .wal.wal import iter_valid_frames
 
@@ -212,6 +223,12 @@ def _verify_snapshot(d: Path, meta: dict, name: str, cfg, rep: ImageReport,
             head = f.read(len(PAYLOAD_MAGIC) + 8)
         if head[:len(PAYLOAD_MAGIC)] != PAYLOAD_MAGIC:
             rep.error(f"{label}: {name}/payloads.bin bad magic")
+        elif len(head) < len(PAYLOAD_MAGIC) + 8:
+            # Magic intact but the count field is torn off: a truncated
+            # file must become a report error, never a struct.error out of
+            # verify_image (its contract is "never raises for content").
+            rep.error(f"{label}: {name}/payloads.bin truncated inside the "
+                      f"header ({len(head)} B)")
         else:
             (pcount,) = struct.unpack_from("<Q", head, len(PAYLOAD_MAGIC))
             if pcount != count:
@@ -219,7 +236,60 @@ def _verify_snapshot(d: Path, meta: dict, name: str, cfg, rep: ImageReport,
                           f"{pcount} records, meta says {count}")
 
 
-def _verify_collection(cdir: Path, rep: ImageReport) -> None:
+def _verify_manifest(root: Path, rep: ImageReport) -> bool:
+    """Validate the BACKUP image manifest (file list + sizes, self-
+    checksummed): every listed file must exist with its recorded size —
+    the ONLY check that can witness a deleted file or directory, since a
+    missing file leaves no bytes for any per-file checksum to fail on.
+    Returns True when a valid manifest vouched for the image's file set
+    (unknown EXTRA files are warnings — load ignores them). Images from
+    before the manifest existed, or bare quiesced DB dirs, return False:
+    callers must then treat delete-shaped ambiguities conservatively."""
+    man_p = root / BACKUP_MANIFEST_FILE
+    if not man_p.exists():
+        rep.warn(f"no {BACKUP_MANIFEST_FILE} (pre-manifest image or live "
+                 f"DB dir): deleted files cannot be detected")
+        return False
+    try:
+        man = json.loads(man_p.read_text())
+    except (OSError, ValueError) as e:
+        rep.error(f"{BACKUP_MANIFEST_FILE} unreadable: {e}")
+        return False
+    from .snapshot import meta_self_crc
+    if ("meta_crc" not in man
+            or int(man["meta_crc"]) != meta_self_crc(man)):
+        rep.error(f"{BACKUP_MANIFEST_FILE} self-checksum mismatch")
+        return False
+    files = man.get("files")
+    if not isinstance(files, dict):
+        rep.error(f"{BACKUP_MANIFEST_FILE} has no files map")
+        return False
+    listed = set()
+    for rel in sorted(files):
+        parts = Path(rel).parts
+        if Path(rel).is_absolute() or ".." in parts or not parts:
+            rep.error(f"{BACKUP_MANIFEST_FILE} lists unsafe path {rel!r}")
+            continue
+        listed.add(rel)
+        p = root / rel
+        if not p.is_file():
+            rep.error(f"{rel} is in the backup manifest but missing from "
+                      f"the image (deleted file/directory)")
+        elif p.stat().st_size != int(files[rel]):
+            rep.error(f"{rel} is {p.stat().st_size} B, backup manifest "
+                      f"recorded {int(files[rel])}")
+    for p in sorted(root.rglob("*")):
+        if not p.is_file():
+            continue
+        rel = p.relative_to(root).as_posix()
+        if rel != BACKUP_MANIFEST_FILE and rel not in listed:
+            rep.warn(f"{rel} is not in the backup manifest (added after "
+                     f"the backup; load ignores unknown files)")
+    return True
+
+
+def _verify_collection(cdir: Path, rep: ImageReport,
+                       manifested: bool) -> None:
     label = f"collections/{cdir.name}"
     cfg = None
     cfg_p = cdir / CONFIG_FILE
@@ -251,14 +321,22 @@ def _verify_collection(cdir: Path, rep: ImageReport) -> None:
     rep.wal_bytes += valid
     if frames and meta is None and first_lsn > 1:
         # No usable snapshot AND a log that does not reach back to
-        # genesis: everything before first_lsn is on neither — a missing/
-        # unreadable snapshot in an image that depended on one. (The only
-        # legal writer shape producing this is every pre-first_lsn op
-        # having been rewound unacked, which cannot include a snapshot-
-        # then-truncate; erring here is what catches a deleted meta.json.)
-        rep.error(f"{label}: no usable snapshot and the WAL starts at "
-                  f"LSN {first_lsn}, not 1 — records before it are "
-                  f"missing from the image")
+        # genesis. TWO writer histories produce these bytes: (a) every
+        # pre-first_lsn op was rewound un-acked (legal — rewind keeps
+        # next_lsn monotonic, so a failed FIRST insert leaves a healthy
+        # never-snapshotted collection whose WAL starts at LSN 2), or
+        # (b) the collection snapshotted-then-truncated and the snapshot
+        # directory was lost from the image (data loss). The WAL alone
+        # cannot distinguish them; the backup manifest can — a deleted
+        # snapshot dir already errored in _verify_manifest — so with a
+        # valid manifest this shape is the legal (a) and only warned.
+        msg = (f"{label}: no usable snapshot and the WAL starts at "
+               f"LSN {first_lsn}, not 1 — rewound never-acked genesis "
+               f"ops (legal), or records lost with a deleted snapshot")
+        if manifested:
+            rep.warn(msg)
+        else:
+            rep.error(msg + " (no backup manifest to rule the loss out)")
     elif frames and meta is not None:
         snap_lsn = int(meta.get("last_lsn", 0))
         if first_lsn > snap_lsn + 1:
@@ -293,6 +371,8 @@ def verify_image(path) -> dict:
         except Exception as e:
             rep.error(f"{CONFIG_FILE} unreadable: {e}")
 
+    manifested = _verify_manifest(root, rep)
+
     wal_p = root / WAL_FILE
     if wal_p.exists():
         frames, _, _, valid = _scan_wal(wal_p, rep, WAL_FILE)
@@ -310,7 +390,7 @@ def verify_image(path) -> dict:
                 continue  # staging dirs (.repl_boot_*) are not collections
             present.add(cdir.name)
             rep.collections += 1
-            _verify_collection(cdir, rep)
+            _verify_collection(cdir, rep, manifested)
     elif listed:
         rep.error(f"missing {COLLECTIONS_DIR}/ directory")
     for name in sorted(listed - present):
