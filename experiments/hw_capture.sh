@@ -45,8 +45,10 @@ step config2-dot python bench.py --metric dot
 step serve python bench.py --workload serve
 # 5. Config 4 (mixed insert/delete/search).
 step mixed python bench.py --workload mixed
-# 6. Kernel experiments (VERDICT item 4): fused theta0 pre-pass and
-#    pl.when-gated extraction — same-process A/B, bit-exactness asserted.
+# 6. Kernel experiments (VERDICT item 4): fused theta0 pre-pass,
+#    pl.when-gated extraction, and the counting floor threshold —
+#    same-process A/Bs, bit-exactness asserted / recall-probed.
+step kexp19 python experiments/kexp19.py
 step kexp17 python experiments/kexp17.py
 step kexp18 python experiments/kexp18.py
 # 7. Config 1 (100k x 128, single query) + batch-1 latency point.

@@ -43,6 +43,35 @@ def test_execute_flow(tmp_path, capsys):
     assert "x" in out
 
 
+def test_broken_pipe_exits_like_a_unix_tool(tmp_path, monkeypatch):
+    """`vrod ... | head` must exit 141 (128+SIGPIPE), not traceback: the
+    downstream closing early is normal shell usage, not an error."""
+    import sys
+    import tempfile
+    assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
+    db = str(tmp_path / "db")
+    assert main(["-d", db, "-e", "create",
+                 "-a", "c;dim=4;segment_rows=64"]) == 0
+
+    class ClosedPipe:
+        def __init__(self, fd):
+            self._fd = fd
+
+        def write(self, s):
+            raise BrokenPipeError(32, "Broken pipe")
+
+        def flush(self):
+            pass
+
+        def fileno(self):
+            return self._fd
+
+    with tempfile.TemporaryFile() as f:
+        monkeypatch.setattr(sys, "stdout", ClosedPipe(f.fileno()))
+        rc = main(["-d", db, "-e", "listcollections"])
+    assert rc == 141
+
+
 def test_execute_unknown_verb(tmp_path, capsys):
     assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
     rc = main(["-d", str(tmp_path / "db"), "-e", "NOPE"])

@@ -205,6 +205,87 @@ def test_sampled_threshold_soundness_randomized(rng):
         assert (t0[:, 0] <= kth + 1e-7).all(), (metric, t0[:, 0], kth)
 
 
+def test_kth_largest_count_exact(rng):
+    """kth_largest_count returns the EXACT per-row k-th largest (numpy
+    sort oracle) across ties, negatives, -inf, denormals, and the k=1 /
+    k=nsub edges — it is the tightest floor threshold_from_submax can
+    produce, so exactness here is the whole point."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vrod_tpu.ops import distances as D
+    cases = []
+    for nsub, k in [(128, 1), (128, 128), (256, 17), (1024, 100)]:
+        cases.append((rng.standard_normal((8, nsub)).astype(np.float32), k))
+    # Heavy ties (quantized values) + -inf holes + denormal magnitudes.
+    tied = np.round(rng.standard_normal((8, 256)) * 2).astype(np.float32)
+    tied[rng.random(tied.shape) < 0.2] = -np.inf
+    cases.append((tied, 9))
+    tiny = (rng.standard_normal((4, 128)) * 1e-42).astype(np.float32)
+    cases.append((tiny, 5))
+    allneg = -np.abs(rng.standard_normal((4, 128))).astype(np.float32)
+    cases.append((allneg, 31))
+    for sub, k in cases:
+        got = np.asarray(D.kth_largest_count(jnp.asarray(sub), k))[:, 0]
+        want = np.sort(sub, axis=1)[:, -k]
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
+def test_threshold_from_submax_count_vs_topk(rng):
+    """method='count' agrees with the exact top_k method bit-for-bit
+    (same k-th statistic in, same margin formula out)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vrod_tpu.ops import distances as D
+    sub = jnp.asarray(rng.standard_normal((16, 512)), dtype=jnp.float32)
+    k = 33
+    a = np.asarray(D.threshold_from_submax(sub, k, approx=False,
+                                           method="topk"))
+    b = np.asarray(D.threshold_from_submax(sub, k, method="count"))
+    np.testing.assert_array_equal(a, b)
+    # And the disabled-floor edge: fewer sub-maxima than k.
+    small = jnp.asarray(rng.standard_normal((4, 8)), dtype=jnp.float32)
+    out = np.asarray(D.threshold_from_submax(small, 9, method="count"))
+    assert np.isneginf(out).all()
+
+
+def test_engine_count_floor_results_exact(rng, monkeypatch):
+    """End-to-end: the engine with VROD_THETA0_METHOD=count (exact
+    counting k-th statistic instead of approx_max_k) matches the scan
+    oracle with the floor gate ACTUALLY OPEN. Gate arithmetic mirrors
+    test_int8_small_k_floor_engine_bit_identical: int8 cosine, rows
+    32768, k=16 -> k_scan 28, blk forced to 2048 -> n_sample 6144,
+    nsub 384 >= 2*28, rows >= 4*6144 — OPEN; a spy proves the count
+    method really computed the threshold (no silent fallback)."""
+    import numpy as np
+    from vrod_tpu.config import CollectionConfig
+    from vrod_tpu.engine import DeviceEngine
+    from vrod_tpu.ops import distances as D
+    monkeypatch.setenv("VROD_THETA0_METHOD", "count")
+    monkeypatch.setenv("VROD_THETA0_BLK", "2048")
+    seen = {}
+    orig = D.kth_largest_count
+
+    def spy(sub, k):
+        seen["k"] = k
+        return orig(sub, k)
+
+    monkeypatch.setattr(D, "kth_largest_count", spy)
+    cfg = CollectionConfig(name="cntf", dim=16, metric="cosine",
+                           dtype="int8", segment_rows=32768, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 32768
+    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 11))
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    vp, ip = eng.search(q, k=16, impl="pallas")
+    vs, is_ = eng.search(q, k=16, impl="scan")
+    np.testing.assert_array_equal(ip, is_)
+    np.testing.assert_allclose(vp, vs, rtol=1e-6)
+    assert seen.get("k") == 28, "count threshold never ran (gate closed?)"
+
+
 def test_sampled_submax_matches_reference(rng):
     """The fused group-max pre-pass equals the jnp reference (strided
     groups of block_rows//128 rows, 128 maxima per block)."""

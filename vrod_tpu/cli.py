@@ -243,6 +243,13 @@ def main(argv=None) -> int:
     except VrodError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
+    except BrokenPipeError:
+        # Downstream closed early (`vrod ... | head`): exit like a unix
+        # tool (128+SIGPIPE), not with a traceback. stdout is dead — point
+        # it at devnull so interpreter shutdown's flush doesn't re-raise.
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 141
 
 
 if __name__ == "__main__":

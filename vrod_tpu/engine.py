@@ -199,11 +199,17 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 if metric != "cosine" and dtype_name != "int8":
                     extra = D.accumulation_margin(
                         q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
+                # Threshold methods (VROD_THETA0_METHOD): "approx" =
+                # lax.approx_max_k (~0.8 ms at nsub 8192, kexp14);
+                # "count" = exact k-th sub-max by counting radix-lift
+                # (kth_largest_count) — tighter AND cheaper on paper;
+                # "minmax" = reduction-only (measured looser-net-loss,
+                # kexp14). A/B on hardware before changing the default.
                 theta0 = D.threshold_from_submax(
-                    sub, k_scan, approx=True, margin_abs=theta0_margin,
-                    extra=extra,
-                    method="minmax" if theta0_method == "minmax"
-                    else "topk")
+                    sub, k_scan, approx=theta0_method == "approx",
+                    margin_abs=theta0_margin, extra=extra,
+                    method=theta0_method
+                    if theta0_method in ("minmax", "count") else "topk")
             vals, idx = pallas_topk.fused_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
