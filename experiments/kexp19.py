@@ -29,30 +29,15 @@ import argparse
 import json
 import os
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
-from kexp15 import build  # same fill harness (int8-capable, rebuilds norms)
-
-
-def timed_qps(eng, q, k, iters=120):
-    # Pipelined async dispatch, one readback; warm-up + first-loop ramp
-    # (docs/performance.md "Measurement discipline").
-    for _ in range(6):
-        v, ix = eng.search(q, k, as_numpy=False)
-    np.asarray(ix[0, :1])
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            v, ix = eng.search(q, k, as_numpy=False)
-        np.asarray(ix)
-        dt = min(dt, time.perf_counter() - t0)
-    return q.shape[0] * iters / dt
+# Same fill harness (int8-capable, rebuilds norms) AND the same
+# measurement loop — one copy of the methodology to keep in sync.
+from kexp15 import build, timed_qps
 
 
 def main():

@@ -43,9 +43,15 @@ def test_execute_flow(tmp_path, capsys):
     assert "x" in out
 
 
-def test_broken_pipe_exits_like_a_unix_tool(tmp_path, monkeypatch):
+@pytest.mark.parametrize("raise_on", ["write", "flush"])
+def test_broken_pipe_exits_like_a_unix_tool(tmp_path, monkeypatch,
+                                            raise_on):
     """`vrod ... | head` must exit 141 (128+SIGPIPE), not traceback: the
-    downstream closing early is normal shell usage, not an error."""
+    downstream closing early is normal shell usage, not an error. The
+    'flush' case covers small outputs that fit the stdio buffer — the
+    EPIPE then only surfaces at flush time, which main() forces inside
+    its guard (at interpreter exit it would be an unhandled 'Exception
+    ignored' + exit 120)."""
     import sys
     import tempfile
     assert main(["--init-database", str(tmp_path), "-n", "db"]) == 0
@@ -58,10 +64,12 @@ def test_broken_pipe_exits_like_a_unix_tool(tmp_path, monkeypatch):
             self._fd = fd
 
         def write(self, s):
-            raise BrokenPipeError(32, "Broken pipe")
+            if raise_on == "write":
+                raise BrokenPipeError(32, "Broken pipe")
 
         def flush(self):
-            pass
+            if raise_on == "flush":
+                raise BrokenPipeError(32, "Broken pipe")
 
         def fileno(self):
             return self._fd

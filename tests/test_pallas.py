@@ -284,6 +284,10 @@ def test_engine_count_floor_results_exact(rng, monkeypatch):
     np.testing.assert_array_equal(ip, is_)
     np.testing.assert_allclose(vp, vs, rtol=1e-6)
     assert seen.get("k") == 28, "count threshold never ran (gate closed?)"
+    # Typos must be loud, not silently pick some method (perf lever).
+    monkeypatch.setenv("VROD_THETA0_METHOD", "Count")
+    with pytest.raises(ValueError, match="VROD_THETA0_METHOD"):
+        eng.search(q, k=16, impl="pallas")
 
 
 def test_sampled_submax_matches_reference(rng):

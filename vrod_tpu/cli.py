@@ -162,6 +162,24 @@ def _shell(db, default_collection=None, stdin=None, stdout=None,
 
 
 def main(argv=None) -> int:
+    try:
+        rc = _main(argv)
+        # Flush NOW, inside the EPIPE guard: small outputs sit in the
+        # stdio buffer until interpreter-exit flush, which would surface
+        # a broken pipe as an unhandled 'Exception ignored' + exit 120
+        # instead of routing through the handler below.
+        sys.stdout.flush()
+        return rc
+    except BrokenPipeError:
+        # Downstream closed early (`vrod ... | head`): exit like a unix
+        # tool (128+SIGPIPE), not with a traceback. stdout is dead — point
+        # it at devnull so interpreter shutdown's flush doesn't re-raise.
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        return 141
+
+
+def _main(argv=None) -> int:
     import warnings
     # Donation is a perf hint; on backends that can't honor it the warning
     # would spam every mutation's stderr.
@@ -243,13 +261,6 @@ def main(argv=None) -> int:
     except VrodError as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-    except BrokenPipeError:
-        # Downstream closed early (`vrod ... | head`): exit like a unix
-        # tool (128+SIGPIPE), not with a traceback. stdout is dead — point
-        # it at devnull so interpreter shutdown's flush doesn't re-raise.
-        import os
-        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        return 141
 
 
 if __name__ == "__main__":

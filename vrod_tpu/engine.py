@@ -758,6 +758,14 @@ class DeviceEngine:
         # baked in at trace time, so toggling the env var must reach a
         # different compiled program, not silently hit the old one.
         import os
+        theta0_method = os.environ.get("VROD_THETA0_METHOD", "approx")
+        if theta0_method not in ("approx", "count", "minmax", "topk"):
+            # A typo here would otherwise silently pick SOME method (and
+            # before round 4 silently fell back to approx) — the floor is
+            # a measured perf lever, so misconfiguration must be loud.
+            raise ValueError(
+                f"VROD_THETA0_METHOD={theta0_method!r}: expected "
+                f"approx|count|minmax|topk")
         fn = _search_fn(
             _mesh_key(self.mesh), Bp, k_out, k_scan, self.cfg.metric,
             precision, self.cfg.dtype, self.rows_local, block_rows,
@@ -765,7 +773,7 @@ class DeviceEngine:
             os.environ.get("VROD_THETA0", "1") != "0",
             float(os.environ.get("VROD_THETA0_MARGIN", "1e-3")),
             int(os.environ.get("VROD_THETA0_FRAC", "8")),
-            os.environ.get("VROD_THETA0_METHOD", "approx"),
+            theta0_method,
             # Pre-pass block: 0 = auto (largest of 16384/8192 that keeps
             # the floor gate open — fewer sub-maxima cut the approx_max_k
             # threshold cost; kexp16: +2.1% at 1M top-100). A numeric
