@@ -105,9 +105,15 @@ def main():
                         .astype(np.float32)
                     ids = c.bulk_insert("c", vecs)
                     inserted.extend(ids)
+                    # STEADY-STATE churn: once warm, delete as many as
+                    # each round inserts (oldest first). Live rows must
+                    # stay ~flat or the RSS plateau check below would
+                    # flag DATA growth as a leak; WAL bytes and slot
+                    # churn still cross the auto-snapshot/auto-compact
+                    # budgets continuously.
                     if len(inserted) >= 512:
-                        victims = inserted[:256]
-                        del inserted[:256]
+                        victims = inserted[:32]
+                        del inserted[:32]
                         c.delete("c", victims)
                     with lock:
                         counts["mutations"] += 1

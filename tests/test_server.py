@@ -512,6 +512,45 @@ def test_packed_batch_response_parity(server):
         assert all(len(hits) == 2 for hits in fb)
 
 
+def test_raw_batch_response_parity_and_fallback(server, monkeypatch):
+    """The raw-continuation batch response (the binary client's default)
+    decodes to exactly the base64 form (what a pre-raw server answers —
+    forced here by stripping the opt-in flag) and the JSON-triples
+    answer; a raw frame shorter than its hits_raw announcement hard-fails
+    the connection instead of mis-slicing."""
+    from vrod_tpu.client import VrodConnectionError
+    with VrodClient(server.address, binary_vectors=True) as b, \
+            VrodClient(server.address, binary_vectors=False) as j:
+        vecs, rids = _fill(b)
+        raw_form = b.search_similar_batch("c", vecs[:5], k=3)
+        triples = j.search_similar_batch("c", vecs[:5], k=3)
+        assert [[tuple(h) for h in hits] for hits in raw_form] == \
+               [[tuple(h) for h in hits] for hits in triples]
+        # Pre-raw server emulation: same request without the raw opt-in
+        # answers hits_b64; the client's fallback decode must agree.
+        orig = b._request
+
+        def strip_raw(**req):
+            req.pop("raw", None)
+            return orig(**req)
+
+        monkeypatch.setattr(b, "_request", strip_raw)
+        b64_form = b.search_similar_batch("c", vecs[:5], k=3)
+        assert [[tuple(h) for h in hits] for hits in b64_form] == \
+               [[tuple(h) for h in hits] for hits in raw_form]
+        monkeypatch.setattr(b, "_request", orig)
+
+        # Torn/mis-announced raw payload: hard connection failure (the
+        # bytes cannot be trusted), not a silent mis-slice.
+        def doctored(**req):
+            return {"hits_raw": {"b": 2, "n": 3}, "raw": b"short",
+                    "payloads": ["x", "y", "z"]}
+
+        monkeypatch.setattr(b, "_request", doctored)
+        with pytest.raises(VrodConnectionError, match="hits_raw"):
+            b.search_similar_batch("c", vecs[:2], k=3)
+
+
 def test_concurrent_clients_chaos(tmp_db, tmp_path):
     """Search clients race mutator clients through real sockets while
     auto-snapshots fire: every response is well-formed, searches only

@@ -426,6 +426,19 @@ class VrodServer:
                 import base64
                 ids, scores, counts, payloads = col.search_packed(
                     vecs, kk, **fkw)
+                if req.get("raw"):
+                    # Raw continuation (same opt-in as REPL.FETCH/TAIL):
+                    # counts (B x u4) || ids (N x u8) || scores (N x f4)
+                    # ship verbatim after the response line — no base64
+                    # codec, no 1.33x inflation. Payload STRINGS stay in
+                    # the JSON line (they need escaping anyway).
+                    return {"__raw__": b"".join((
+                                counts.astype("<u4", copy=False).tobytes(),
+                                ids.astype("<u8", copy=False).tobytes(),
+                                scores.astype("<f4", copy=False).tobytes())),
+                            "hits_raw": {"b": int(counts.shape[0]),
+                                         "n": int(ids.shape[0])},
+                            "payloads": payloads}
                 return {"hits_b64": {
                     "ids": base64.b64encode(
                         ids.astype("<u8", copy=False).tobytes()).decode(),
