@@ -294,6 +294,54 @@ def test_cli_serve_flag(tmp_path):
         errlog.close()
 
 
+def test_cli_serve_sigterm_graceful(tmp_path):
+    """SIGTERM (the supervisor stop signal) drains and exits 0 with the
+    socket unlinked — routed through the same path as Ctrl-C. Durable
+    state survives: a mutation acked before the signal is present on
+    reload."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from vrod_tpu.database import Database
+
+    db = Database.new(tmp_path, "tdb")
+    db.close()
+    sock = tmp_path / "term.sock"
+    errlog = open(tmp_path / "term.err", "w+b")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vrod_tpu.cli", "-d", str(tmp_path / "tdb"),
+         "--serve", f"unix:{sock}"],
+        stdout=subprocess.DEVNULL, stderr=errlog)
+    try:
+        for _ in range(300):
+            if sock.exists():
+                break
+            if proc.poll() is not None:
+                errlog.seek(0)
+                raise AssertionError(f"server died: {errlog.read().decode()}")
+            time.sleep(0.1)
+        else:
+            raise AssertionError("server socket never appeared")
+        with VrodClient(f"unix:{sock}") as c:
+            c.execute("CREATE", arg=f"t;dim={DIM}")
+            rid = c.insert("t", np.ones(DIM, np.float32), "pre-term")
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0, "SIGTERM exit must be clean"
+        assert not sock.exists(), "socket not unlinked on graceful stop"
+        db = Database.load(tmp_path / "tdb")
+        try:
+            assert db.collection("t").get(rid).payload == "pre-term"
+        finally:
+            db.close()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+        errlog.close()
+
+
 def test_unix_socket_not_stolen_from_live_server(tmp_db, tmp_path):
     """Binding a path a LIVE server answers on must fail, not silently
     steal it; a stale path (dead owner) must be reclaimed."""

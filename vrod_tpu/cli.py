@@ -222,7 +222,23 @@ def _main(argv=None) -> int:
         # Serving mode: one loaded database + compiled programs behind a
         # socket; concurrent clients micro-batch into shared MXU tiles.
         if args.serve:
+            import signal
             from .server import VrodServer
+            # Supervisors (systemd, k8s) stop services with SIGTERM.
+            # Abrupt death is SAFE (WAL-first: every acked mutation is
+            # durable) but graceful is better: route SIGTERM through the
+            # same KeyboardInterrupt path as Ctrl-C, so serve_forever
+            # drains in-flight requests and closes the socket/Database.
+            # (Calling server.close() from the handler directly would
+            # deadlock: close() waits for the serve loop, which is THIS
+            # thread.) Main-thread only — library embedders own signals.
+            import threading
+
+            def _sigterm(_sig, _frm):
+                raise KeyboardInterrupt
+
+            if threading.current_thread() is threading.main_thread():
+                signal.signal(signal.SIGTERM, _sigterm)
             db_dir = Path(args.database) if args.database else Path.cwd()
             with Database.load(db_dir) as db:
                 with VrodServer(db, args.serve,
