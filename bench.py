@@ -300,13 +300,19 @@ def mixed_workload(n_rows, dim, iters, dtype="float32"):
         return ops_done / dt, restore_s, count, reindex_s
 
 
-def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
+def serve_workload(n_rows, dim, k, n_clients, per_client, dtype,
+                   req_batch=1):
     """End-to-end serving: a unix-socket VrodServer over a temp database,
     ``n_clients`` concurrent connections each issuing single-query searches
     (the worst case for a TPU — batch 1 is dispatch-bound). The frontend
     micro-batches across connections into shared MXU tiles; correctness is
     built in (every query is a stored vector whose top-1 must be itself).
-    Reports aggregate client-observed QPS + the achieved batching ratio."""
+    Reports aggregate client-observed QPS + the achieved batching ratio.
+
+    ``req_batch > 1`` switches to client-side batched requests
+    (``search_similar_batch``: one engine call per request, packed
+    binary/raw responses) — the bulk-retrieval wire path rather than the
+    micro-batching frontend."""
     import tempfile
     import threading
     from vrod_tpu import metrics
@@ -326,7 +332,8 @@ def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
         # pending sizes 1..N pad to buckets, INCLUDING the covering bucket
         # when N is not itself a bucket value (e.g. 48 clients -> tile 64).
         from vrod_tpu.engine import BATCH_BUCKETS, _bucket
-        cover = _bucket(min(n_clients, 256), BATCH_BUCKETS)
+        cover = _bucket(min(n_clients if req_batch == 1 else req_batch,
+                            256), BATCH_BUCKETS)
         buckets = sorted(
             {b for b in BATCH_BUCKETS if b <= cover} | {1, cover})
         for b in buckets:
@@ -342,6 +349,21 @@ def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
                 try:
                     with VrodClient(server.address) as c:
                         start.wait(timeout=120)
+                        if req_batch > 1:
+                            for _ in range(per_client):
+                                idx = rng.integers(0, n_rows,
+                                                   size=req_batch)
+                                t0 = time.perf_counter()
+                                bat = c.search_similar_batch(
+                                    "s", vecs[idx], k=k)
+                                lat[tid].append(time.perf_counter() - t0)
+                                for j, i in enumerate(idx):
+                                    if bat[j][0].record_id != int(i) + 1:
+                                        raise AssertionError(
+                                            f"row {j} of query batch: "
+                                            f"top-1 {bat[j][0].record_id}"
+                                            f" want {int(i) + 1}")
+                            return
                         idx = rng.integers(0, n_rows, size=per_client)
                         for i in idx:
                             t0 = time.perf_counter()
@@ -374,7 +396,7 @@ def serve_workload(n_rows, dim, k, n_clients, per_client, dtype):
                 raise errors[0]
             after = metrics.counters.snapshot()
         db.close()
-        queries = n_clients * per_client
+        queries = n_clients * per_client * req_batch
         batches = (after.get("frontend.batch", 0)
                    - before.get("frontend.batch", 0))
         all_lat = sorted(x for per in lat for x in per)
@@ -411,7 +433,7 @@ def main():
     ap.add_argument("--precision", default=None)
     ap.add_argument("--workload", default="search",
                     choices=["search", "mixed", "batch-sweep", "scaling",
-                             "serve"])
+                             "serve", "serve-batch"])
     ap.add_argument("--clients", type=int, default=32,
                     help="concurrent connections for --workload serve")
     ap.add_argument("--shards", type=int, default=1)
@@ -501,6 +523,31 @@ def main():
             "extra": {"avg_queries_per_tile": round(batch_ratio, 1),
                       "client_p50_ms": round(p50 * 1e3, 2),
                       "client_p99_ms": round(p99 * 1e3, 2),
+                      "server_request": srv,
+                      "recall_spotcheck": 1.0},
+        }))
+        return
+
+    if args.workload == "serve-batch":
+        # Bulk-retrieval wire path: few clients, big batched requests
+        # (binary vectors in, raw packed hits out) — one engine call per
+        # request, so this measures scan + wire codec, not micro-batching.
+        n_rows = args.rows or (32768 if args.quick else 262144)
+        per_client = args.iters or (3 if args.quick else 20)
+        n_clients = min(args.clients, 4) if args.clients == 32 \
+            else args.clients
+        qps, _, p50, p99, srv = serve_workload(
+            n_rows, args.dim, args.k, n_clients, per_client,
+            dtype=args.dtype, req_batch=args.batch)
+        print(json.dumps({
+            "metric": f"served batched QPS, {n_rows}x{args.dim}, "
+                      f"{n_clients} clients x batch {args.batch} "
+                      f"top-{args.k}",
+            "value": round(qps, 1),
+            "unit": "queries/s",
+            "vs_baseline": None,
+            "extra": {"request_p50_ms": round(p50 * 1e3, 2),
+                      "request_p99_ms": round(p99 * 1e3, 2),
                       "server_request": srv,
                       "recall_spotcheck": 1.0},
         }))

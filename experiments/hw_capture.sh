@@ -43,6 +43,7 @@ step config2-dot python bench.py --metric dot
 # 4. Serving stack on TPU (binary protocol + quiescent batching) — never
 #    yet measured on hardware with the round-3 host-path rebuild.
 step serve python bench.py --workload serve
+step serve-batch python bench.py --workload serve-batch
 # 5. Config 4 (mixed insert/delete/search).
 step mixed python bench.py --workload mixed
 # 6. Kernel experiments (VERDICT item 4): fused theta0 pre-pass,
