@@ -55,6 +55,12 @@ def test_ping_stats_roundtrip(client):
     assert client.ping() == "pong"
     st = client.stats()
     assert st["uptime_s"] >= 0 and "counters" in st
+    # Capability discovery: any-language clients check features ONCE
+    # instead of trial-and-fallback per call.
+    from vrod_tpu import VROD_VERSION
+    assert st["version"] == VROD_VERSION
+    assert "raw_continuations" in st["features"]
+    assert "binary_vectors" in st["features"]
 
 
 def test_insert_search_get_update_delete(client):

@@ -360,8 +360,17 @@ class VrodServer:
                     "Authentication failed: request needs the server's "
                     "'auth' token")
         if cmd == "STATS":
+            from .config import VROD_VERSION
             stats = {"uptime_s": round(time.monotonic() - self._t0, 3),
                      "address": self.address,
+                     "version": VROD_VERSION,
+                     # Capability discovery for any-language clients: one
+                     # STATS instead of per-call trial-and-fallback.
+                     # Servers predating a feature simply omit its name.
+                     "features": ["binary_vectors", "packed_hits",
+                                  "raw_continuations", "min_position",
+                                  "replication", "backup_verify",
+                                  "fence_promote"],
                      "read_only": self.read_only,
                      "collections": self.db.list_collections(),
                      "counters": metrics.counters.snapshot(),
