@@ -147,13 +147,13 @@ def _kernel_theta_fused(offset_ref, q_ref, margin_ref, *rest, metric, k,
             # For sample blocks the per-query block max is already known
             # (it is the max of the block's 128 submax lanes): a block no
             # query can beat skips the matmul + extraction entirely.
+            # Dynamic windows must be REF loads: lax.dynamic_slice on a
+            # VALUE has no Mosaic lowering (hardware-only failure — the
+            # interpret-mode leg passed with the value slice).
+            blk = sub_ref[:, pl.ds(jnp.minimum(j, s_blocks - 1) * 128, 128)]
             blkmax = jnp.max(
-                jnp.where(
-                    j < s_blocks,
-                    lax.dynamic_slice_in_dim(
-                        sub, jnp.minimum(j, s_blocks - 1) * 128, 128,
-                        axis=1),
-                    jnp.full((b, 128), jnp.inf, jnp.float32)),
+                jnp.where(j < s_blocks, blk,
+                          jnp.full((b, 128), jnp.inf, jnp.float32)),
                 axis=1, keepdims=True)
             skip = jnp.logical_not(jnp.any(blkmax > theta))
             col = col_local + (j * block_rows + offset)
@@ -258,8 +258,17 @@ def run_pair(x, aux, valid, q, k_scan, *, metric, interpret, variant,
     offset = jnp.zeros((1,), jnp.int32)
     margin = jnp.zeros((b, 1), jnp.float32)  # phases score bit-identically
 
+    # The stock leg MUST be one jitted program like the fused leg (and
+    # like the engine, which composes it inside a jitted shard_map):
+    # called eagerly, each prep op (mask where/reshape, threshold glue)
+    # dispatches separately over the tunnel and inflates the baseline ~2x
+    # (the first hardware run measured "stock 16.78 ms" that way — vs the
+    # engine's whole 4.6 ms batch including this kernel).
+    stock_jit = jax.jit(lambda xx, aa, vv, qq: stock_path(
+        xx, aa, vv, qq, k_scan, metric, interpret))
+
     def stock():
-        return stock_path(x, aux, valid, q, k_scan, metric, interpret)
+        return stock_jit(x, aux, valid, q)
 
     def fused():
         return fused_theta(x, aux2d, mask2d, q, offset, margin, k=k_scan,

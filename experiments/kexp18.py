@@ -214,9 +214,18 @@ def run_pair(x, aux, valid, q, k_scan, *, interpret, iters=60):
     t0 = jnp.full((b, 1), P.NEG_INF, jnp.float32)
     pname = "fast"
 
+    # Jit the stock leg: the gated leg is one jitted program, and calling
+    # fused_topk eagerly pays per-op tunnel dispatch for its mask/aux prep
+    # (~2x inflation of the baseline — the 2026-08-19 hardware run measured
+    # stock 9.03 ms at k_scan 24 while the ENGINE's whole batch, which runs
+    # this same kernel jitted plus rescore, measured 4.63 ms). The engine
+    # always composes the kernel inside a jitted shard_map program.
+    stock_jit = jax.jit(lambda xx, aa, vv, qq: P.fused_topk(
+        xx, aa, vv, qq, k=k_scan, metric="cosine",
+        precision_name=pname, interpret=interpret))
+
     def stock():
-        return P.fused_topk(x, aux, valid, q, k=k_scan, metric="cosine",
-                            precision_name=pname, interpret=interpret)
+        return stock_jit(x, aux, valid, q)
 
     def gated():
         return fused_gated(x, aux2d, mask2d, q, offset, t0, k=k_scan,

@@ -790,5 +790,11 @@ class DeviceEngine:
             vals, idx = fn(self.x, self.aux, valid, q)
         if not as_numpy:
             return vals[:B, :k], idx[:B, :k]
-        return np.asarray(vals[:B, :k]), np.asarray(idx[:B, :k])
+        # device_get starts BOTH host copies async before blocking, so the
+        # two transfers overlap into ~one interconnect round trip. Through
+        # the dev tunnel one readback costs ~25 ms RTT — sequential
+        # np.asarray(vals); np.asarray(idx) paid it twice, and this sync is
+        # the serving path's dominant per-tile cost (the 262k-row scan
+        # itself is ~1 ms).
+        return jax.device_get((vals[:B, :k], idx[:B, :k]))
 
