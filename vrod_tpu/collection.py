@@ -19,6 +19,7 @@ safe. Record model is the reference's ``(f32 embedding, string payload)``
 
 from __future__ import annotations
 
+import contextlib
 import json
 import shutil
 import threading
@@ -165,6 +166,11 @@ class Collection:
         # whether the WAL can serve a follower's position or the follower
         # must re-bootstrap from the snapshot.
         self._wal_floor = 0
+        # Collective-maintenance conversation counter (process-spanning
+        # meshes): one per collective snapshot, advanced identically on
+        # every rank (maintenance is collective by contract); keys the
+        # host-side KV agreement rounds (see _mh_agreed_write).
+        self._mh_seq = 0
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -313,27 +319,90 @@ class Collection:
                 f"{jax.process_index()}): copy the leader's collection "
                 "directory to all ranks, then load collectively")
 
-    def _broadcast_cut(self, last_lsn: int, n_live: int, next_id: int) -> int:
-        """Collective snapshot on a process-spanning mesh: the LSN cut is
-        the LEADER's. Followers never append to their WALs (rank 0 owns
-        durability), so their local ``last_lsn`` is whatever the last
-        distributed load left behind — stamping it into meta.json would
-        fork LSN assignment after a restore. One tiny allgather ships the
-        leader's cut, and cross-checks that the replicated host state
-        (live count, next_id) really is identical on every rank BEFORE
-        anything is written — a rank that missed a mutation would
-        otherwise persist a diverged image."""
+    def _mh_exchange(self, client, tag: str, retry: int, payload: dict,
+                     timeout_s: float) -> list[dict]:
+        """One host-side agreement round over the coordination-service KV
+        store (NOT a device collective — the exchange must not itself need
+        the dispatch-order property it establishes). Keys are globally
+        unique per round: the engine's per-load nonce x this collection's
+        conversation seq x tag x retry; stale keys from two conversations
+        ago are garbage-collected lazily (see _mh_agreed_write)."""
         import jax
-        from jax.experimental import multihost_utils
-        fp = np.array([last_lsn, n_live, next_id], dtype=np.int64)
-        all_fp = np.asarray(multihost_utils.process_allgather(fp))
-        if not (all_fp[:, 1:] == all_fp[0, 1:]).all():
+        from .parallel import distributed
+        prefix = (f"vrod/{self.engine.mh_nonce}/{self.config.name}/"
+                  f"{self._mh_seq}/{tag}/r{retry}")
+        vals = distributed.kv_exchange(
+            client, prefix, jax.process_index(), jax.process_count(),
+            json.dumps(payload), timeout_s)
+        return [json.loads(v) for v in vals]
+
+    @contextlib.contextmanager
+    def _mh_agreed_write(self, tag: str, extra=None):
+        """Write lock at a cross-rank-AGREED mutation generation.
+
+        Collective device programs (mutation scatters, snapshot gathers)
+        must occupy the same position in every rank's dispatch stream. App
+        mutations are collective and totally ordered by the SPMD contract;
+        what thread timing can still skew is WHERE a collective snapshot's
+        chunk gathers land between them — rank 0's writer could slip a
+        mutation between chunks 3 and 4 while rank 1's slips it between 4
+        and 5. This guard pins the interleave: acquire the local write
+        lock, exchange the local mutation generation host-side, and only
+        proceed when every rank holds its lock at the SAME generation —
+        identical dispatched prefixes, and nothing can dispatch until the
+        locks release. Ranks that are behind release the lock, let their
+        writers catch up (bounded by VROD_MH_AGREE_TIMEOUT_S, default
+        120 s), and retry; retry rounds stay in lockstep because every
+        rank computes the same decision from the same exchanged values.
+
+        ``extra`` (callable -> dict, evaluated under the lock) merges
+        per-rank data into the exchanged payload; the body receives the
+        agreed list of all ranks' payloads, ordered by rank. Scope: one
+        conversation per collection at a time (under ``_maint``);
+        cross-COLLECTION dispatch ordering remains the app's SPMD
+        contract, as for mutations."""
+        import os
+        import time
+        from .parallel import distributed
+        client = distributed.coordination_client()
+        if client is None:
             raise RuntimeError(
-                "Collective snapshot requires identical replicated host "
-                "state on every rank ((live, next_id) by rank: "
-                f"{all_fp[:, 1:].tolist()}, this rank "
-                f"{jax.process_index()}): a rank missed a mutation")
-        return int(all_fp[0, 0])
+                "collective maintenance on a process-spanning mesh needs "
+                "the jax distributed coordination service "
+                "(parallel.distributed.initialize)")
+        timeout_s = float(os.environ.get("VROD_MH_AGREE_TIMEOUT_S", "120"))
+        deadline = time.monotonic() + timeout_s
+        retry = 0
+        while True:
+            self._rw.acquire_write()
+            try:
+                payload = {"mutgen": self._mutgen}
+                if extra is not None:
+                    payload.update(extra())
+                all_p = self._mh_exchange(client, tag, retry, payload,
+                                          timeout_s)
+                gens = [int(p["mutgen"]) for p in all_p]
+                if len(set(gens)) == 1:
+                    yield all_p  # body runs with the write lock held
+                    return
+            finally:
+                self._rw.release_write()
+            target = max(gens)
+            while self._mutgen < target:
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"collective {tag!r} on {self.config.name!r}: ranks "
+                        f"disagree on mutation generation ({gens}) and this "
+                        f"rank made no progress within {timeout_s}s — "
+                        "collective mutations must be invoked on every rank "
+                        "(SPMD contract)")
+                time.sleep(0.002)
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"collective {tag!r} on {self.config.name!r}: no "
+                    f"generation agreement within {timeout_s}s "
+                    f"(last round: {gens})")
+            retry += 1
 
     def _fragmented(self) -> bool:
         """True only when compaction would ACTUALLY reclaim a segment: the
@@ -1019,8 +1088,20 @@ class Collection:
         ``sync=False`` defers the fsync so a catch-up batch shares one
         (call :meth:`replica_sync` after the batch)."""
         if self.engine.multiprocess:
+            # Tested contract (tests/test_multihost.py), not a TODO: a
+            # replica applies frames as its tailer receives them — an
+            # inherently rank-local trigger that cannot satisfy the SPMD
+            # requirement that every rank dispatch the same collective
+            # scatter at the same point. Scale READS of a global-mesh
+            # store with single-host replicas restored from its BACKUP
+            # image instead (docs/operations.md, "Replication and
+            # global-mesh stores").
             raise RuntimeError(
-                "replication onto a process-spanning mesh is not supported")
+                "replication onto a process-spanning mesh is not supported: "
+                "a replica's WAL-tail applies are rank-local events and "
+                "cannot be dispatched collectively; restore a BACKUP image "
+                "onto single-host replicas to scale reads "
+                "(docs/operations.md)")
         op = ops.decode(frame)  # validate before touching the WAL
         with self._rw.write():
             if lsn <= max(self._wal_floor, self.wal.last_lsn):
@@ -1064,10 +1145,15 @@ class Collection:
         because replay is idempotent and ordered.
 
         On a PROCESS-SPANNING mesh the snapshot is collective (call it on
-        every rank) and BLOCKING: the write lock is held across the whole
-        gather so this rank cannot interleave another collective dispatch
-        between gather chunks — cross-rank dispatch order is the SPMD
-        correctness contract (see ``_snapshot_impl``)."""
+        every rank) and near-non-blocking: each gather chunk dispatches
+        under a write lock acquired at a cross-rank-AGREED mutation
+        generation (host-side coordination, ``_mh_agreed_write``), so
+        collective mutations make progress BETWEEN chunks while the
+        mutation/chunk interleave — the SPMD dispatch-order contract —
+        stays identical on every rank. Concurrent SEARCHES on a
+        process-spanning mesh remain the app's responsibility to order
+        symmetrically; do not issue them concurrently with maintenance
+        (see ``_snapshot_impl``)."""
         with self._maint:
             p = self._snapshot_impl()
         # A compaction budget crossed during this snapshot was deferred
@@ -1084,23 +1170,41 @@ class Collection:
         # directories are byte-identical again (a later collective load's
         # fingerprint check passes without re-distributing files).
         # Collective XLA programs must be dispatched in the SAME order on
-        # every rank; a concurrent mutation/search thread could slot in
-        # between gather chunks on one rank but not another (undefined
-        # behavior: hang, or a snapshot gathered from mixed states). So on
-        # a multiprocess mesh the WRITE lock is held for the whole gather —
-        # this rank's dispatch order is exactly its command order, which
-        # the SPMD contract already requires to agree across ranks. The
-        # chunked short-read-lock (non-blocking) form is single-process
-        # only.
+        # every rank; a concurrent mutation thread could slot in between
+        # gather chunks on one rank but not another (undefined behavior:
+        # hang, or a snapshot gathered from mixed states). Round 5: instead
+        # of holding the write lock across the WHOLE gather (the r4
+        # write-stall), each chunk dispatches under _mh_agreed_write — a
+        # host-side per-chunk generation agreement that pins the
+        # mutation/chunk interleave identically on every rank, so writers
+        # make progress BETWEEN chunks. The capture stays fuzzy exactly
+        # like the single-process form (mutations during the gather have
+        # LSN > cut; the preserved WAL tail + idempotent replay
+        # re-establish exactness on restore), and the captured bytes stay
+        # byte-identical across ranks: the collective gather replicates
+        # identical device bytes, and host payloads are read UNDER the
+        # agreed lock at the agreed generation.
         if self.engine.multiprocess:
-            with self._rw.write():
-                return self._snapshot_run(locked=True)
-        return self._snapshot_run(locked=False)
+            # Lazy key GC: every rank is provably past conversation
+            # seq-2 once any rank enters seq (it returned from seq-1,
+            # which required every rank's final-round write, which
+            # follows all of that rank's seq-2 reads).
+            self._mh_seq += 1
+            from .parallel import distributed
+            client = distributed.coordination_client()
+            if client is not None and self._mh_seq >= 3:
+                try:
+                    client.key_value_delete(
+                        f"vrod/{self.engine.mh_nonce}/{self.config.name}/"
+                        f"{self._mh_seq - 2}/")
+                except Exception:
+                    pass
+        return self._snapshot_run()
 
-    def _snapshot_run(self, locked: bool) -> Path:
-        import contextlib
-        wlock = contextlib.nullcontext if locked else self._rw.write
-        rlock = contextlib.nullcontext if locked else self._rw.read
+    def _snapshot_run(self) -> Path:
+        multiprocess = self.engine.multiprocess
+        wlock = self._rw.write
+        rlock = self._rw.read
         snap_dir = self.path / SNAPSHOT_DIR
         old_dir = self.path / (SNAPSHOT_DIR + ".old")
         tmp_dir = self.path / (SNAPSHOT_DIR + ".tmp")
@@ -1108,25 +1212,48 @@ class Collection:
             shutil.rmtree(tmp_dir)
         tmp_dir.mkdir(parents=True)
 
-        # Phase 1 — plan the cut under a brief write lock.
-        with wlock():
+        # Phase 1 — plan the cut under a brief write lock. The cut is the
+        # durable LSN HIGH-WATER, not just the last frame in the WAL: with
+        # an already-truncated (empty) WAL — e.g. a REINDEX right after a
+        # snapshot — wal.last_lsn is 0, and recording 0 would (a) reset
+        # LSN assignment after a restore (seed_lsn(0)), breaking
+        # cross-restart monotonicity, and (b) hand replication bootstraps
+        # a position of 0 below the primary's floor — an infinite resync
+        # loop (caught by the replication fuzz).
+        plan: dict = {}
+
+        def plan_cut() -> dict:
             self.wal.sync()  # everything applied so far is durable
             self._commit.mark_synced()
-            live_slots = self.alloc.live_slots()
-            rids = self.alloc.ids_of(live_slots.astype(np.uint64))
-            next_id = self.next_id
-            # The cut is the durable LSN HIGH-WATER, not just the last
-            # frame in the WAL: with an already-truncated (empty) WAL —
-            # e.g. a REINDEX right after a snapshot — wal.last_lsn is 0,
-            # and recording 0 would (a) reset LSN assignment after a
-            # restore (seed_lsn(0)), breaking cross-restart monotonicity,
-            # and (b) hand replication bootstraps a position of 0 below
-            # the primary's floor — an infinite resync loop (caught by
-            # the replication fuzz).
-            last_lsn = max(self.wal.last_lsn, self._wal_floor)
-            if self.engine.multiprocess:
-                last_lsn = self._broadcast_cut(
-                    last_lsn, int(live_slots.size), next_id)
+            plan["live_slots"] = self.alloc.live_slots()
+            plan["rids"] = self.alloc.ids_of(
+                plan["live_slots"].astype(np.uint64))
+            plan["next_id"] = self.next_id
+            return {"live": int(plan["live_slots"].size),
+                    "next_id": plan["next_id"],
+                    "last_lsn": max(self.wal.last_lsn, self._wal_floor)}
+
+        if multiprocess:
+            # The LSN cut is the LEADER's: followers never append to their
+            # WALs (rank 0 owns durability), so their local last_lsn is
+            # whatever the last distributed load left behind — stamping it
+            # into meta.json would fork LSN assignment after a restore.
+            # The exchanged (live, next_id) cross-check catches a rank
+            # that missed a mutation BEFORE anything is written.
+            with self._mh_agreed_write("cut", extra=plan_cut) as all_p:
+                key = (all_p[0]["live"], all_p[0]["next_id"])
+                if any((p["live"], p["next_id"]) != key for p in all_p):
+                    raise RuntimeError(
+                        "Collective snapshot requires identical replicated "
+                        "host state on every rank ((live, next_id) by "
+                        f"rank: {[(p['live'], p['next_id']) for p in all_p]}"
+                        "): a rank missed a mutation")
+                last_lsn = int(all_p[0]["last_lsn"])
+        else:
+            with wlock():
+                last_lsn = int(plan_cut()["last_lsn"])
+        live_slots, rids, next_id = (
+            plan["live_slots"], plan["rids"], plan["next_id"])
 
         # Phase 2 — chunked gather + streaming write, no write lock held.
         # Vectors persist in the STORED representation (f32/bf16/int8 +
@@ -1142,10 +1269,23 @@ class Collection:
             for start in range(0, n, chunk):
                 sl = live_slots[start:start + chunk].astype(np.int64)
                 rid_chunk = rids[start:start + chunk]
-                with rlock():
-                    rows, auxv = self.engine.gather_raw(sl)
-                    pmap = self.payloads.get_many(rid_chunk.tolist())
-                    pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
+                if multiprocess:
+                    # Dispatch the collective gather + read host payloads
+                    # under the AGREED write lock (identical bytes on
+                    # every rank by identical generation); the device
+                    # readback, CRC and disk write — the dominant chunk
+                    # cost — run after release, so writers progress
+                    # between chunks (jax arrays are immutable; a later
+                    # donated mutation is ordered after the gather).
+                    with self._mh_agreed_write(f"c{start}"):
+                        rows, auxv = self.engine.gather_raw(sl, sync=False)
+                        pmap = self.payloads.get_many(rid_chunk.tolist())
+                    rows, auxv = np.asarray(rows), np.asarray(auxv)
+                else:
+                    with rlock():
+                        rows, auxv = self.engine.gather_raw(sl)
+                        pmap = self.payloads.get_many(rid_chunk.tolist())
+                pls = [pmap.get(int(r), "") for r in rid_chunk.tolist()]
                 vw.write_rows(rows)
                 aw.write_rows(auxv.astype(np.float32))
                 pw.write_many(pls)

@@ -70,7 +70,7 @@ def _pick_block_rows(rows_local: int, segment_rows: int) -> int:
 def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                rows_local, block_rows, shards, do_rescore, impl,
                use_theta0=True, theta0_margin=1e-3, theta0_frac=8,
-               theta0_method="approx", theta0_blk=2048, theta0_mink=64):
+               theta0_method="count", theta0_blk=2048, theta0_mink=64):
     """Build + jit the full search program for one static configuration."""
     mesh = _MESHES[mesh_key]
     precision = D.PRECISIONS[precision_name]
@@ -199,12 +199,13 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 if metric != "cosine" and dtype_name != "int8":
                     extra = D.accumulation_margin(
                         q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
-                # Threshold methods (VROD_THETA0_METHOD): "approx" =
-                # lax.approx_max_k (~0.8 ms at nsub 8192, kexp14);
-                # "count" = exact k-th sub-max by counting radix-lift
-                # (kth_largest_count) — tighter AND cheaper on paper;
-                # "minmax" = reduction-only (measured looser-net-loss,
-                # kexp14). A/B on hardware before changing the default.
+                # Threshold methods (VROD_THETA0_METHOD): "count" (the
+                # default since round 5) = exact k-th sub-max by counting
+                # radix-lift (kth_largest_count) — kexp19's A/B/A bracket
+                # measured it a wash vs "approx" (lax.approx_max_k,
+                # ~0.8 ms at nsub 8192, kexp14), and at equal cost the
+                # exact method gives the provably tighter floor; "minmax"
+                # = reduction-only (measured looser-net-loss, kexp14).
                 theta0 = D.threshold_from_submax(
                     sub, k_scan, approx=theta0_method == "approx",
                     margin_abs=theta0_margin, extra=extra,
@@ -473,6 +474,20 @@ class DeviceEngine:
         # are not fully addressable from any single process.
         self.multiprocess = len(
             {d.process_index for d in self.mesh.devices.flat}) > 1
+        # One token per collective engine construction, identical on every
+        # rank and unique across the process group's lifetime: collective
+        # maintenance keys its host-side coordination-KV agreement rounds
+        # on it (KV values are immutable, so keys must never collide across
+        # loads — see Collection._mh_agreed_write). Engine construction is
+        # single-threaded and collective (the array init right below is an
+        # SPMD program), so this tiny allgather sits at the same position
+        # in every rank's dispatch stream.
+        self.mh_nonce = 0
+        if self.multiprocess:
+            import time as _time
+            from jax.experimental import multihost_utils
+            self.mh_nonce = int(np.asarray(multihost_utils.process_allgather(
+                np.int64(_time.time_ns())))[0])
         self.dtype = jnp.dtype(cfg.dtype)
         # int8+l2 maintains a derivable |x_hat|^2 lane for the fused
         # kernel's epilogue (the scan/rescore paths reconstruct it on the
@@ -606,19 +621,28 @@ class DeviceEngine:
                 self.x, self.aux, self.valid = _write_rows_raw(
                     self.x, self.aux, self.valid, sl, rc, ac)
 
-    def gather_raw(self, slots: np.ndarray):
+    def gather_raw(self, slots: np.ndarray, *, sync: bool = True):
         """Fetch (stored rows, aux) without conversion (snapshot writer).
 
         On a process-spanning mesh this is a COLLECTIVE program (every
         rank must call it with identical slots in the same order) whose
-        replicated output lets each rank read the full chunk locally."""
+        replicated output lets each rank read the full chunk locally.
+
+        ``sync=False`` returns the (immutable) jax arrays right after
+        DISPATCH without the device->host readback: the collective
+        snapshot holds its agreed write lock only across the dispatch and
+        reads the bytes back after releasing it (jax arrays are immutable,
+        so a later donated mutation cannot corrupt an in-flight gather —
+        the runtime orders it after)."""
         slots = np.asarray(slots, dtype=np.int32)
         if self.multiprocess:
             g = _replicated_gather(_mesh_key(self.mesh))
             rows, auxv = g(self.x, self.aux, slots)
-            return np.asarray(rows), np.asarray(auxv)
-        rows = self.x[slots]
-        auxv = self.aux[slots]
+        else:
+            rows = self.x[slots]
+            auxv = self.aux[slots]
+        if not sync:
+            return rows, auxv
         return np.asarray(rows), np.asarray(auxv)
 
     def erase(self, slots: np.ndarray) -> None:
@@ -758,7 +782,13 @@ class DeviceEngine:
         # baked in at trace time, so toggling the env var must reach a
         # different compiled program, not silently hit the old one.
         import os
-        theta0_method = os.environ.get("VROD_THETA0_METHOD", "approx")
+        # Default "count" (round 5): kexp19's A/B/A hardware bracket was a
+        # wash (k=16: 52.97/53.1/53.0 kQPS; k=100: 30.48/30.44/30.49), so
+        # the EXACT radix-lift k-th sub-max wins on principle at zero cost —
+        # a provably tighter floor than approx_max_k's recall-0.95 top-k
+        # (which can drop true sub-maxima), and the soundness argument
+        # carries no approximation. approx stays one env var away.
+        theta0_method = os.environ.get("VROD_THETA0_METHOD", "count")
         if theta0_method not in ("approx", "count", "minmax", "topk"):
             # A typo here would otherwise silently pick SOME method (and
             # before round 4 silently fell back to approx) — the floor is

@@ -20,6 +20,12 @@ majority once the carry warms up) cost one max pass beyond the matmul, and
 no VMEM scratch is needed for scores at all. Expected extractions across
 the whole scan: ~k * (1 + ln nblocks) per query; worst case is still
 exact, just slower.
+
+Since round 5 the extraction is GATED: the carry lives in VMEM scratch
+refs and the whole while-loop construct sits behind ``pl.when`` on the
+loop's own first cond, so non-contributing blocks skip the Mosaic while
+ENTRY too, not just its iterations (hardware A/B, kexp18: int8 -13% at
+k_scan 24 / -18% at k_scan 112; bit-identical results by construction).
 """
 
 from __future__ import annotations
@@ -92,6 +98,48 @@ def _extract_block(s, col, cv, ci, k, kiota, theta0):
     return cv, ci
 
 
+def _extract_block_gated(s, col, cv_ref, ci_ref, k, kiota, theta0):
+    """Ref-carried variant of ``_extract_block`` with the whole while-loop
+    construct gated behind ``pl.when``: blocks that cannot contribute (the
+    overwhelming majority once the carry warms up — and with a sampled
+    floor, from block 0) skip the Mosaic while-loop ENTRY entirely instead
+    of paying one cond evaluation + loop machinery per block. The predicate
+    is exactly the loop's first cond, so results are bit-identical
+    (hardware A/B, experiments/kexp18.py: int8 -13% at k_scan 24 / -18% at
+    k_scan 112 vs the value-carried form; bf16 -12%/-16%).
+
+    The carry must live in VMEM refs because ``pl.when`` regions have no
+    value outputs; ``s`` is still never written (zero-store extraction)."""
+    m0 = jnp.max(s, axis=1, keepdims=True)
+    a0 = jnp.full(m0.shape, _COL_SENTINEL, jnp.int32)
+    contributes = jnp.any(m0 > jnp.maximum(cv_ref[:, k - 1:k], theta0))
+
+    @pl.when(contributes)
+    def _():
+        def cond(state):
+            m, a = state
+            return jnp.any(m > jnp.maximum(cv_ref[:, k - 1:k], theta0))
+
+        def body(state):
+            m, a = state
+            cv, ci = cv_ref[:], ci_ref[:]
+            theta = jnp.maximum(cv[:, k - 1:k], theta0)
+            am = jnp.min(jnp.where((s == m) & (col > a), col, _INT_MAX),
+                         axis=1, keepdims=True)
+            has = m > theta
+            cv, ci = _insert_one(cv, ci, m, am, has, kiota)
+            cv_ref[:] = cv
+            ci_ref[:] = ci
+            nxt = (s < m) | ((s == m) & (col > am))
+            m_next = jnp.max(jnp.where(nxt, s, NEG_INF),
+                             axis=1, keepdims=True)
+            a_next = jnp.where(m_next == m, am,
+                               jnp.full_like(am, _COL_SENTINEL))
+            return m_next, a_next
+
+        lax.while_loop(cond, body, (m0, a0))
+
+
 def _epilogue(g, aux, mask, metric, quantized=False, qs=None):
     if quantized:
         if metric == "l2":
@@ -139,7 +187,7 @@ def _block_dot(q, x_blk, precision):
 
 
 def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
-            precision, has_qs=False):
+            precision, has_qs=False, gated=True):
     # ``has_qs`` (static, int8+l2 only) inserts a (B, 1) per-query quant
     # scale input after theta0; other configs compile the identical
     # argument list (and program) they always had.
@@ -165,10 +213,13 @@ def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
     col = lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     kiota = lax.broadcasted_iota(jnp.int32, cv_ref.shape, 1)
 
-    cv, ci = _extract_block(s, col, cv_ref[:], ci_ref[:], k, kiota,
-                            t0_ref[:])
-    cv_ref[:] = cv
-    ci_ref[:] = ci
+    if gated:
+        _extract_block_gated(s, col, cv_ref, ci_ref, k, kiota, t0_ref[:])
+    else:  # VROD_GATED_EXTRACT=0: the pre-r5 value-carried form (A/B leg)
+        cv, ci = _extract_block(s, col, cv_ref[:], ci_ref[:], k, kiota,
+                                t0_ref[:])
+        cv_ref[:] = cv
+        ci_ref[:] = ci
 
     @pl.when(j == pl.num_programs(1) - 1)
     def _():
@@ -177,17 +228,17 @@ def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
 
 
 def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
-               nblocks, precision, has_qs=False):
+               nblocks, precision, has_qs=False, gated=True):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
     streaming and compute overlap regardless of how the pipeliner treats the
     data-dependent extraction loop."""
     if has_qs:  # int8+l2: (B, 1) per-query quant scale (see _kernel)
         (qs_ref, x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-         xbuf, abuf, mbuf, sems) = rest
+         xbuf, abuf, mbuf, cv_ref, ci_ref, sems) = rest
     else:
         (x_hbm, aux_hbm, mask_hbm, ov_ref, oi_ref,
-         xbuf, abuf, mbuf, sems) = rest
+         xbuf, abuf, mbuf, cv_ref, ci_ref, sems) = rest
         qs_ref = None
     offset = offset_ref[0]
     kiota = lax.broadcasted_iota(jnp.int32, ov_ref.shape, 1)
@@ -215,14 +266,10 @@ def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
     for d in get_dma(0, 0):
         d.start()
 
-    def block_loop(j, carry):
-        cv, ci = carry
-        cur = j % 2
-        nxt = (j + 1) % 2
-
+    def scored_block(j, cur):
         @pl.when(j + 1 < nblocks)
         def _():
-            for d in get_dma(nxt, j + 1):
+            for d in get_dma((j + 1) % 2, j + 1):
                 d.start()
 
         for d in get_dma(cur, j):
@@ -231,22 +278,40 @@ def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
         g = _block_dot(q, xbuf[cur], precision)
         s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric,
                       quantized=xbuf.dtype == jnp.int8, qs=qs)
-        col = col_local + (j * block_rows + offset)
-        return _extract_block(s, col, cv, ci, k, kiota, theta0)
+        return s, col_local + (j * block_rows + offset)
 
-    init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
-            jnp.full(oi_ref.shape, -1, dtype=jnp.int32))
-    cv, ci = lax.fori_loop(0, nblocks, block_loop, init)
-    ov_ref[:] = cv
-    oi_ref[:] = ci
+    if gated:
+        cv_ref[:] = jnp.full(cv_ref.shape, NEG_INF, dtype=jnp.float32)
+        ci_ref[:] = jnp.full(ci_ref.shape, -1, dtype=jnp.int32)
+
+        def block_loop(j, _):
+            s, col = scored_block(j, j % 2)
+            _extract_block_gated(s, col, cv_ref, ci_ref, k, kiota, theta0)
+            return 0
+
+        lax.fori_loop(0, nblocks, block_loop, 0)
+        ov_ref[:] = cv_ref[:]
+        oi_ref[:] = ci_ref[:]
+    else:  # VROD_GATED_EXTRACT=0: the pre-r5 value-carried form (A/B leg)
+        def block_loop(j, carry):
+            cv, ci = carry
+            s, col = scored_block(j, j % 2)
+            return _extract_block(s, col, cv, ci, k, kiota, theta0)
+
+        init = (jnp.full(ov_ref.shape, NEG_INF, dtype=jnp.float32),
+                jnp.full(oi_ref.shape, -1, dtype=jnp.int32))
+        cv, ci = lax.fori_loop(0, nblocks, block_loop, init)
+        ov_ref[:] = cv
+        oi_ref[:] = ci
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
-                     "interpret"))
+                     "interpret", "gated"))
 def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
-                   block_rows, b_tile, precision_name, interpret):
+                   block_rows, b_tile, precision_name, interpret,
+                   gated=True):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
@@ -255,7 +320,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
 
     kernel = functools.partial(
         _kernel_db, metric=metric, k=k, block_rows=block_rows,
-        nblocks=nblocks, precision=precision, has_qs=has_qs)
+        nblocks=nblocks, precision=precision, has_qs=has_qs, gated=gated)
 
     qs_spec = [pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)] if has_qs else []
@@ -288,6 +353,10 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
             pltpu.VMEM((2, block_rows, d), x.dtype),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
             pltpu.VMEM((2, 1, block_rows), jnp.float32),
+            # Top-k carry lives in refs: the gated extraction's pl.when
+            # region has no value outputs (see _extract_block_gated).
+            pltpu.VMEM((b_tile, k), jnp.float32),
+            pltpu.VMEM((b_tile, k), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -307,9 +376,9 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
-                     "interpret"))
+                     "interpret", "gated"))
 def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
-                block_rows, b_tile, precision_name, interpret):
+                block_rows, b_tile, precision_name, interpret, gated=True):
     n, d = x.shape
     b = q.shape[0]
     nblocks = n // block_rows
@@ -319,7 +388,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
     grid = (b // b_tile, nblocks)
     kernel = functools.partial(
         _kernel, metric=metric, k=k, block_rows=block_rows,
-        precision=precision, has_qs=has_qs)
+        precision=precision, has_qs=has_qs, gated=gated)
 
     qs_spec = [pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)] if has_qs else []
@@ -576,10 +645,15 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     # back to the auto-pipelined grid (which pads blocks transparently).
     if pipeline == "manual" and (d % 128 != 0 or block_rows % 128 != 0):
         pipeline = "auto"
+    # Gated extraction kill switch (trace-time static; VROD_GATED_EXTRACT=0
+    # restores the pre-r5 value-carried loop — the engine-level A/B leg
+    # and the escape hatch if a Mosaic version mishandles the pl.when).
+    import os
+    gated = os.environ.get("VROD_GATED_EXTRACT", "1") != "0"
     call = _fused_call_db if pipeline == "manual" else _fused_call
     vals, idx = call(
         x, aux2d, mask2d, q, offset, t0, qs, k=k, metric=metric,
         block_rows=block_rows, b_tile=b_tile,
-        precision_name=precision_name, interpret=interpret)
+        precision_name=precision_name, interpret=interpret, gated=gated)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
     return vals, idx

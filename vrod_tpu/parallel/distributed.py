@@ -75,6 +75,33 @@ def is_distributed() -> bool:
     return jax.process_count() > 1
 
 
+def coordination_client():
+    """The process group's HOST-side coordination-service client (KV store
+    + barriers over the DCN control plane) — or ``None`` outside a
+    distributed init. Collective maintenance uses it for cross-rank
+    agreement WITHOUT dispatching device collectives: a device collective
+    must occupy the same position in every rank's dispatch stream, which is
+    exactly the property agreement is trying to establish, so the agreement
+    channel itself must not be one."""
+    try:
+        from jax._src import distributed as _jd
+        return _jd.global_state.client
+    except Exception:
+        return None
+
+
+def kv_exchange(client, prefix: str, rank: int, nprocs: int,
+                payload: str, timeout_s: float):
+    """One host-side allgather round over the coordination KV store:
+    publish ``payload`` under ``prefix/<rank>`` and blocking-read every
+    rank's. ``prefix`` must be globally unique per round (the store has no
+    overwrite or rollback here — see Collection's nonce/seq key scheme)."""
+    client.key_value_set(f"{prefix}/{rank}", payload)
+    timeout_ms = max(int(timeout_s * 1000), 1)
+    return [client.blocking_key_value_get(f"{prefix}/{r}", timeout_ms)
+            for r in range(nprocs)]
+
+
 def is_leader() -> bool:
     """Rank 0 owns host-side durability (WAL writes, snapshots)."""
     return jax.process_index() == 0
