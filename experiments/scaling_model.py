@@ -15,14 +15,18 @@ Per-chip batch latency for a row-sharded search:
 
 - ``t_fixed`` + ``t_row``: affine fit of MEASURED single-chip int8
   batch-256 top-16 latencies (docs/performance.md headline table, all
-  recall 1.0 on device):
-      1.0 M rows -> 4.65 ms     (55.1k QPS, r3 capture)
-      8.4 M rows -> 22.4 ms
-     10.0 M rows -> 25.7 ms
-  Least squares gives t_fixed ~= 2.3 ms (Mosaic while-entry ~1.1 ms +
-  extraction + rescore + dispatch glue — all row-count-invariant) and
-  t_row ~= 2.34 ms per million rows (the int8 HBM stream at ~330 GB/s
-  effective; the pure mm+max floor is higher, extraction interleaves).
+  recall 1.0 on device; r5 re-captures with the GATED extraction kernel —
+  the pre-gating 8.4M point (22.4 ms) is excluded because it measured a
+  different kernel):
+      1.0 M rows -> 3.994 ms    (64.1k QPS, r5 capture)
+     10.0 M rows -> 25.6  ms    (10.0k QPS, r5 capture)
+  The two-point fit gives t_fixed ~= 1.59 ms and t_row ~= 2.40 ms per
+  million rows. vs the r4 fit (2.34 + 2.36/Mrow): gating cut the FIXED
+  term ~0.75 ms (fewer Mosaic while entries — row-count-invariant, as
+  predicted by the kernel A/B) and left the stream slope unchanged within
+  noise (the int8 HBM scan at ~320 GB/s effective). Consistency check:
+  the excluded 8.4M pre-gating point sits +0.64 ms above this fit —
+  about the per-block gating saving at that row count.
   Sharding divides only the t_row term: every shard still pays the fixed
   cost, runs the same k_scan extraction, and rescores its own candidates.
 
@@ -39,14 +43,15 @@ Per-chip batch latency for a row-sharded search:
   (a 256 x 192 top-k; generous).
 
 What the model says (and performance.md records): at 10M x 768 int8
-batch 256, 8 chips project to ~5.3 ms/batch (~48k QPS) vs 25.7 ms
-measured on one chip — a 4.9x speedup, 61% parallel efficiency, because
-per-shard rows (1.25M) no longer dwarf the fixed cost. Near-linear
-(>90%) row-sharded scaling needs rows/chip >= ~10M (t_row term >= 9x
-fixed), i.e. config 5's own 10M rows are near-linear on 1-2 chips and
-fixed-cost-bound at 8. For collections that FIT one chip, scale-out is
-REPLICATION (vrod_tpu/replication.py): N replicas serve N independent
-query streams — linear by construction, no merge term at all.
+batch 256, 8 chips project to ~4.7 ms/batch (~54k QPS) vs 25.6 ms
+measured on one chip — a 5.4x speedup, 68% parallel efficiency (the
+gated kernel's smaller fixed cost IMPROVED sharding efficiency: the
+term every shard repays shrank). Near-linear (>90%) row-sharded scaling
+needs rows/chip >= ~6M (t_row term >= 9x fixed), i.e. config 5's own
+10M rows are near-linear on 1-2 chips and fixed-cost-bound at 8. For
+collections that FIT one chip, scale-out is REPLICATION
+(vrod_tpu/replication.py): N replicas serve N independent query
+streams — linear by construction, no merge term at all.
 """
 
 from __future__ import annotations
@@ -54,7 +59,9 @@ from __future__ import annotations
 import numpy as np
 
 # Measured single-chip points (rows in millions, batch-256 latency in ms).
-MEASURED = [(1.0, 4.65), (8.4, 22.4), (10.0, 25.7)]
+# r5 captures (gated-extraction kernel, docs/performance.md). The 8.4M
+# pre-gating point (22.4 ms) is excluded: different kernel.
+MEASURED = [(1.0, 3.994), (10.0, 25.6)]
 
 BATCH = 256
 K_SCAN = 24          # top-16 scans k + margin-8 candidates
