@@ -170,60 +170,94 @@ def test_snapshot_concurrent_with_searches_and_inserts(tmp_path, rng):
     col2.close()
 
 
-def test_multiprocess_snapshot_holds_write_lock(tmp_path, rng):
-    """On a process-spanning mesh the snapshot gather is COLLECTIVE: every
-    rank must dispatch it in the same position of its command stream, so
-    the write lock is held across the whole gather — a concurrent mutation
-    must NOT interleave between gather chunks (on a single-process mesh it
-    may: that non-blocking path is covered above). Simulated by flipping
-    engine.multiprocess on a 1-rank engine (allgather degenerates)."""
+def test_multiprocess_snapshot_interleaves_writers_between_chunks(
+        tmp_path, rng, monkeypatch):
+    """Round 5 replaced the r4 whole-gather write-lock hold with PER-CHUNK
+    agreed write locks (collection._snapshot_run): on a process-spanning
+    mesh each gather chunk dispatches under a cross-rank-agreed mutation
+    generation, so a concurrent collective mutation lands BETWEEN chunks
+    instead of stalling for the whole capture, and the fuzzy capture is
+    made exact by the preserved WAL tail on restore — the same discipline
+    as the single-process snapshot. Simulated on a 1-rank engine
+    (multiprocess=True; the host-side KV agreement degenerates to one
+    rank over a fake in-process client). The real two-process leg is
+    tests/test_multihost.py (writer-progress + byte-identical rank dirs)."""
+    import time as _time
+
+    from vrod_tpu.parallel import distributed
+
+    class FakeKV:
+        """In-process stand-in for jax's coordination-service client."""
+
+        def __init__(self):
+            self.cv = threading.Condition()
+            self.store = {}
+
+        def key_value_set(self, key, val):
+            with self.cv:
+                self.store[key] = val
+                self.cv.notify_all()
+
+        def blocking_key_value_get(self, key, timeout_ms):
+            deadline = _time.monotonic() + timeout_ms / 1000.0
+            with self.cv:
+                while key not in self.store:
+                    left = deadline - _time.monotonic()
+                    if left <= 0 or not self.cv.wait(left):
+                        raise TimeoutError(key)
+                return self.store[key]
+
+        def key_value_delete(self, prefix):
+            with self.cv:
+                for k in [k for k in self.store if k.startswith(prefix)]:
+                    del self.store[k]
+
+    fake = FakeKV()
+    monkeypatch.setattr(distributed, "coordination_client", lambda: fake)
+
     col = new_col(tmp_path, "mp", segment_rows=64)
     col.bulk_insert(rng.standard_normal((30, 16)).astype(np.float32),
                     [f"b{i}" for i in range(30)])
-    col.SNAPSHOT_CHUNK_ROWS = 8  # several gather chunks
+    col.SNAPSHOT_CHUNK_ROWS = 8  # 30 rows -> 4 gather chunks
     col.engine.multiprocess = True
-    in_gather = threading.Event()
-    release = threading.Event()
-    orig_gather = col.engine.gather_raw
 
-    def slow_gather(slots):
-        in_gather.set()
-        release.wait(10)
-        return orig_gather(slots)
+    # Stall the snapshot BETWEEN chunks (write_rows runs after the chunk's
+    # agreed lock is released) and require a concurrent insert to complete
+    # there — under the r4 whole-gather hold this deadlocked the test.
+    first_chunk_written = threading.Event()
+    mutated = threading.Event()
+    orig_write = snapio.RawStreamWriter.write_rows
 
-    col.engine.gather_raw = slow_gather
-    snap_err = []
+    def gating_write(self, rows):
+        orig_write(self, rows)
+        if not first_chunk_written.is_set():
+            first_chunk_written.set()
+            assert mutated.wait(30), \
+                "insert did not interleave between gather chunks"
 
-    def snap():
-        try:
-            col.snapshot()
-        except Exception as e:  # pragma: no cover
-            snap_err.append(e)
+    monkeypatch.setattr(snapio.RawStreamWriter, "write_rows", gating_write)
 
-    t = threading.Thread(target=snap)
-    t.start()
-    try:
-        assert in_gather.wait(30)
-        mutated = threading.Event()
+    def mutate():
+        assert first_chunk_written.wait(60)
+        col.insert(rng.standard_normal(16).astype(np.float32), "late")
+        mutated.set()
 
-        def mutate():
-            col.insert(rng.standard_normal(16), "late")
-            mutated.set()
-
-        m = threading.Thread(target=mutate)
-        m.start()
-        # The write lock is held through the gather: the insert must stay
-        # blocked until the snapshot finishes.
-        assert not mutated.wait(0.5)
-    finally:
-        release.set()
-        t.join(60)
+    m = threading.Thread(target=mutate)
+    m.start()
+    snap = col.snapshot()
     m.join(60)
-    assert mutated.is_set() and not snap_err, snap_err
-    col.engine.gather_raw = orig_gather
-    col.engine.multiprocess = False
+    assert mutated.is_set()
+    assert snap.exists()
     assert col.count == 31
+    # The late insert has LSN > the cut: it must survive via the preserved
+    # WAL tail (idempotent replay), exactly like single-process snapshots.
+    assert col.wal.frame_count >= 1
+    col.engine.multiprocess = False
     col.close()
+    col2 = Collection.load(tmp_path / "mp")
+    assert col2.count == 31
+    assert col2.get(31).payload == "late"
+    col2.close()
 
 
 def test_payload_stream_roundtrip(tmp_path):
