@@ -1,8 +1,10 @@
 #!/bin/bash
-# Hardware re-capture runbook — ROUND 5 (VERDICT r4 items 1, 2, 8): run the
-# moment a live TPU tunnel session starts. Priority-ordered so an early
-# tunnel death still leaves the highest-value numbers captured. Each step
-# appends its ONE-line JSON to /tmp/hw_capture.jsonl and echoes progress.
+# Hardware re-capture runbook. STATUS: fully executed in round 5
+# (2026-08-19) — every step's number is recorded in docs/performance.md
+# ("Round-5" section). Keep for re-use: run the moment a live TPU tunnel
+# session starts after any engine/kernel change. Priority-ordered so an
+# early tunnel death still leaves the highest-value numbers captured.
+# Each step appends its ONE-line JSON to /tmp/hw_capture.jsonl.
 #
 #   bash experiments/hw_capture.sh
 #
