@@ -109,7 +109,8 @@ def tpu_qps(n_rows, dim, batch, k, iters, metric="cosine", dtype="float32",
     def fill(x, aux, valid, start, *, rows_n):
         key = jax.random.PRNGKey(start)
         rows_f = jax.random.normal(key, (rows_n, dim), dtype=jnp.float32)
-        rows, aux_v = D.prepare_rows(rows_f, metric=metric, dtype=x.dtype)
+        rows, aux_v = D.prepare_rows(
+            rows_f, metric=metric, dtype="int4" if eng.packed else x.dtype)
         x = jax.lax.dynamic_update_slice_in_dim(x, rows, start, 0)
         aux = jax.lax.dynamic_update_slice_in_dim(aux, aux_v, start, 0)
         valid = jax.lax.dynamic_update_slice_in_dim(

@@ -1391,7 +1391,8 @@ class Collection:
 
     def _apply_insert_raw(self, rids, rows, aux, payloads) -> None:
         """Insert rows already in the stored representation (restore)."""
-        if (self.config.metric == "dot" and self.config.dtype != "int8"
+        if (self.config.metric == "dot"
+                and self.config.dtype not in ("int8", "int4")
                 and len(rids) and float(np.max(aux)) == 0.0):
             # Legacy (round <= 2) dot snapshots stored aux = 0; the lane
             # now carries |x|^2 (feeds the sampled floor's norm bound) —
@@ -1425,7 +1426,9 @@ class Collection:
                 # Stored-representation snapshot: bit-exact raw scatter.
                 row_chunks = snapio.read_raw_rows(
                     snap_dir / "vectors.bin", storage["dtype"],
-                    int(storage["dim"]), chunk_rows=chunk)
+                    snapio.storage_row_elems(str(storage["dtype"]),
+                                             int(storage["dim"])),
+                    chunk_rows=chunk)
                 aux_chunks = snapio.read_raw_rows(
                     snap_dir / "aux.bin", "float32", 1, chunk_rows=chunk)
                 for start, rows, auxv, pls in zip(

@@ -20,7 +20,10 @@ from .errors import ConfigError
 VROD_VERSION = "0.1.0"
 
 METRICS = ("cosine", "l2", "dot")
-DTYPES = ("float32", "bfloat16", "int8")
+# int4 is the capacity tier: rows quantize to 4-bit nibbles packed two per
+# byte (half the HBM of int8 — ~2x the rows per chip), searched with the
+# same exact-vs-stored-representation contract as int8.
+DTYPES = ("float32", "bfloat16", "int8", "int4")
 
 import re
 
@@ -95,9 +98,14 @@ class CollectionConfig:
         if self.dtype == "int8" and self.metric == "l2" and self.dim > 1040:
             # |q8|^2 <= dim * 127^2 must stay exactly representable in f32
             # (< 2^24) for the on-the-fly |x_hat|^2 epilogue to be exact.
+            # (int4's bound is dim * 8^2 — no practical cap.)
             raise ConfigError(
                 "int8 + l2 supports dim <= 1040 (exact f32 norm "
                 "reconstruction); use bfloat16/float32 for larger dims")
+        if self.dtype == "int4" and self.dim % 2 != 0:
+            raise ConfigError(
+                "int4 packs two dims per byte and needs an even dim; "
+                f"got {self.dim}")
         if self.dim <= 0:
             raise ConfigError(f"dim must be positive, got {self.dim}")
         if self.segment_rows <= 0 or self.segment_rows % 8 != 0:

@@ -78,16 +78,20 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     # Pallas TPU kernels run interpreted on CPU meshes (tests / dry runs).
     interpret = mesh.devices.flat[0].platform != "tpu"
 
-    # int8 collections scan with a quantized query on the integer MXU
+    # int8/int4 collections scan with a quantized query on the integer MXU
     # (per-query scale is rank-invariant and dropped); the exact-precision
     # scan path and the rescore keep the full f32 query. l2 is special:
     # the query scale multiplies only the cross term of 2*q.x_hat -
     # |x_hat|^2, so it cannot be dropped — the fused kernel takes it as a
     # per-query input (with the |x_hat|^2 lane riding the mask stream),
-    # while the scan path keeps the full f32 query.
-    use_norms = dtype_name == "int8" and metric == "l2"
+    # while the scan path keeps the full f32 query. int4 shares every
+    # int8 decision (the stored nibbles just unpack first); ``packed``
+    # routes the kernels to the two-half-dim unpacking dot.
+    quant = dtype_name in ("int8", "int4")
+    packed = dtype_name == "int4"
+    use_norms = quant and metric == "l2"
     l2_qs = use_norms and impl == "pallas"
-    quantize_q = dtype_name == "int8" and metric != "l2" and (
+    quantize_q = quant and metric != "l2" and (
         impl == "pallas" or precision_name != "exact")
 
     def merge_shards(vals, idx):
@@ -115,8 +119,9 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
         nsub = (n_sample // blk) * 128
         # Below k_scan 64 the floor only pays for int8 (same-session
         # A/B: +2.5% int8, -0.9% bf16 — int8's cheaper stream makes
-        # extraction relatively dearer).
-        min_k = theta0_mink if dtype_name == "int8" else 64
+        # extraction relatively dearer). int4's stream is cheaper still,
+        # so it inherits the int8 gate.
+        min_k = theta0_mink if quant else 64
         ok = use_theta0 and k_scan >= min_k and nsub >= 2 * k_scan \
             and rows_local >= min(frac, 4) * n_sample
         return ok, n_sample
@@ -181,7 +186,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 sub = pallas_topk.sampled_submax(
                     x_l[:n_sample], aux_l[:n_sample], valid_l[:n_sample],
                     q, metric=metric, precision_name=precision_name,
-                    block_rows=blk, interpret=interpret,
+                    block_rows=blk, interpret=interpret, packed=packed,
                     **sub_extras)
                 # Accumulation-noise margin between the pre-pass and the
                 # main kernel: cosine's normalized scores admit a rigorous
@@ -196,7 +201,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 # threshold_from_submax's retained |kth|*1e-3 relative
                 # slack overbounds it by ~4 orders of magnitude.
                 extra = None
-                if metric != "cosine" and dtype_name != "int8":
+                if metric != "cosine" and not quant:
                     extra = D.accumulation_margin(
                         q, aux_l, valid_l, metric=metric, dim=x_l.shape[1])
                 # Threshold methods (VROD_THETA0_METHOD): "count" (the
@@ -215,12 +220,12 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 block_rows=block_rows, index_offset=offset,
                 precision_name=precision_name, interpret=interpret,
-                theta0=theta0, **extras)
+                theta0=theta0, packed=packed, **extras)
         else:
             vals, idx = D.blockwise_topk(
                 x_l, aux_l, valid_l, q, k=k_scan, metric=metric,
                 precision=precision, block_rows=block_rows, nblocks=nblocks,
-                index_offset=offset)
+                index_offset=offset, packed=packed)
         if shards > 1:
             vals, idx = merge_shards(vals, idx)
         return vals, idx
@@ -241,7 +246,7 @@ def _search_fn(mesh_key, B, k_out, k_scan, metric, precision_name, dtype_name,
     def finish(x, aux, valid, q, qp, vals, idx):
         if do_rescore:
             vals, idx = D.rescore(x, aux, valid, qp, idx, k=k_out,
-                                  metric=metric)
+                                  metric=metric, packed=packed)
         else:
             vals, idx = vals[:, :k_out], idx[:, :k_out]
         return D.finalize_scores(vals, q, metric=metric), idx
@@ -288,9 +293,11 @@ def _mesh_key(mesh) -> tuple:
     return key
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("metric",))
-def _write_rows(x, aux, valid, slots, vecs, *, metric):
-    rows, auxv = D.prepare_rows(vecs, metric=metric, dtype=x.dtype)
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("metric", "packed"))
+def _write_rows(x, aux, valid, slots, vecs, *, metric, packed=False):
+    rows, auxv = D.prepare_rows(vecs, metric=metric,
+                                dtype="int4" if packed else x.dtype)
     x = x.at[slots].set(rows, mode="drop")
     aux = aux.at[slots].set(auxv, mode="drop")
     valid = valid.at[slots].set(True, mode="drop")
@@ -312,44 +319,54 @@ def _erase_rows(valid, slots):
     return valid.at[slots].set(False, mode="drop")
 
 
-# int8+l2 engines carry a 4th array, norms (capacity,) f32 = |x_hat|^2 per
-# row: the fused kernel streams it as the additive mask bias (the scan path
-# and the rescore reconstruct it from rows+aux on the fly, so it is
+# int8/int4+l2 engines carry a 4th array, norms (capacity,) f32 = |x_hat|^2
+# per row: the fused kernel streams it as the additive mask bias (the scan
+# path and the rescore reconstruct it from rows+aux on the fly, so it is
 # DERIVABLE state — never snapshotted; restore recomputes it below). The
 # stored value is (aux*aux) * sum(row^2): sum(row^2) <= dim*127^2 < 2^24 is
-# exact in f32 and the multiply order matches distances.rescore bit-for-bit.
-def _row_norms2(rows, auxv):
+# exact in f32 and the multiply order matches distances.rescore bit-for-bit
+# (int4 rows unpack first — identical values, same order).
+def _row_norms2(rows, auxv, packed=False):
+    if packed:
+        rows = D.unpack_int4_rows(rows)
     n2 = jnp.sum(rows.astype(jnp.float32) ** 2, axis=1)
     return n2 * (auxv.astype(jnp.float32) * auxv.astype(jnp.float32))
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
-                   static_argnames=("metric",))
-def _write_rows_n(x, aux, norms, valid, slots, vecs, *, metric):
-    rows, auxv = D.prepare_rows(vecs, metric=metric, dtype=x.dtype)
+                   static_argnames=("metric", "packed"))
+def _write_rows_n(x, aux, norms, valid, slots, vecs, *, metric,
+                  packed=False):
+    rows, auxv = D.prepare_rows(vecs, metric=metric,
+                                dtype="int4" if packed else x.dtype)
     x = x.at[slots].set(rows, mode="drop")
     aux = aux.at[slots].set(auxv, mode="drop")
-    norms = norms.at[slots].set(_row_norms2(rows, auxv), mode="drop")
+    norms = norms.at[slots].set(_row_norms2(rows, auxv, packed),
+                                mode="drop")
     valid = valid.at[slots].set(True, mode="drop")
     return x, aux, norms, valid
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-def _write_rows_raw_n(x, aux, norms, valid, slots, rows, auxv):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("packed",))
+def _write_rows_raw_n(x, aux, norms, valid, slots, rows, auxv,
+                      *, packed=False):
     rows = rows.astype(x.dtype)
     auxv = auxv.astype(aux.dtype)
     x = x.at[slots].set(rows, mode="drop")
     aux = aux.at[slots].set(auxv, mode="drop")
-    norms = norms.at[slots].set(_row_norms2(rows, auxv), mode="drop")
+    norms = norms.at[slots].set(_row_norms2(rows, auxv, packed),
+                                mode="drop")
     valid = valid.at[slots].set(True, mode="drop")
     return x, aux, norms, valid
 
 
-@functools.partial(jax.jit, donate_argnums=(2,))
-def _rebuild_norms(x, aux, norms):
+@functools.partial(jax.jit, donate_argnums=(2,),
+                   static_argnames=("packed",))
+def _rebuild_norms(x, aux, norms, *, packed=False):
     # One full pass over x; invalid slots get garbage-but-masked values
     # (the kernel's mask stream -inf's them before they can score).
-    return _row_norms2(x, aux)
+    return _row_norms2(x, aux, packed)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
@@ -405,11 +422,14 @@ def _gather_rows(x, slots):
     return x[slots].astype(jnp.float32)
 
 
-@jax.jit
-def _gather_rows_dequant(x, aux, slots):
-    """int8 collections: exact-lookup returns the dequantized row (for
-    cosine collections this is the stored normalized direction)."""
-    return x[slots].astype(jnp.float32) * aux[slots][:, None]
+@functools.partial(jax.jit, static_argnames=("packed",))
+def _gather_rows_dequant(x, aux, slots, *, packed=False):
+    """int8/int4 collections: exact-lookup returns the dequantized row
+    (for cosine collections this is the stored normalized direction)."""
+    rows = x[slots]
+    if packed:
+        rows = D.unpack_int4_rows(rows)
+    return rows.astype(jnp.float32) * aux[slots][:, None]
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -488,8 +508,14 @@ class DeviceEngine:
             from jax.experimental import multihost_utils
             self.mh_nonce = int(np.asarray(multihost_utils.process_allgather(
                 np.int64(_time.time_ns())))[0])
-        self.dtype = jnp.dtype(cfg.dtype)
-        # int8+l2 maintains a derivable |x_hat|^2 lane for the fused
+        # int4 stores two dims per int8 byte (dim-half nibble split —
+        # distances.pack_int4): device arrays are int8 at dim/2 columns,
+        # halving HBM per row vs int8 (double the rows/chip).
+        self.packed = cfg.dtype == "int4"
+        self.dtype = jnp.dtype(jnp.int8) if self.packed \
+            else jnp.dtype(cfg.dtype)
+        self.storage_dim = cfg.dim // 2 if self.packed else cfg.dim
+        # int8/int4+l2 maintain a derivable |x_hat|^2 lane for the fused
         # kernel's epilogue (the scan/rescore paths reconstruct it on the
         # fly; snapshots never store it — write_raw recomputes on restore).
         self.has_norms = self.dtype == jnp.int8 and cfg.metric == "l2"
@@ -499,11 +525,11 @@ class DeviceEngine:
         self.capacity = self._grow_unit
         if self.has_norms:
             self.x, self.aux, self.norms, self.valid = _init_arrays(
-                self.mesh, self.capacity, cfg.dim, self.dtype,
+                self.mesh, self.capacity, self.storage_dim, self.dtype,
                 with_norms=True)
         else:
             self.x, self.aux, self.valid = _init_arrays(
-                self.mesh, self.capacity, cfg.dim, self.dtype)
+                self.mesh, self.capacity, self.storage_dim, self.dtype)
         # Default search behavior (overridable per query). The fused Pallas
         # kernel is the production path on TPU (at the HBM roofline); the
         # scan path serves CPU meshes (pallas would run interpreted) and
@@ -598,11 +624,11 @@ class DeviceEngine:
             if self.has_norms:
                 self.x, self.aux, self.norms, self.valid = _write_rows_n(
                     self.x, self.aux, self.norms, self.valid, sl, chunk,
-                    metric=self.cfg.metric)
+                    metric=self.cfg.metric, packed=self.packed)
             else:
                 self.x, self.aux, self.valid = _write_rows(
                     self.x, self.aux, self.valid, sl, chunk,
-                    metric=self.cfg.metric)
+                    metric=self.cfg.metric, packed=self.packed)
 
     def write_raw(self, slots: np.ndarray, rows: np.ndarray,
                   aux: np.ndarray) -> None:
@@ -616,7 +642,8 @@ class DeviceEngine:
             ac = aux[start:start + self.WRITE_CHUNK_ROWS]
             if self.has_norms:
                 self.x, self.aux, self.norms, self.valid = _write_rows_raw_n(
-                    self.x, self.aux, self.norms, self.valid, sl, rc, ac)
+                    self.x, self.aux, self.norms, self.valid, sl, rc, ac,
+                    packed=self.packed)
             else:
                 self.x, self.aux, self.valid = _write_rows_raw(
                     self.x, self.aux, self.valid, sl, rc, ac)
@@ -655,7 +682,8 @@ class DeviceEngine:
         the normal mutation paths (write/write_raw/move) maintain the lane
         themselves. No-op for other configs."""
         if self.has_norms:
-            self.norms = _rebuild_norms(self.x, self.aux, self.norms)
+            self.norms = _rebuild_norms(self.x, self.aux, self.norms,
+                                        packed=self.packed)
 
     def move(self, src: np.ndarray, dst: np.ndarray) -> None:
         if len(src) == 0:
@@ -699,10 +727,12 @@ class DeviceEngine:
         return build(slots)
 
     def gather(self, slots: np.ndarray) -> np.ndarray:
-        """Fetch rows (f32) for exact-lookup SEARCH (dequantized for int8)."""
+        """Fetch rows (f32) for exact-lookup SEARCH (dequantized for
+        int8/int4)."""
         slots = np.asarray(slots, dtype=np.int32)
         if self.dtype == jnp.int8:
-            return np.asarray(_gather_rows_dequant(self.x, self.aux, slots))
+            return np.asarray(_gather_rows_dequant(
+                self.x, self.aux, slots, packed=self.packed))
         return np.asarray(_gather_rows(self.x, slots))
 
     def search(self, queries: np.ndarray, k: int, *, precision=None,
@@ -738,7 +768,7 @@ class DeviceEngine:
         Bp = _bucket(B, BATCH_BUCKETS)
         impl = impl_arg or self.impl
         if (impl_arg is None and impl == "pallas" and Bp <= 8
-                and self.capacity * self.cfg.dim
+                and self.capacity * self.storage_dim
                 * self.dtype.itemsize <= (32 << 20)):
             # Small-batch, small-collection searches dodge the kernel's
             # ~1 ms Mosaic while-entry: the XLA scan path measured faster

@@ -23,6 +23,44 @@ from jax import lax
 
 NEG_INF = float("-inf")
 
+
+def pack_int4(q4):
+    """Pack int4 values (B, D) in [-8, 7] into int8 bytes (B, D/2).
+
+    Byte j of a row holds dim ``j`` in its LOW nibble and dim ``j + D/2``
+    in its HIGH nibble (dim-half split, not adjacent pairs): the unpacked
+    halves then map to contiguous 128-lane-aligned query slices, so the
+    kernel's two half-dim MXU dots need no interleave shuffle."""
+    d = q4.shape[-1]
+    if d % 2:
+        raise ValueError(f"int4 packing needs an even dim, got {d}")
+    d2 = d // 2
+    lo = q4[..., :d2].astype(jnp.int8)
+    hi = q4[..., d2:].astype(jnp.int8)
+    return jnp.bitwise_or(jnp.left_shift(hi, 4),
+                          jnp.bitwise_and(lo, jnp.int8(0x0F)))
+
+
+def unpack_int4(xp, dtype=jnp.int8):
+    """Unpack int8 bytes (..., D/2) into ((..., D/2) lo, (..., D/2) hi)
+    signed int4 halves as ``dtype``. Sign extension runs in int32 (lane
+    shifts on sub-word ints lower poorly on some backends): low nibble by
+    a <<28 >>28 arithmetic round trip, high nibble by >>4 of the already
+    sign-extended byte."""
+    xi = xp.astype(jnp.int32)
+    lo = lax.shift_right_arithmetic(lax.shift_left(xi, 28), 28)
+    hi = lax.shift_right_arithmetic(xi, 4)
+    return lo.astype(dtype), hi.astype(dtype)
+
+
+def unpack_int4_rows(xp, dtype=jnp.float32):
+    """Unpack packed rows (..., D/2) to full (..., D) rows in dim order
+    (host/scan/rescore paths; the fused kernel keeps the halves separate
+    and splits the query instead)."""
+    lo, hi = unpack_int4(xp, dtype)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 PRECISIONS = {
     # exact f32 products (6-pass bf16 on MXU) — guaranteed-exact scores
     "exact": lax.Precision.HIGHEST,
@@ -33,14 +71,22 @@ PRECISIONS = {
 }
 
 
-def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision):
+def block_scores(q, x_blk, aux_blk, valid_blk, *, metric: str, precision,
+                 packed: bool = False):
     """Scores of query tile q (B, D) against one row block (BLK, D).
 
     The user-facing score contract is f32(query) x stored row. At exact
     precision the stored rows are upcast so no query bits are lost (the
     oracle definition the rescore path also computes); fast/high paths
-    downcast the query onto the MXU and rely on the rescore margin."""
-    if x_blk.dtype == jnp.int8:
+    downcast the query onto the MXU and rely on the rescore margin.
+
+    ``packed`` marks int4 collections: ``x_blk`` is (BLK, D/2) packed
+    bytes (see ``pack_int4``); rows unpack to exact f32 integers in
+    [-8, 7], then score exactly like the int8 branch (aux is the per-row
+    dequant scale for every metric)."""
+    if packed:
+        lhs, rhs = q.astype(jnp.float32), unpack_int4_rows(x_blk)
+    elif x_blk.dtype == jnp.int8:
         # Quantized collection: integer products are exact in f32 (values
         # <= 127), so the scan path computes them as f32 on any backend.
         # The epilogue is always the dequant multiply, whatever the metric.
@@ -85,7 +131,7 @@ def merge_topk(carry_vals, carry_idx, new_vals, new_idx, k: int):
 
 def blockwise_topk(x, aux, valid, q, *, k: int, metric: str,
                    precision, block_rows: int, nblocks: int,
-                   index_offset=0):
+                   index_offset=0, packed: bool = False):
     """Running top-k of q (B, D) against the first nblocks*block_rows rows.
 
     ``index_offset`` shifts returned row indices into the global slot space
@@ -106,7 +152,7 @@ def blockwise_topk(x, aux, valid, q, *, k: int, metric: str,
         cv, ci = carry
         x_blk, aux_blk, valid_blk, start = inputs
         s = block_scores(q, x_blk, aux_blk, valid_blk,
-                         metric=metric, precision=precision)
+                         metric=metric, precision=precision, packed=packed)
         idx = blk_iota + (start + index_offset)
         return merge_topk(cv, ci, s, idx, k), None
 
@@ -267,20 +313,25 @@ def threshold_from_submax(sub, k: int, *, approx: bool = False,
     return jnp.where(jnp.isfinite(t0), t0, NEG_INF).astype(jnp.float32)
 
 
-def rescore(x, aux, valid, q, cand_idx, *, k: int, metric: str):
+def rescore(x, aux, valid, q, cand_idx, *, k: int, metric: str,
+            packed: bool = False):
     """Exact (HIGHEST-precision) rescore of candidate rows.
 
     ``cand_idx`` is (B, k') from a fast scan with k' >= k; gathers the
     candidate rows and recomputes their scores with exact f32 accumulation,
     then reduces to the final top-k. Cost is O(B * k' * D) — negligible next
-    to the scan.
+    to the scan. ``packed`` (int4 collections) unpacks the gathered rows
+    first; dequantization is exact either way, so recall stays exact
+    w.r.t. the stored representation.
     """
     safe_idx = jnp.maximum(cand_idx, 0)
     b, kp = safe_idx.shape
     # Flat take + reshape gathers ~15% faster than x[idx] on TPU (measured,
     # experiments/kexp4.py).
     rows = jnp.take(x, safe_idx.reshape(-1), axis=0).reshape(
-        b, kp, x.shape[1])                  # (B, k', D)
+        b, kp, x.shape[1])                  # (B, k', D) (packed: D/2 bytes)
+    if packed:
+        rows = unpack_int4_rows(rows)
     g = jnp.einsum(
         "bkd,bd->bk", rows.astype(jnp.float32), q.astype(jnp.float32),
         precision=lax.Precision.HIGHEST,
@@ -336,18 +387,27 @@ def prepare_rows(vecs, *, metric: str, dtype):
     in f32 for dim <= 1040). The exact rescore dequantizes and scores
     against the full f32 query, so recall is exact w.r.t. the stored
     (quantized) representation — the same contract as bf16 storage.
+
+    dtype="int4" (capacity tier, 2x int8's rows/chip): same per-row
+    symmetric scheme at 4 bits (s = max|base|/7, values in [-7, 7]),
+    stored PACKED two-dims-per-byte (``pack_int4``). aux = s exactly as
+    int8; every downstream consumer unpacks before dequantizing.
     """
     vecs32 = vecs.astype(jnp.float32)
-    if jnp.dtype(dtype) == jnp.int8:
+    packed4 = isinstance(dtype, str) and dtype == "int4"
+    if packed4 or jnp.dtype(dtype) == jnp.int8:
         if metric == "cosine":
             norms = jnp.linalg.norm(vecs32, axis=1, keepdims=True)
             base = vecs32 / jnp.maximum(norms, 1e-30)
         else:  # dot / l2
             base = vecs32
-        scale = jnp.max(jnp.abs(base), axis=1) / 127.0
+        qmax = 7.0 if packed4 else 127.0
+        scale = jnp.max(jnp.abs(base), axis=1) / qmax
         q8 = jnp.clip(
             jnp.round(base / jnp.maximum(scale[:, None], 1e-30)),
-            -127, 127).astype(jnp.int8)
+            -qmax, qmax).astype(jnp.int8)
+        if packed4:
+            q8 = pack_int4(q8)
         return q8, scale.astype(jnp.float32)
     if metric == "cosine":
         norms = jnp.linalg.norm(vecs32, axis=1)

@@ -38,7 +38,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .distances import PRECISIONS
+from .distances import PRECISIONS, unpack_int4
 
 # Mosaic's dot lowering supports DEFAULT and HIGHEST only ("high"'s 3-pass
 # bf16 is an XLA:TPU notion): in the Pallas kernels, "high" rounds UP to
@@ -165,9 +165,30 @@ def _epilogue(g, aux, mask, metric, quantized=False, qs=None):
     return s + mask[None, :]  # -inf on deleted / never-used slots
 
 
-def _block_dot(q, x_blk, precision):
+def _block_dot(q, x_blk, precision, packed=False):
     """Query-tile x row-block scores on the MXU; int8 collections use the
-    integer MXU path (s8 x s8 -> s32)."""
+    integer MXU path (s8 x s8 -> s32).
+
+    ``packed`` (int4 collections): ``x_blk`` is (BLK, D/2) packed bytes
+    holding dims [0, D/2) in the low nibbles and [D/2, D) in the high
+    nibbles (``distances.pack_int4``). The nibbles sign-extend to int8 on
+    the VPU (int32 shifts — Mosaic lowers sub-word lane shifts poorly)
+    and score as TWO half-dim s8 x s8 MXU dots against the matching query
+    halves — the same total MAC count as the unpacked dot, at half the
+    HBM stream. |g| <= 127 * 7 * D stays exact in int32 and f32 for any
+    practical dim."""
+    if packed:
+        if q.dtype != jnp.int8:
+            raise TypeError(
+                f"int4 rows require an int8-quantized query, got {q.dtype}")
+        lo, hi = unpack_int4(x_blk, jnp.int8)
+        d2 = x_blk.shape[1]
+        dn = (((1,), (1,)), ((), ()))
+        return lax.dot_general(
+            q[:, :d2], lo, dimension_numbers=dn,
+            preferred_element_type=jnp.int32) + lax.dot_general(
+            q[:, d2:], hi, dimension_numbers=dn,
+            preferred_element_type=jnp.int32)
     if x_blk.dtype == jnp.int8:
         if q.dtype != jnp.int8:
             # A float query truncated via astype would score garbage with
@@ -187,7 +208,7 @@ def _block_dot(q, x_blk, precision):
 
 
 def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
-            precision, has_qs=False, gated=True):
+            precision, has_qs=False, gated=True, packed=False):
     # ``has_qs`` (static, int8+l2 only) inserts a (B, 1) per-query quant
     # scale input after theta0; other configs compile the identical
     # argument list (and program) they always had.
@@ -204,7 +225,7 @@ def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
         cv_ref[:] = jnp.full(cv_ref.shape, NEG_INF, dtype=jnp.float32)
         ci_ref[:] = jnp.full(ci_ref.shape, -1, dtype=jnp.int32)
 
-    g = _block_dot(q_ref[:], x_ref[:], precision)
+    g = _block_dot(q_ref[:], x_ref[:], precision, packed=packed)
     s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
                   quantized=x_ref.dtype == jnp.int8,
                   qs=qs_ref[:] if has_qs else None)
@@ -228,7 +249,7 @@ def _kernel(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
 
 
 def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
-               nblocks, precision, has_qs=False, gated=True):
+               nblocks, precision, has_qs=False, gated=True, packed=False):
     """Manually double-buffered variant: x/aux/mask stay in HBM; the kernel
     DMAs block j+1 into the alternate VMEM slot while computing block j, so
     streaming and compute overlap regardless of how the pipeliner treats the
@@ -275,7 +296,7 @@ def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
         for d in get_dma(cur, j):
             d.wait()
 
-        g = _block_dot(q, xbuf[cur], precision)
+        g = _block_dot(q, xbuf[cur], precision, packed=packed)
         s = _epilogue(g, abuf[cur][0, :], mbuf[cur][0, :], metric,
                       quantized=xbuf.dtype == jnp.int8, qs=qs)
         return s, col_local + (j * block_rows + offset)
@@ -308,19 +329,20 @@ def _kernel_db(offset_ref, q_ref, t0_ref, *rest, metric, k, block_rows,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
-                     "interpret", "gated"))
+                     "interpret", "gated", "packed"))
 def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
                    block_rows, b_tile, precision_name, interpret,
-                   gated=True):
-    n, d = x.shape
-    b = q.shape[0]
+                   gated=True, packed=False):
+    n, d = x.shape            # packed int4: d = dim/2 bytes per row
+    b, dq = q.shape           # dq = full query dim (2*d when packed)
     nblocks = n // block_rows
     precision = _PRECISIONS[precision_name]
     has_qs = x.dtype == jnp.int8 and metric == "l2"
 
     kernel = functools.partial(
         _kernel_db, metric=metric, k=k, block_rows=block_rows,
-        nblocks=nblocks, precision=precision, has_qs=has_qs, gated=gated)
+        nblocks=nblocks, precision=precision, has_qs=has_qs, gated=gated,
+        packed=packed)
 
     qs_spec = [pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)] if has_qs else []
@@ -330,7 +352,7 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
         grid=(b // b_tile,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
-            pl.BlockSpec((b_tile, d), lambda i: (i, 0),
+            pl.BlockSpec((b_tile, dq), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                   # q
             pl.BlockSpec((b_tile, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),                   # theta0
@@ -360,8 +382,9 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
+            flops=2 * b * n * dq,
+            bytes_accessed=n * d * x.dtype.itemsize
+            + b * dq * q.dtype.itemsize + n * 8,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -376,11 +399,12 @@ def _fused_call_db(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "metric", "block_rows", "b_tile", "precision_name",
-                     "interpret", "gated"))
+                     "interpret", "gated", "packed"))
 def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
-                block_rows, b_tile, precision_name, interpret, gated=True):
-    n, d = x.shape
-    b = q.shape[0]
+                block_rows, b_tile, precision_name, interpret, gated=True,
+                packed=False):
+    n, d = x.shape            # packed int4: d = dim/2 bytes per row
+    b, dq = q.shape           # dq = full query dim (2*d when packed)
     nblocks = n // block_rows
     precision = _PRECISIONS[precision_name]
     has_qs = x.dtype == jnp.int8 and metric == "l2"
@@ -388,7 +412,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
     grid = (b // b_tile, nblocks)
     kernel = functools.partial(
         _kernel, metric=metric, k=k, block_rows=block_rows,
-        precision=precision, has_qs=has_qs, gated=gated)
+        precision=precision, has_qs=has_qs, gated=gated, packed=packed)
 
     qs_spec = [pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)] if has_qs else []
@@ -398,7 +422,7 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # offset
-            pl.BlockSpec((b_tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((b_tile, dq), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                   # q
             pl.BlockSpec((b_tile, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),                   # theta0
@@ -425,8 +449,9 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
             pltpu.VMEM((b_tile, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
+            flops=2 * b * n * dq,
+            bytes_accessed=n * d * x.dtype.itemsize
+            + b * dq * q.dtype.itemsize + n * 8,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -440,13 +465,14 @@ def _fused_call(x, aux2d, mask2d, q, offset, theta0, qs, *, k, metric,
     return vals, idx
 
 
-def _submax_kernel(q_ref, *rest, metric, precision, has_qs=False):
+def _submax_kernel(q_ref, *rest, metric, precision, has_qs=False,
+                   packed=False):
     if has_qs:  # int8+l2: (B, 1) per-query quant scale (see _kernel)
         qs_ref, x_ref, aux_ref, mask_ref, o_ref = rest
     else:
         x_ref, aux_ref, mask_ref, o_ref = rest
         qs_ref = None
-    g = _block_dot(q_ref[:], x_ref[:], precision)
+    g = _block_dot(q_ref[:], x_ref[:], precision, packed=packed)
     s = _epilogue(g, aux_ref[0, :], mask_ref[0, :], metric,
                   quantized=x_ref.dtype == jnp.int8,
                   qs=qs_ref[:] if has_qs else None)
@@ -461,10 +487,11 @@ def _submax_kernel(q_ref, *rest, metric, precision, has_qs=False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("metric", "block_rows", "precision_name", "interpret"))
+    static_argnames=("metric", "block_rows", "precision_name", "interpret",
+                     "packed"))
 def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
                    precision_name="fast", interpret=False,
-                   row_bias=None, q_scale=None):
+                   row_bias=None, q_scale=None, packed=False):
     """Group-maxima score pre-pass behind ``distances.sampled_threshold``:
     one streaming Pallas kernel (dot + metric epilogue + grouped max) that
     never materializes scores. Returns (B, 128 * n // block_rows) f32 —
@@ -482,8 +509,8 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
         raise ValueError(
             "int8 + l2 sampled_submax needs row_bias=-|x_hat|^2 and "
             "q_scale, like fused_topk")
-    n, d = x.shape
-    b = q.shape[0]
+    n, d = x.shape            # packed int4: d = dim/2 bytes per row
+    b, dq = q.shape           # dq = full query dim (2*d when packed)
     # VMEM guard: the auto-pipelined x tile is double-buffered, so an
     # oversized block (e.g. VROD_THETA0_BLK=32768 with bf16 at dim 768 =
     # 48 MB/tile) fails Mosaic compilation. Halving is always sound —
@@ -511,12 +538,13 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
         qs_arg, qs_spec = (), []
     kernel = functools.partial(
         _submax_kernel, metric=metric,
-        precision=_PRECISIONS[precision_name], has_qs=quantized_l2)
+        precision=_PRECISIONS[precision_name], has_qs=quantized_l2,
+        packed=packed)
     (out,) = (pl.pallas_call(
         kernel,
         grid=(b // b_tile, nblocks),
         in_specs=[
-            pl.BlockSpec((b_tile, d), lambda i, j: (i, 0),
+            pl.BlockSpec((b_tile, dq), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             *qs_spec,                                 # 2*sq (int8+l2 only)
             pl.BlockSpec((block_rows, d), lambda i, j: (j, 0),
@@ -530,8 +558,9 @@ def sampled_submax(x, aux, valid, q, *, metric, block_rows=2048,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, nblocks * per_blk), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * x.dtype.itemsize + b * d * 4 + n * 8,
+            flops=2 * b * n * dq,
+            bytes_accessed=n * d * x.dtype.itemsize
+            + b * dq * q.dtype.itemsize + n * 8,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -575,7 +604,8 @@ def pick_block_rows(n: int, d: int, itemsize: int,
 
 def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
                index_offset=0, precision_name="high", interpret=False,
-               pipeline="manual", theta0=None, row_bias=None, q_scale=None):
+               pipeline="manual", theta0=None, row_bias=None, q_scale=None,
+               packed=False):
     """Exact top-k of q (B, D) against x (N, D). Same contract as
     ``distances.blockwise_topk``: returns (values (B,k) f32, indices (B,k)
     i32 in the global slot space via ``index_offset``), empty ranks are
@@ -592,7 +622,13 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     validity-mask stream (zero extra HBM bandwidth), and ``q_scale`` (B,)
     or (B, 1) f32 = the per-query int8 quantization scale sq with
     q = round(q_f32 / sq), which scales the integer cross term in-kernel
-    (it is NOT rank-invariant for l2, unlike cosine/dot)."""
+    (it is NOT rank-invariant for l2, unlike cosine/dot).
+
+    ``packed`` marks int4 collections: ``x`` is (N, D/2) packed bytes
+    (``distances.pack_int4``), ``q`` the FULL-dim int8-quantized query;
+    the kernel unpacks nibbles in VMEM and scores via two half-dim
+    integer MXU dots (see ``_block_dot``). The int8+l2 extras apply to
+    int4+l2 identically (|x_hat|^2 from the unpacked rows)."""
     quantized_l2 = x.dtype == jnp.int8 and metric == "l2"
     if quantized_l2 and (row_bias is None or q_scale is None):
         raise ValueError(
@@ -654,6 +690,7 @@ def fused_topk(x, aux, valid, q, *, k, metric, block_rows=None,
     vals, idx = call(
         x, aux2d, mask2d, q, offset, t0, qs, k=k, metric=metric,
         block_rows=block_rows, b_tile=b_tile,
-        precision_name=precision_name, interpret=interpret, gated=gated)
+        precision_name=precision_name, interpret=interpret, gated=gated,
+        packed=packed)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
     return vals, idx

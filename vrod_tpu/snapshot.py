@@ -135,11 +135,21 @@ class _CrcWriter:
 
 def storage_dtype(name: str) -> np.dtype:
     """numpy dtype for a collection storage dtype name (bfloat16 comes from
-    ml_dtypes, which JAX registers with numpy)."""
+    ml_dtypes, which JAX registers with numpy; int4 rows live as packed
+    int8 bytes — see ``storage_row_elems``)."""
     if name == "bfloat16":
         import ml_dtypes
         return np.dtype(ml_dtypes.bfloat16)
+    if name == "int4":
+        return np.dtype(np.int8)
     return np.dtype(name)
+
+
+def storage_row_elems(name: str, dim: int) -> int:
+    """Stored elements per row for a logical dim: int4 packs two dims per
+    int8 byte (distances.pack_int4), every other dtype stores dim
+    elements."""
+    return dim // 2 if name == "int4" else dim
 
 
 class RawStreamWriter:

@@ -162,7 +162,7 @@ def _pick_snapshot(cdir: Path, rep: ImageReport, label: str):
 def _verify_snapshot(d: Path, meta: dict, name: str, cfg, rep: ImageReport,
                      label: str) -> None:
     import numpy as np
-    from .snapshot import PAYLOAD_MAGIC, storage_dtype
+    from .snapshot import PAYLOAD_MAGIC, storage_dtype, storage_row_elems
 
     checksums = meta.get("crc32", {})
     if not checksums:
@@ -199,7 +199,8 @@ def _verify_snapshot(d: Path, meta: dict, name: str, cfg, rep: ImageReport,
         rep.error(f"{label}: {name} has unknown storage dtype {dt!r}: {e}")
         return
     expected = {
-        "vectors.bin": count * dim * itemsize,
+        # int4 packs two dims per stored byte (storage_row_elems).
+        "vectors.bin": count * storage_row_elems(dt, dim) * itemsize,
         "aux.bin": count * 4,  # f32 scalar lane per row
     }
     for fname, want in expected.items():
