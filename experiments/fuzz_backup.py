@@ -26,7 +26,10 @@ DIM = 8
 def run_seed(seed, steps=50):
     tmp = Path(tempfile.mkdtemp(prefix=f"bfuzz{seed}_"))
     db = Database.new(tmp, "db")
-    col = db.create_collection("c", dim=DIM, segment_rows=64,
+    # Rotate the storage tier by seed so backup images + restores are
+    # fuzzed across every dtype, incl. the packed int4 tier.
+    dtype = ("float32", "bfloat16", "int8", "int4")[seed % 4]
+    col = db.create_collection("c", dim=DIM, segment_rows=64, dtype=dtype,
                                auto_snapshot_wal_bytes=5000,
                                auto_compact_fraction=0.4)
     rng = np.random.default_rng(seed)

@@ -45,7 +45,11 @@ def assert_identical(p, r, seed, step):
 def run_seed(seed, steps=80):
     tmp = Path(tempfile.mkdtemp(prefix=f"fuzz{seed}_"))
     db = Database.new(tmp, "pdb")
-    col = db.create_collection("c", dim=DIM, segment_rows=64,
+    # Rotate the storage tier by seed: replication ships stored bytes, so
+    # every dtype (incl. the packed int4 tier) must stay bit-identical
+    # across bootstrap + tail + resync.
+    dtype = ("float32", "bfloat16", "int8", "int4")[seed % 4]
+    col = db.create_collection("c", dim=DIM, segment_rows=64, dtype=dtype,
                                auto_snapshot_wal_bytes=6000)
     server = VrodServer(db, f"unix:{tmp}/p.sock").start()
     rng = np.random.default_rng(seed)

@@ -44,8 +44,13 @@ def build_image(seed, tmp):
     db = Database.new(tmp, "db")
     rng = np.random.default_rng(seed)
     model = {}  # (col, rid) -> payload
-    for cname in ("a", "b"):
-        col = db.create_collection(cname, dim=DIM, segment_rows=64)
+    # Rotate the storage tier by seed (and stagger the two collections) so
+    # image verification + corrupted-reload checks cover every dtype,
+    # incl. the packed int4 tier's halved row width.
+    tiers = ("float32", "bfloat16", "int8", "int4")
+    for ci, cname in enumerate(("a", "b")):
+        col = db.create_collection(cname, dim=DIM, segment_rows=64,
+                                   dtype=tiers[(seed + ci) % 4])
         for step in range(rng.integers(5, 25)):
             roll = rng.random()
             if roll < 0.55 or not model:
