@@ -63,6 +63,14 @@ import numpy as np
 # pre-gating point (22.4 ms) is excluded: different kernel.
 MEASURED = [(1.0, 3.994), (10.0, 25.6)]
 
+# Packed int4 tier, same kernel family (two half-dim s8xs8 dots): the
+# THREE r5 hardware points incl. the 20M capacity capture int8 cannot
+# reach (7.8 GB resident; int8 would need 15.4 GB). Slope ~2.2 ms/Mrow —
+# a wash vs int8 within the session noise band, as the 1M/10M A/Bs
+# showed (the scan is MXU+VPU-serialization-bound, not DMA-bound, so
+# halving the stream does not change the slope).
+MEASURED_INT4 = [(1.0, 3.940), (10.0, 24.61), (20.97152, 46.17)]
+
 BATCH = 256
 K_SCAN = 24          # top-16 scans k + margin-8 candidates
 BYTES_PER_CAND = 8   # f32 score + i32 index
@@ -71,9 +79,10 @@ HOP_LAT = 1e-6       # s per ICI hop
 T_FINAL_8 = 0.1e-3   # s, replicated 256 x (8 x 24) lax.top_k at N=8
 
 
-def fit_affine():
-    a = np.array([[1.0, r] for r, _ in MEASURED])
-    b = np.array([t for _, t in MEASURED])
+def fit_affine(points=None):
+    points = MEASURED if points is None else points
+    a = np.array([[1.0, r] for r, _ in points])
+    b = np.array([t for _, t in points])
     (fixed, slope), *_ = np.linalg.lstsq(a, b, rcond=None)
     return float(fixed), float(slope)  # ms, ms per M rows
 
@@ -96,15 +105,25 @@ def main():
           f"(residuals: "
           + ", ".join(f"{t - (fixed + slope * r):+.2f}" for r, t in MEASURED)
           + " ms)")
-    for rows_m, label in ((10.0, "config 5: 10M x 768 int8 top-16"),
-                          (1.0, "north star: 1M x 768 int8 top-16"),
-                          (80.0, "capacity case: 80M x 768 int8")):
+    fixed4, slope4 = fit_affine(MEASURED_INT4)
+    print(f"int4 affine fit: t = {fixed4:.2f} ms + {slope4:.3f} ms/Mrow "
+          f"(residuals: "
+          + ", ".join(f"{t - (fixed4 + slope4 * r):+.2f}"
+                      for r, t in MEASURED_INT4)
+          + " ms)")
+    for rows_m, label, fx, sl in (
+            (10.0, "config 5: 10M x 768 int8 top-16", fixed, slope),
+            (1.0, "north star: 1M x 768 int8 top-16", fixed, slope),
+            (80.0, "capacity case: 80M x 768 int8", fixed, slope),
+            (160.0, "capacity case: 160M x 768 packed int4 "
+                    "(20M rows/chip at 8 — int8 cannot fit)",
+             fixed4, slope4)):
         print(f"\n{label} (batch {BATCH}):")
         print(f"{'shards':>7} {'ms/batch':>9} {'QPS':>8} {'speedup':>8} "
               f"{'efficiency':>10}")
-        t1 = project(rows_m, 1, fixed, slope)
+        t1 = project(rows_m, 1, fx, sl)
         for n in (1, 2, 4, 8):
-            t = project(rows_m, n, fixed, slope)
+            t = project(rows_m, n, fx, sl)
             qps = BATCH / t * 1e3
             print(f"{n:>7} {t:>9.2f} {qps:>8.0f} {t1 / t:>7.2f}x "
                   f"{t1 / t / n:>9.0%}")
