@@ -278,3 +278,73 @@ def test_int4_filtered_search(rng):
     mask = eng.filter_mask_from_slots(allow, mode="within")
     _, idx = eng.search(q, k=6, filter_mask=mask)
     assert (idx % 5 == 0).all()
+
+
+def test_int4_exact_lookup_dequantizes(rng):
+    """engine.gather (the SEARCH exact-lookup path) returns the
+    dequantized stored row for packed collections: f32(unpacked nibble)
+    * f32(scale), bit-for-bit — the same value the rescore scores
+    against."""
+    cfg = CollectionConfig(name="g4", dim=32, metric="cosine", dtype="int4",
+                           segment_rows=64)
+    eng = DeviceEngine(cfg)
+    n = 48
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64),
+              rng.standard_normal((n, 32)).astype(np.float32))
+    slots = np.array([0, 7, 31, 47], dtype=np.int64)
+    got = eng.gather(slots)
+    assert got.shape == (4, 32) and got.dtype == np.float32
+    expect = unpack_rows_np(np.asarray(eng.x)[slots]).astype(np.float32) \
+        * np.asarray(eng.aux)[slots][:, None].astype(np.float32)
+    np.testing.assert_array_equal(got, expect)
+    # And through the collection layer: Record.vector is the same bytes.
+    from vrod_tpu.database import Database
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        db = Database.new(td, "lkp")
+        col = db.create_collection("c", dim=32, dtype="int4",
+                                   segment_rows=64)
+        vecs = rng.standard_normal((8, 32)).astype(np.float32)
+        col.bulk_insert(vecs, [f"p{i}" for i in range(8)])
+        rec = col.get(3)
+        stored = unpack_rows_np(np.asarray(col.engine.x)) \
+            .astype(np.float32) * np.asarray(col.engine.aux)[:, None] \
+            .astype(np.float32)
+        slot = int(col.alloc.slots_of(np.array([3], np.uint64))[0])
+        np.testing.assert_array_equal(rec.vector, stored[slot])
+        db.close()
+
+
+def test_int4_engine_count_floor_gate_open(rng, monkeypatch):
+    """The sampled-floor warm start runs on packed collections with the
+    gate ACTUALLY OPEN (a spy proves the count threshold computed), and
+    results stay bit-identical to the exact scan. Gate arithmetic
+    mirrors test_engine_count_floor_results_exact (int8): rows 32768,
+    k=16 -> k_scan 28, blk 2048 -> n_sample 6144, nsub 384 >= 2*28,
+    rows >= 4*6144 — OPEN; int4 inherits the int8 theta0 gate (quant
+    tier). dim=96 keeps the trace unique from every other int4 test."""
+    monkeypatch.setenv("VROD_THETA0_METHOD", "count")
+    monkeypatch.setenv("VROD_THETA0_BLK", "2048")
+    seen = {}
+    orig = D.kth_largest_count
+
+    def spy(sub, k):
+        seen["k"] = k
+        return orig(sub, k)
+
+    monkeypatch.setattr(D, "kth_largest_count", spy)
+    cfg = CollectionConfig(name="cnt4", dim=96, metric="cosine",
+                           dtype="int4", segment_rows=32768, shards=1)
+    eng = DeviceEngine(cfg)
+    n = 32768
+    vecs = rng.standard_normal((n, 96)).astype(np.float32)
+    eng.ensure_capacity(n)
+    eng.write(np.arange(n, dtype=np.uint64), vecs)
+    eng.erase(np.arange(0, n, 11))
+    q = rng.standard_normal((8, 96)).astype(np.float32)
+    vp, ip = eng.search(q, k=16, impl="pallas")
+    vs, is_ = eng.search(q, k=16, impl="scan")
+    np.testing.assert_array_equal(ip, is_)
+    np.testing.assert_allclose(vp, vs, rtol=1e-6)
+    assert seen.get("k") == 28, "count threshold never ran (gate closed?)"

@@ -296,6 +296,32 @@ def test_replicated_int8_and_filters(primary, replica_db):
                [(h.record_id, round(h.score, 5)) for h in rh]
 
 
+def test_replicated_int4_bit_exact(primary, replica_db):
+    """Packed int4 collections replicate bit-exactly through BOTH ship
+    paths (snapshot bootstrap carries packed stored-representation bytes;
+    WAL tail re-quantizes from the f32 record on the replica) — search
+    results and dequantized lookups agree across the pair."""
+    db, server = primary
+    col = db.create_collection("p4", dim=DIM, dtype="int4", segment_rows=64)
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((16, DIM)).astype(np.float32)
+    col.bulk_insert(vecs, [f"q{i}" for i in range(16)])
+    col.snapshot()  # bootstrap leg: packed bytes ship verbatim
+    col.bulk_insert(vecs[:4] * 0.3, ["t0", "t1", "t2", "t3"])  # tail leg
+
+    with Replicator(replica_db, server.address).start() as rep:
+        rep.wait_caught_up()
+        rcol = replica_db.collection("p4")
+        assert rcol.config.dtype == "int4"
+        np.testing.assert_array_equal(np.asarray(col.engine.x),
+                                      np.asarray(rcol.engine.x))
+        _assert_identical(col, rcol)
+        ph = col.search_similar(vecs[0], k=4)
+        rh = rcol.search_similar(vecs[0], k=4)
+        assert [(h.record_id, h.score) for h in ph] == \
+               [(h.record_id, h.score) for h in rh]
+
+
 def test_cold_collection_tail_stays_cold(primary, replica_db):
     """An idle caught-up follower polling REPL.TAIL must not force the
     primary to device-restore cold collections (disk metadata answers)."""
